@@ -1,0 +1,121 @@
+"""Catalog: fixture loading and the dp3 "log store" view of a table.
+
+dp3's data model (SURVEY.md §1.1): messages keyed by (producer, topic,
+log_time ns, sequence). The driver fixtures are TPC-H-ish parquet plus an
+`events` stream table; `events` plays the role of a dp3 topic stream
+(FIXTURES.md F6): producer := user_id, topic := event_type,
+log_time := ts as int64 nanoseconds, sequence := event_id.
+
+At 100 TB the log store would be a partitioned table
+(partition by producer, date(log_time)); here it is a view over one parquet
+file — all query code goes through `LogStore` so the physical layout can
+change without touching operators.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    # events.ts is parquet TIMESTAMP(NANOS): Spark rejects it unless read as
+    # int64 nanos — which is dp3's native time representation anyway.
+    # Runtime-settable, so this also works on a driver-owned session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+@dataclass
+class LogStore:
+    """Maps an arbitrary table onto dp3's (producer, topic, log_time,
+    sequence, payload...) model.
+
+    Reference: treemgr/treemgr.go:29-33 (one (producer, topic) pair = one
+    storage tree). Here one (producer, topic) pair = one partition predicate
+    Catalyst pushes down to the scan.
+    """
+
+    df: DataFrame
+    producer_col: str
+    topic_col: str
+    time_col: str  # expression producing int64 nanoseconds
+    sequence_col: str
+    payload_cols: tuple[str, ...] = field(default_factory=tuple)
+
+    def normalized(self) -> DataFrame:
+        """Project to the canonical dp3 row shape:
+        (producer string, topic string, log_time long ns, sequence long, *payload)."""
+        cols = [
+            F.col(self.producer_col).cast("string").alias("producer"),
+            F.col(self.topic_col).cast("string").alias("topic"),
+            F.col(self.time_col).alias("log_time"),
+            F.col(self.sequence_col).cast("long").alias("sequence"),
+        ]
+        cols += [F.col(c) for c in self.payload_cols]
+        return self.df.select(*cols)
+
+    def producers(self) -> list[str]:
+        """`from *` expansion (reference plan/plan.go:366-392)."""
+        return [
+            r[0]
+            for r in self.normalized().select("producer").distinct().orderBy("producer").collect()
+        ]
+
+    def topics(self) -> list[str]:
+        return [r[0] for r in self.normalized().select("topic").distinct().orderBy("topic").collect()]
+
+    def table_summary(self) -> DataFrame:
+        """Catalog endpoint analog (routes/routes.go:49-70): per (producer,
+        topic) row-count and time bounds — a single map-side-combinable agg."""
+        return (
+            self.normalized()
+            .groupBy("producer", "topic")
+            .agg(
+                F.count("*").alias("message_count"),
+                F.min("log_time").alias("min_log_time"),
+                F.max("log_time").alias("max_log_time"),
+            )
+        )
+
+
+def events_log_store(spark: SparkSession, sf_dir: str) -> LogStore:
+    """The driver's `events` table viewed as a dp3 log store.
+
+    ts is parquet TIMESTAMP(NANOS), read as int64 nanoseconds via
+    nanosAsLong — dp3's native representation (SURVEY.md §1.2).  The DuckDB
+    oracle sees the same value as epoch_ns(ts).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return LogStore(
+        df=ev,
+        producer_col="user_id",
+        topic_col="event_type",
+        time_col="ts",
+        sequence_col="event_id",
+        payload_cols=("value", "props"),
+    )
