@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query materializes fully via the noop sink (no driver collect, no
+result-size bias).  A warmup pass initializes the JVM/codegen so timings
+measure the plan, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dp3_spark import queries as Q
+from dp3_spark.session import get_spark
+
+HEADLINE = [
+    "ql_merge_playback",      # 5-topic ordered-union playback (workload #1)
+    "ql_asof_precedes",       # as-of join (workload #2)
+    "stat_range_hourly",      # multigranular stats (workload #3)
+    "stat_quantiles_hourly",  # quantile stats
+    "events_sessionize",      # stateful sessionization
+    "tpch_q1_pricing",        # wide aggregation
+    "tpch_q3_shipping",       # join + top-k
+    "tpch_q5_region_revenue", # 6-way join
+    "text_metrics",           # text analysis over documents
+    "dedup_minhash_lsh",      # minhash LSH dedup (the at-scale dedup path;
+                              # exact all-pairs jaccard is oracle-only — it is
+                              # inherently quadratic on this shared-vocab corpus)
+    "sim_cosine_topk",        # brute-force ANN baseline
+]
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("dp3_spark_bench")
+
+    qs = Q.queries()
+    # warmup: run the cheapest query once to pay JVM/codegen startup
+    materialize(qs["stat_catalog_tables"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline query wall-clock (noop-materialized), local[%s]"
+        % os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

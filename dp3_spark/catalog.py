@@ -102,20 +102,28 @@ class LogStore:
         )
 
 
-def events_log_store(spark: SparkSession, sf_dir: str) -> LogStore:
+def events_log_store(spark: SparkSession, sf_dir: str, *, us_truncate: bool = False) -> LogStore:
     """The driver's `events` table viewed as a dp3 log store.
 
     ts is parquet TIMESTAMP(NANOS), read as int64 nanoseconds via
-    nanosAsLong — dp3's native representation (SURVEY.md §1.2).  The DuckDB
-    oracle sees the same value as epoch_ns(ts).
+    nanosAsLong — dp3's native representation (SURVEY.md §1.2).
+
+    us_truncate: DuckDB's parquet reader truncates ns timestamps to µs, so
+    its `epoch_ns(ts)` ends in 000.  Oracle-compared queries therefore run
+    on `ts - ts % 1000` so both engines see the identical int64 — engine
+    semantics stay nanosecond-typed.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    time_col = "ts"
+    if us_truncate:
+        ev = ev.withColumn("ts_us", F.col("ts") - F.col("ts") % 1000)
+        time_col = "ts_us"
     return LogStore(
         df=ev,
         producer_col="user_id",
         topic_col="event_type",
-        time_col="ts",
+        time_col=time_col,
         sequence_col="event_id",
         payload_cols=("value", "props"),
     )

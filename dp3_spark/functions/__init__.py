@@ -1,0 +1,3 @@
+from dp3_spark.functions import text, vectors
+
+__all__ = ["text", "vectors"]

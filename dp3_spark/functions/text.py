@@ -1,0 +1,232 @@
+"""Text-analysis primitives for large-scale training-data pipelines.
+
+Every primitive is defined as a PAIR of SQL snippets — one for Spark
+(executed via F.expr, fully JVM-side, no Python UDFs) and one for DuckDB
+(the driver's correctness oracle) — built from the same integer/codepoint
+arithmetic so results are bit-identical across engines (verified: polyhash,
+whitespace tokenization, regex char classes and length agree including
+unicode).
+
+dp3 itself has no scalar function library (SURVEY.md §2.6); these are the
+beyond-reference operators the task brief requires (language-ID, quality
+scoring, token counting, fingerprinting), designed to run inside
+whole-stage codegen at 100 TB.
+"""
+
+from __future__ import annotations
+
+POLY_MOD = 1_000_000_007
+POLY_BASE = 31
+
+# Small multilingual stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately tiny and hard-coded so the oracle SQL can embed
+# the identical lists.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "une", "pour", "que", "dans"),
+    "es": ("el", "la", "los", "de", "que", "es", "una", "por", "para", "con"),
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"]
+
+# BPE-ish token estimate: word chunks of <=4 chars count once; longer words
+# count ceil(len/4) — a cheap, deterministic proxy for subword tokenizers.
+_BPE_CHUNK = 4
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# --------------------------------------------------------------------------
+# each builder returns (spark_sql, duckdb_sql) producing identical values
+# --------------------------------------------------------------------------
+
+
+def poly_hash(col: str) -> tuple[str, str]:
+    """Deterministic polynomial codepoint hash (rolling-hash fingerprint
+    primitive): fold h = (h*31 + codepoint) mod 1e9+7."""
+    spark = (
+        f"aggregate(transform(sequence(1, length({col})), i -> ascii(substring({col}, i, 1))), "
+        f"cast(0 as bigint), (acc, c) -> (acc * {POLY_BASE} + c) % {POLY_MOD})"
+    )
+    duck = (
+        f"list_reduce(list_prepend(cast(0 as bigint), "
+        f"list_transform(range(1, length({col})+1), i -> cast(ascii(substr({col}, i, 1)) as bigint))), "
+        f"(acc, c) -> (acc * {POLY_BASE} + c) % {POLY_MOD})"
+    )
+    return spark, duck
+
+
+def tokens(col: str) -> tuple[str, str]:
+    """Whitespace tokenization -> array of tokens (empty string -> [''])."""
+    return (
+        f"split(trim({col}), '\\\\s+')",
+        f"string_split_regex(trim({col}), '\\s+')",
+    )
+
+
+def token_count(col: str) -> tuple[str, str]:
+    s, d = tokens(col)
+    return f"size({s})", f"len({d})"
+
+
+def bpe_token_estimate(col: str) -> tuple[str, str]:
+    """ceil(len(word)/4) summed over words — BPE-ish subword count proxy."""
+    s, d = tokens(col)
+    spark = (
+        f"aggregate(transform({s}, w -> cast(ceil(length(w) / {_BPE_CHUNK}.0) as bigint)), "
+        f"cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    duck = (
+        f"list_reduce(list_prepend(cast(0 as bigint), "
+        f"list_transform({d}, w -> cast(ceil(length(w) / {_BPE_CHUNK}.0) as bigint))), "
+        f"(acc, x) -> acc + x)"
+    )
+    return spark, duck
+
+
+def char_count(col: str) -> tuple[str, str]:
+    return f"length({col})", f"length({col})"
+
+
+def alnum_space_count(col: str) -> tuple[str, str]:
+    """Characters that are ASCII alphanumeric or space."""
+    spark = f"length(regexp_replace({col}, '[^a-zA-Z0-9 ]', ''))"
+    duck = f"length(regexp_replace({col}, '[^a-zA-Z0-9 ]', '', 'g'))"
+    return spark, duck
+
+
+def punct_ratio(col: str) -> tuple[str, str]:
+    """(non-alnum-space chars) / chars; 0 for empty strings.  Uses integer
+    counts then one double division — deterministic in both engines."""
+    a_s, a_d = alnum_space_count(col)
+    spark = (
+        f"case when length({col}) = 0 then cast(0.0 as double) else "
+        f"cast(length({col}) - {a_s} as double) / cast(length({col}) as double) end"
+    )
+    duck = (
+        f"case when length({col}) = 0 then cast(0.0 as double) else "
+        f"cast(length({col}) - {a_d} as double) / cast(length({col}) as double) end"
+    )
+    return spark, duck
+
+
+def stopword_count(col: str, words: tuple[str, ...] = STOPWORDS_EN) -> tuple[str, str]:
+    s, d = tokens(col)
+    lst = _sql_list(words)
+    spark = f"size(filter({s}, w -> lower(w) in ({lst})))"
+    duck = f"len(list_filter({d}, w -> lower(w) in ({lst})))"
+    return spark, duck
+
+
+def stopword_ratio(col: str, words: tuple[str, ...] = STOPWORDS_EN) -> tuple[str, str]:
+    c_s, c_d = stopword_count(col, words)
+    t_s, t_d = token_count(col)
+    spark = f"cast({c_s} as double) / cast({t_s} as double)"
+    duck = f"cast({c_d} as double) / cast({t_d} as double)"
+    return spark, duck
+
+
+def mean_word_length(col: str) -> tuple[str, str]:
+    s, d = tokens(col)
+    spark = (
+        f"cast(aggregate(transform({s}, w -> length(w)), 0, (a, x) -> a + x) as double)"
+        f" / cast(size({s}) as double)"
+    )
+    duck = (
+        f"cast(list_reduce(list_prepend(0, list_transform({d}, w -> length(w))), "
+        f"(a, x) -> a + x) as double) / cast(len({d}) as double)"
+    )
+    return spark, duck
+
+
+def quality_score(col: str) -> tuple[str, str]:
+    """Composite quality score in [0, 1]:
+    0.4 * min(1, ntok/50) + 0.3 * (1 - punct_ratio) + 0.3 * min(1, 5*stop_ratio).
+
+    Length rewards substance, low punctuation rewards cleanliness, stopword
+    density rewards natural language (classic C4/Gopher-style heuristics).
+    All inputs are deterministic integer-derived doubles."""
+    t_s, t_d = token_count(col)
+    p_s, p_d = punct_ratio(col)
+    r_s, r_d = stopword_ratio(col)
+    spark = (
+        f"0.4 * least(1.0, cast({t_s} as double) / 50.0)"
+        f" + 0.3 * (1.0 - ({p_s}))"
+        f" + 0.3 * least(1.0, 5.0 * ({r_s}))"
+    )
+    duck = (
+        f"0.4 * least(1.0, cast({t_d} as double) / 50.0)"
+        f" + 0.3 * (1.0 - ({p_d}))"
+        f" + 0.3 * least(1.0, 5.0 * ({r_d}))"
+    )
+    return spark, duck
+
+
+def lang_id(col: str) -> tuple[str, str]:
+    """Stopword-hit language ID over {en, de, fr, es}; ties and zero hits
+    resolve to 'und' ... deterministic argmax via chained CASE with a fixed
+    language order."""
+    s_tok, d_tok = tokens(col)
+    s_counts, d_counts = [], []
+    for lang, words in LANG_STOPWORDS.items():
+        lst = _sql_list(words)
+        s_counts.append((lang, f"size(filter({s_tok}, w -> lower(w) in ({lst})))"))
+        d_counts.append((lang, f"len(list_filter({d_tok}, w -> lower(w) in ({lst})))"))
+
+    def inline_argmax(counts: list[tuple[str, str]]) -> str:
+        # first language in fixed dict order wins ties; zero hits -> 'und'
+        exprs = [c for _, c in counts]
+        best = f"greatest({', '.join(exprs)})"
+        whens = " ".join(
+            f"when ({c}) = {best} and {best} > 0 then '{lang}'" for lang, c in counts
+        )
+        return f"case {whens} else 'und' end"
+
+    return inline_argmax(s_counts), inline_argmax(d_counts)
+
+
+def fingerprint(col: str) -> tuple[str, str]:
+    """Content fingerprint: md5 of the normalized text (lowercased,
+    non-alnum stripped) — the exact-dedup key.  md5 is identical in both
+    engines."""
+    spark = f"md5(lower(regexp_replace({col}, '[^a-zA-Z0-9]', '')))"
+    duck = f"md5(lower(regexp_replace({col}, '[^a-zA-Z0-9]', '', 'g')))"
+    return spark, duck
+
+
+def shingles(col: str, n: int = 3) -> tuple[str, str]:
+    """Character n-gram shingle strings over the normalized text.  Texts
+    shorter than n yield a single shingle (the whole text) so every doc has
+    at least one — keeps jaccard defined."""
+    s_norm = f"lower(regexp_replace({col}, '[^a-zA-Z0-9 ]', ''))"
+    d_norm = f"lower(regexp_replace({col}, '[^a-zA-Z0-9 ]', '', 'g'))"
+    spark = (
+        f"case when length({s_norm}) <= {n} then array({s_norm}) else "
+        f"transform(sequence(1, length({s_norm}) - {n - 1}), i -> substring({s_norm}, i, {n})) end"
+    )
+    duck = (
+        f"case when length({d_norm}) <= {n} then [{d_norm}] else "
+        f"list_transform(range(1, length({d_norm}) - {n - 2}), i -> substr({d_norm}, i, {n})) end"
+    )
+    return spark, duck
+
+
+def shingle_hashes(col: str, n: int = 3) -> tuple[str, str]:
+    """Distinct polynomial hashes of the n-gram shingles -> array<bigint>.
+    The minhash/jaccard primitives build on this."""
+    s_sh, d_sh = shingles(col, n)
+    spark = (
+        f"array_distinct(transform({s_sh}, s -> "
+        f"aggregate(transform(sequence(1, length(s)), i -> ascii(substring(s, i, 1))), "
+        f"cast(0 as bigint), (acc, c) -> (acc * {POLY_BASE} + c) % {POLY_MOD})))"
+    )
+    duck = (
+        f"list_distinct(list_transform({d_sh}, s -> "
+        f"list_reduce(list_prepend(cast(0 as bigint), "
+        f"list_transform(range(1, length(s)+1), i -> cast(ascii(substr(s, i, 1)) as bigint))), "
+        f"(acc, c) -> (acc * {POLY_BASE} + c) % {POLY_MOD})))"
+    )
+    return spark, duck

@@ -1,0 +1,246 @@
+"""Multigranular statistics service — the btrdb-style summary subsystem.
+
+The reference computes per-tree-node statistics at ingest (count/sum/mean/
+min/max per numeric leaf field, text min/max, DDSketch quantiles) and serves
+three read APIs: StatRange, Statistics (binned series), ListStatistics
+(SURVEY.md §2.4; nodestore/statistics.go:98-179, treemgr/treemgr.go:376-501,
+tree/tree.go:209-258).
+
+Spark design: a summary TABLE at a base granularity (default 60 s like the
+reference's leaf width, treemgr/treemgr.go:61-68), built by one map-side-
+combinable groupBy; coarser granularities re-aggregate the summary, never
+the raw data — all stats are associative by construction (the reference's
+"we are limited to associative statistics", nodestore/statistics.go:22-28).
+Quantiles: `percentile` (exact) for oracle-checked query-time results,
+`approx_percentile` (t-digest, mergeable — the DDSketch analog, accuracy
+documented 0.01) for the scale path.
+
+NaN/Inf are skipped in numeric stats, matching nodestore/statistics.go:108-127.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dp3_spark.catalog import LogStore
+
+DEFAULT_GRANULARITY_NS = 60 * 1_000_000_000  # reference leaf width: 60 s
+
+QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.95, 0.99)  # nodestore/statistics.go:204-206
+
+
+def _clean(field: str):
+    """NaN/Inf-skipping view of a numeric field (statistics.go:108-114)."""
+    c = F.col(field).cast("double")
+    return F.when(~(F.isnan(c) | c.isin(float("inf"), float("-inf"))), c)
+
+
+def _sum_exact(field: str):
+    """Exact (order-independent) sum: decimal accumulation cast back to
+    double.  Float sums depend on partition order — at 1000 executors the
+    same query would return different last bits run-to-run; decimal sums are
+    associative AND exact, which also makes them oracle-comparable."""
+    return F.sum(_clean(field).cast("decimal(25,6)")).cast("double")
+
+
+def summarize(
+    store: LogStore,
+    *,
+    granularity_ns: int = DEFAULT_GRANULARITY_NS,
+    numeric_fields: Sequence[str] = (),
+    text_fields: Sequence[str] = (),
+    group_by_producer: bool = True,
+) -> DataFrame:
+    """Base summary table: one row per (producer?, topic, bucket) with
+    associative stats per field.
+
+    bucket_start = floor(log_time / granularity) * granularity (int64 ns).
+    One shuffle, partial aggregation map-side; at 100 TB this is the table
+    you'd maintain incrementally with Structured Streaming foreachBatch."""
+    df = store.normalized()
+    keys = ["topic", (F.col("log_time") - F.col("log_time") % granularity_ns).alias("bucket_start")]
+    if group_by_producer:
+        keys.insert(0, "producer")
+    aggs = [
+        F.count("*").alias("message_count"),
+        F.min("log_time").alias("min_observed_time"),
+        F.max("log_time").alias("max_observed_time"),
+    ]
+    for f in numeric_fields:
+        c = _clean(f)
+        aggs += [
+            F.count(c).alias(f"{f}_count"),
+            _sum_exact(f).alias(f"{f}_sum"),
+            F.min(c).alias(f"{f}_min"),
+            F.max(c).alias(f"{f}_max"),
+        ]
+    for f in text_fields:
+        aggs += [F.min(f).alias(f"{f}_text_min"), F.max(f).alias(f"{f}_text_max")]
+    out = df.groupBy(*keys).agg(*aggs)
+    for f in numeric_fields:
+        out = out.withColumn(f"{f}_mean", F.col(f"{f}_sum") / F.col(f"{f}_count"))
+    return out
+
+
+def rollup_summary(
+    summary: DataFrame, *, from_granularity_ns: int, to_granularity_ns: int,
+    numeric_fields: Sequence[str] = (), text_fields: Sequence[str] = ()
+) -> DataFrame:
+    """Re-bucket a finer summary to a coarser granularity by merging partial
+    aggregates (the inner-node merge, nodestore/statistics.go:400-433) —
+    never touches raw data.  `to` must be a multiple of `from`."""
+    if to_granularity_ns % from_granularity_ns != 0:
+        raise ValueError("target granularity must be a multiple of the base")
+    keys = [c for c in ("producer", "topic") if c in summary.columns]
+    bucket = (F.col("bucket_start") - F.col("bucket_start") % to_granularity_ns).alias(
+        "bucket_start"
+    )
+    aggs = [
+        F.sum("message_count").alias("message_count"),
+        F.min("min_observed_time").alias("min_observed_time"),
+        F.max("max_observed_time").alias("max_observed_time"),
+    ]
+    for f in numeric_fields:
+        aggs += [
+            F.sum(f"{f}_count").alias(f"{f}_count"),
+            F.sum(F.col(f"{f}_sum").cast("decimal(25,6)")).cast("double").alias(f"{f}_sum"),
+            F.min(f"{f}_min").alias(f"{f}_min"),
+            F.max(f"{f}_max").alias(f"{f}_max"),
+        ]
+    for f in text_fields:
+        aggs += [
+            F.min(f"{f}_text_min").alias(f"{f}_text_min"),
+            F.max(f"{f}_text_max").alias(f"{f}_text_max"),
+        ]
+    out = summary.groupBy(*keys, bucket).agg(*aggs)
+    for f in numeric_fields:
+        out = out.withColumn(f"{f}_mean", F.col(f"{f}_sum") / F.col(f"{f}_count"))
+    return out
+
+
+def stat_range(
+    store: LogStore,
+    *,
+    topic: str,
+    start_ns: int,
+    end_ns: int,
+    granularity_ns: int,
+    numeric_fields: Sequence[str],
+    producer: str | None = None,
+    group_by_producer: bool = False,
+) -> DataFrame:
+    """StatRange API analog (routes/statrange.go:14-79): binned stats for one
+    topic over [start, end) at the requested granularity.
+
+    Served from raw here; in the summary-table deployment this re-buckets the
+    base summary instead (rollup_summary)."""
+    df = store.normalized().filter(
+        (F.col("topic") == topic)
+        & (F.col("log_time") >= start_ns)
+        & (F.col("log_time") < end_ns)
+    )
+    if producer is not None:
+        df = df.filter(F.col("producer") == producer)
+    keys = [(F.col("log_time") - F.col("log_time") % granularity_ns).alias("bucket_start")]
+    if group_by_producer:
+        keys.insert(0, F.col("producer"))
+    aggs = [F.count("*").alias("message_count")]
+    for f in numeric_fields:
+        c = _clean(f)
+        aggs += [
+            F.count(c).alias(f"{f}_count"),
+            _sum_exact(f).alias(f"{f}_sum"),
+            F.min(c).alias(f"{f}_min"),
+            F.max(c).alias(f"{f}_max"),
+        ]
+    out = df.groupBy(*keys).agg(*aggs)
+    for f in numeric_fields:
+        out = out.withColumn(f"{f}_mean", F.col(f"{f}_sum") / F.col(f"{f}_count"))
+    return out.orderBy("bucket_start")
+
+
+def quantiles_exact(
+    store: LogStore,
+    *,
+    topic: str,
+    field: str,
+    start_ns: int,
+    end_ns: int,
+    granularity_ns: int,
+    quantiles: Sequence[float] = QUANTILES,
+) -> DataFrame:
+    """Exact per-bucket quantiles via `percentile` (linear interpolation,
+    matches DuckDB quantile_cont bit-for-bit on identical input sets).
+    Correctness baseline for the sketch path."""
+    df = store.normalized().filter(
+        (F.col("topic") == topic)
+        & (F.col("log_time") >= start_ns)
+        & (F.col("log_time") < end_ns)
+    )
+    bucket = (F.col("log_time") - F.col("log_time") % granularity_ns).alias("bucket_start")
+    qlist = ", ".join(str(q) for q in quantiles)
+    aggs = [
+        F.expr(f"percentile({field}, array({qlist}))").alias("qs"),
+        F.count(F.col(field)).alias("n"),
+    ]
+    out = df.groupBy(bucket).agg(*aggs)
+    for i, q in enumerate(quantiles):
+        out = out.withColumn(f"p{int(q * 100)}", F.col("qs").getItem(i))
+    return out.drop("qs").orderBy("bucket_start")
+
+
+def quantiles_sketch(
+    store: LogStore,
+    *,
+    topic: str,
+    field: str,
+    start_ns: int,
+    end_ns: int,
+    granularity_ns: int,
+    quantiles: Sequence[float] = QUANTILES,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Mergeable-sketch quantiles via approx_percentile — the scale path
+    (t-digest-style, the DDSketch-0.01 analog; accuracy=10000 ≈ 1e-4 rank
+    error)."""
+    df = store.normalized().filter(
+        (F.col("topic") == topic)
+        & (F.col("log_time") >= start_ns)
+        & (F.col("log_time") < end_ns)
+    )
+    bucket = (F.col("log_time") - F.col("log_time") % granularity_ns).alias("bucket_start")
+    qlist = ", ".join(str(q) for q in quantiles)
+    out = df.groupBy(bucket).agg(
+        F.expr(f"approx_percentile({field}, array({qlist}), {accuracy})").alias("qs"),
+        F.count(F.col(field)).alias("n"),
+    )
+    for i, q in enumerate(quantiles):
+        out = out.withColumn(f"p{int(q * 100)}", F.col("qs").getItem(i))
+    return out.drop("qs").orderBy("bucket_start")
+
+
+def available_statistics(store: LogStore) -> DataFrame:
+    """ListStatistics analog (treemgr/treemgr.go:569-653): fields and the
+    stats valid for each, from the payload schema."""
+    import pyspark.sql.types as T
+
+    rows = []
+    numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType)
+    for f in store.normalized().schema.fields:
+        if f.name in ("producer", "topic", "log_time", "sequence"):
+            continue
+        if isinstance(f.dataType, numeric):
+            stats = ["count", "sum", "mean", "min", "max"] + [
+                f"p{int(q * 100)}" for q in QUANTILES
+            ]
+        elif isinstance(f.dataType, T.StringType):
+            stats = ["min", "max"]
+        else:
+            continue
+        for s in stats:
+            rows.append((f.name, f.dataType.simpleString(), s))
+    spark = store.df.sparkSession
+    return spark.createDataFrame(rows, "field string, dtype string, stat string")

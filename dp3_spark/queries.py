@@ -1,0 +1,744 @@
+"""Query registry: every operator from SURVEY.md §2 plus the
+beyond-reference LLM-pipeline operators, each as a (spark_fn, oracle_sql)
+pair for the driver's DuckDB correctness gate.
+
+Conventions that make the hash-compare work (see module docs in
+functions/text.py and catalog.events_log_store):
+- event time is µs-truncated int64 ns on both sides (DuckDB's parquet
+  reader truncates ns->µs; epoch_ns(ts) == Spark's ts - ts % 1000).
+- float aggregates go through decimal(25,6)/decimal(18,2) so they are
+  exact and order-independent; raw column values pass through untouched.
+- every computed column is aliased identically in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dp3_spark.catalog import events_log_store, register_views
+from dp3_spark.functions import text as TXT
+from dp3_spark.functions import vectors as VEC
+from dp3_spark.operators import dedup as DD
+from dp3_spark.operators import similarity as SIM
+from dp3_spark.operators import stats as ST
+from dp3_spark.plans import Compiler
+from dp3_spark.sources import multimodal as MM
+
+NS = 10**9
+HOUR_NS = 3600 * NS
+DAY_NS = 24 * HOUR_NS
+BETWEEN_START = 1704412800 * NS  # 2024-01-05T00:00:00Z
+BETWEEN_END = 1705708800 * NS    # 2024-01-20T00:00:00Z
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def _ql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    store = events_log_store(spark, sf_dir, us_truncate=True)
+    return Compiler(store).compile(query)
+
+
+# The canonical dp3 row shape of the events stream, as DuckDB sees it.
+EV_BASE = (
+    "select cast(user_id as varchar) as producer, event_type as topic, "
+    "epoch_ns(ts) as log_time, event_id as sequence, value, props from events"
+)
+
+
+# =========================================================================
+# dp3 QL surface (SURVEY.md §2.1-§2.3): scan / between / desc / paging /
+# merge / where-split / regex / as-of joins — all through the QL compiler.
+# =========================================================================
+
+@register(
+    "ql_scan_between",
+    f"""
+    with base as ({EV_BASE})
+    select * from base
+    where topic = 'purchase' and log_time >= {BETWEEN_START} and log_time < {BETWEEN_END}
+    """,
+)
+def ql_scan_between(spark, sf_dir):
+    """Time-range scan (scan_node + between; executor/scan_node.go:20-65)."""
+    return _ql(
+        spark, sf_dir, f"from * between {BETWEEN_START} and {BETWEEN_END} purchase;"
+    )
+
+
+@register(
+    "ql_scan_desc_paged",
+    f"""
+    with base as ({EV_BASE})
+    select * from base where topic = 'click'
+    order by log_time desc, producer asc, sequence desc
+    limit 100 offset 10
+    """,
+)
+def ql_scan_desc_paged(spark, sf_dir):
+    """desc + limit/offset (plan/plan.go:503-510, :162-188)."""
+    return _ql(spark, sf_dir, "from * click desc limit 100 offset 10;")
+
+
+@register(
+    "ql_merge_playback",
+    f"""
+    with base as ({EV_BASE})
+    select * from base
+    where log_time >= {BETWEEN_START} and log_time < {BETWEEN_END}
+    """,
+)
+def ql_merge_playback(spark, sf_dir):
+    """Multiplexed playback: 5-topic ordered merge (merge_node.go:31-110) —
+    dp3 workload #1 (README.md:87-116)."""
+    return _ql(
+        spark,
+        sf_dir,
+        f"from * between {BETWEEN_START} and {BETWEEN_END} "
+        "click, view, purchase, signup, error;",
+    )
+
+
+@register(
+    "ql_skeleton",
+    f"""
+    with base as ({EV_BASE})
+    select producer, topic, log_time, sequence from base
+    where topic in ('click', 'purchase')
+    """,
+)
+def ql_skeleton(spark, sf_dir):
+    """StampsOnly/skeleton output (routes/query.go:43): payload stripped."""
+    df = _ql(spark, sf_dir, "from * click, purchase;")
+    return df.select("producer", "topic", "log_time", "sequence")
+
+
+@register(
+    "ql_where_split",
+    f"""
+    with base as ({EV_BASE})
+    select * from base
+    where (topic = 'click' and value > 250.0)
+       or (topic = 'view' and value < 20.0)
+    """,
+)
+def ql_where_split(spark, sf_dir):
+    """Per-alias WHERE splitting: each OR branch filters only its own scan
+    (plan/plan.go:326-344; golden executor_test.go 'where on both elements')."""
+    return _ql(
+        spark, sf_dir,
+        "from * click as c, view as v where c.value > 250.0 or v.value < 20.0;",
+    )
+
+
+@register(
+    "ql_where_regex",
+    f"""
+    with base as ({EV_BASE})
+    select * from base
+    where topic = 'error' and regexp_matches(props, '"k": 8[0-9]')
+    """,
+)
+def ql_where_regex(spark, sf_dir):
+    """Regex operator ~ on string fields (executor/expression.go:1779-1859)."""
+    return _ql(spark, sf_dir, """from * error where error.props ~ '"k": 8[0-9]';""")
+
+
+def _asof_oracle(
+    left: str, right: str, threshold_ns: int, immediate: bool, swap: bool = False
+) -> str:
+    """DuckDB SQL replicating asof_node.go:64-111 exactly (see operators/asof.py)."""
+    lt, rt = (right, left) if swap else (left, right)
+    match = "true" if threshold_ns == 0 else f"left_t + {threshold_ns} > log_time"
+    imm = "and mrank = 1" if immediate else ""
+    return f"""
+    with base as (
+      select cast(user_id as varchar) as producer, event_type as topic,
+             epoch_ns(ts) as log_time, event_id as sequence, value, props,
+             case when event_type = '{lt}' then 0 else 1 end as side
+      from events where event_type in ('{lt}', '{rt}')
+    ),
+    ordered as (
+      select *, row_number() over (partition by producer order by log_time, side, sequence) as rn
+      from base
+    ),
+    runs as (
+      select *,
+        max(case when side = 0 then rn end) over
+          (partition by producer order by log_time, side, sequence
+           rows between unbounded preceding and current row) as left_rn,
+        max(case when side = 0 then log_time end) over
+          (partition by producer order by log_time, side, sequence
+           rows between unbounded preceding and current row) as left_t
+      from ordered
+    ),
+    flagged as (
+      select *, (side = 1 and left_rn is not null and {match}) as matched from runs
+    ),
+    grouped as (
+      select *,
+        max(case when matched then 1 else 0 end) over
+          (partition by producer, left_rn) as grp,
+        sum(case when matched then 1 else 0 end) over
+          (partition by producer, left_rn order by log_time, side, sequence
+           rows between unbounded preceding and current row) as mrank
+      from flagged
+    )
+    select producer, topic, log_time, sequence, value, props from grouped
+    where (side = 0 and grp = 1) or (matched {imm})
+    """
+
+
+@register("ql_asof_precedes", _asof_oracle("click", "purchase", 30 * 60 * NS, False))
+def ql_asof_precedes(spark, sf_dir):
+    """As-of join `precedes by less than N` (asof_node.go:64-111)."""
+    return _ql(
+        spark, sf_dir, "from * click precedes purchase by less than 30 minutes;"
+    )
+
+
+@register("ql_asof_immediate", _asof_oracle("click", "purchase", 30 * 60 * NS, True))
+def ql_asof_immediate(spark, sf_dir):
+    """`precedes immediate`: only first right match per left group."""
+    return _ql(
+        spark, sf_dir,
+        "from * click precedes immediate purchase by less than 30 minutes;",
+    )
+
+
+@register("ql_asof_succeeds", _asof_oracle("view", "click", 5 * 60 * NS, False, swap=True))
+def ql_asof_succeeds(spark, sf_dir):
+    """`succeeds` swaps the join inputs (executor/executor.go:201-205)."""
+    return _ql(spark, sf_dir, "from * view succeeds click by less than 5 minutes;")
+
+
+@register("ql_asof_unbounded", _asof_oracle("signup", "purchase", 0, False))
+def ql_asof_unbounded(spark, sf_dir):
+    """Omitted threshold => t=0 => unbounded match (asof_node.go:96)."""
+    return _ql(spark, sf_dir, "from * signup precedes purchase;")
+
+
+# =========================================================================
+# Statistics service (SURVEY.md §2.4): StatRange / rollup / quantiles /
+# catalog — associative stats, exact decimal sums.
+# =========================================================================
+
+_STAT_AGGS_SQL = """
+      count(*) as message_count,
+      count(value) as value_count,
+      cast(sum(cast(value as decimal(25,6))) as double) as value_sum,
+      min(value) as value_min,
+      max(value) as value_max,
+      cast(sum(cast(value as decimal(25,6))) as double) / count(value) as value_mean
+"""
+
+
+@register(
+    "stat_range_hourly",
+    f"""
+    select (epoch_ns(ts) - epoch_ns(ts) % {HOUR_NS}) as bucket_start,
+           {_STAT_AGGS_SQL}
+    from events
+    where event_type = 'view'
+      and epoch_ns(ts) >= {BETWEEN_START} and epoch_ns(ts) < {BETWEEN_END}
+    group by 1
+    """,
+)
+def stat_range_hourly(spark, sf_dir):
+    """StatRange at 1 h granularity (tree/tree.go:214-258)."""
+    store = events_log_store(spark, sf_dir, us_truncate=True)
+    return ST.stat_range(
+        store,
+        topic="view",
+        start_ns=BETWEEN_START,
+        end_ns=BETWEEN_END,
+        granularity_ns=HOUR_NS,
+        numeric_fields=["value"],
+    )
+
+
+@register(
+    "stat_rollup_daily",
+    f"""
+    select topic, bucket_start, message_count, min_observed_time, max_observed_time,
+           value_count, value_sum, value_min, value_max,
+           value_sum / value_count as value_mean
+    from (
+      select event_type as topic,
+             (epoch_ns(ts) - epoch_ns(ts) % {DAY_NS}) as bucket_start,
+             count(*) as message_count,
+             min(epoch_ns(ts)) as min_observed_time,
+             max(epoch_ns(ts)) as max_observed_time,
+             count(value) as value_count,
+             cast(sum(cast(value as decimal(25,6))) as double) as value_sum,
+             min(value) as value_min,
+             max(value) as value_max
+      from events group by 1, 2
+    )
+    """,
+)
+def stat_rollup_daily(spark, sf_dir):
+    """Associativity: 1 h summaries merged to 1 d equal direct daily stats
+    (inner-node merge, nodestore/statistics.go:400-433)."""
+    store = events_log_store(spark, sf_dir, us_truncate=True)
+    hourly = ST.summarize(
+        store, granularity_ns=HOUR_NS, numeric_fields=["value"], group_by_producer=False
+    )
+    daily = ST.rollup_summary(
+        hourly,
+        from_granularity_ns=HOUR_NS,
+        to_granularity_ns=DAY_NS,
+        numeric_fields=["value"],
+    )
+    return daily
+
+
+@register(
+    "stat_quantiles_hourly",
+    f"""
+    select (epoch_ns(ts) - epoch_ns(ts) % {HOUR_NS}) as bucket_start,
+           count(value) as n,
+           quantile_cont(value, 0.25) as p25, quantile_cont(value, 0.5) as p50,
+           quantile_cont(value, 0.75) as p75, quantile_cont(value, 0.9) as p90,
+           quantile_cont(value, 0.95) as p95, quantile_cont(value, 0.99) as p99
+    from events
+    where event_type = 'click'
+      and epoch_ns(ts) >= {BETWEEN_START} and epoch_ns(ts) < {BETWEEN_END}
+    group by 1
+    """,
+)
+def stat_quantiles_hourly(spark, sf_dir):
+    """P25..P99 per bucket — exact `percentile` (DDSketch analog is
+    quantiles_sketch; quantile list nodestore/statistics.go:204-206)."""
+    store = events_log_store(spark, sf_dir, us_truncate=True)
+    return ST.quantiles_exact(
+        store,
+        topic="click",
+        field="value",
+        start_ns=BETWEEN_START,
+        end_ns=BETWEEN_END,
+        granularity_ns=HOUR_NS,
+    )
+
+
+@register(
+    "stat_catalog_tables",
+    f"""
+    with base as ({EV_BASE})
+    select producer, topic, count(*) as message_count,
+           min(log_time) as min_log_time, max(log_time) as max_log_time
+    from base group by 1, 2
+    """,
+)
+def stat_catalog_tables(spark, sf_dir):
+    """Catalog/tables endpoint (routes/routes.go:49-70): per (producer,
+    topic) counts + time bounds."""
+    store = events_log_store(spark, sf_dir, us_truncate=True)
+    return store.table_summary()
+
+
+@register(
+    "events_sessionize",
+    f"""
+    with t as (select user_id, epoch_ns(ts) as t, event_id from events),
+    l as (select *, lag(t) over (partition by user_id order by t, event_id) as pt from t),
+    s as (select *, case when pt is null or t - pt > {30 * 60 * NS} then 1 else 0 end as new_s from l),
+    sid as (select *, sum(new_s) over (partition by user_id order by t, event_id
+             rows between unbounded preceding and current row) as sess from s),
+    per as (select user_id, sess, count(*) as n from sid group by 1, 2)
+    select user_id, count(*) as n_sessions, sum(n) as n_events,
+           max(n) as max_session_events,
+           cast(sum(n) as double) / count(*) as avg_session_events
+    from per group by 1
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Session windows (30-min inactivity gap) per producer — streaming-style
+    sessionization expressed with windows (SURVEY.md §2.7)."""
+    store = events_log_store(spark, sf_dir, us_truncate=True)
+    ev = store.normalized().select(
+        F.col("producer").cast("long").alias("user_id"), F.col("log_time").alias("t"),
+        F.col("sequence").alias("event_id"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sid = (
+        ev.withColumn("pt", F.lag("t").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("pt").isNull() | ((F.col("t") - F.col("pt")) > 30 * 60 * NS), 1
+            ).otherwise(0),
+        )
+        .withColumn("sess", F.sum("new_s").over(run))
+    )
+    per = sid.groupBy("user_id", "sess").agg(F.count("*").alias("n"))
+    return per.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("max_session_events"),
+        (F.sum("n").cast("double") / F.count("*")).alias("avg_session_events"),
+    )
+
+
+# =========================================================================
+# Relational surface (Spark SQL native; SURVEY.md §2.1 notes the driver
+# harness exercises standard SQL).  TPC-H-shaped over the fixture schema.
+# =========================================================================
+
+
+def _sql_pair(spark_sql: str, duck_sql: str | None = None):
+    """Register a query that is one SQL text executed by Spark over temp
+    views; oracle is the (possibly dialect-adjusted) DuckDB text."""
+
+    def fn(spark, sf_dir, _sql=spark_sql):
+        register_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    return fn, (duck_sql or spark_sql)
+
+
+_Q1 = """
+select l_returnflag, l_linestatus,
+  cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,
+  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_base_price,
+  cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) as sum_disc_price,
+  cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2))) * (1 + cast(l_tax as decimal(18,2)))) as double) as sum_charge,
+  cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*) as avg_qty,
+  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) / count(*) as avg_price,
+  cast(sum(cast(l_discount as decimal(18,2))) as double) / count(*) as avg_disc,
+  count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '2000-09-02 00:00:00'
+group by l_returnflag, l_linestatus
+"""
+_REGISTRY["tpch_q1_pricing"] = _sql_pair(_Q1)
+
+_Q3_SPARK = """
+select o.o_orderkey,
+  cast(sum(cast(l.l_extendedprice as decimal(18,2)) * (1 - cast(l.l_discount as decimal(18,2)))) as double) as revenue,
+  date_format(o.o_orderdate, 'yyyy-MM-dd') as orderdate,
+  o.o_orderpriority
+from customer c join orders o on c.c_custkey = o.o_custkey
+join lineitem l on l.l_orderkey = o.o_orderkey
+where c.c_mktsegment = 'BUILDING'
+  and o.o_orderdate < timestamp '1998-03-15 00:00:00'
+  and l.l_shipdate > timestamp '1996-03-15 00:00:00'
+group by o.o_orderkey, o.o_orderdate, o.o_orderpriority
+order by revenue desc, o_orderkey
+limit 10
+"""
+_REGISTRY["tpch_q3_shipping"] = _sql_pair(
+    _Q3_SPARK, _Q3_SPARK.replace("date_format(o.o_orderdate, 'yyyy-MM-dd')",
+                                 "strftime(o.o_orderdate, '%Y-%m-%d')")
+)
+
+_Q5 = """
+select n.n_name,
+  cast(sum(cast(l.l_extendedprice as decimal(18,2)) * (1 - cast(l.l_discount as decimal(18,2)))) as double) as revenue
+from customer c
+join orders o on c.c_custkey = o.o_custkey
+join lineitem l on l.l_orderkey = o.o_orderkey
+join supplier s on l.l_suppkey = s.s_suppkey
+join nation n on s.s_nationkey = n.n_nationkey
+join region r on n.n_regionkey = r.r_regionkey
+where r.r_name = 'REGION_0'
+  and o.o_orderdate >= timestamp '1996-01-01 00:00:00'
+  and o.o_orderdate < timestamp '1998-01-01 00:00:00'
+group by n.n_name
+"""
+_REGISTRY["tpch_q5_region_revenue"] = _sql_pair(_Q5)
+
+_Q6 = """
+select cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(l_discount as decimal(18,2))) as double) as revenue,
+       count(*) as n
+from lineitem
+where l_shipdate >= timestamp '1996-01-01 00:00:00'
+  and l_shipdate < timestamp '1997-01-01 00:00:00'
+  and l_discount between 0.03 and 0.07
+  and l_quantity < 24
+"""
+_REGISTRY["tpch_q6_forecast"] = _sql_pair(_Q6)
+
+_Q10_SPARK = """
+select c.c_custkey, c.c_name,
+  cast(sum(cast(l.l_extendedprice as decimal(18,2)) * (1 - cast(l.l_discount as decimal(18,2)))) as double) as revenue,
+  c.c_acctbal, n.n_name
+from customer c
+join orders o on c.c_custkey = o.o_custkey
+join lineitem l on l.l_orderkey = o.o_orderkey
+join nation n on c.c_nationkey = n.n_nationkey
+where o.o_orderdate >= timestamp '1996-10-01 00:00:00'
+  and o.o_orderdate < timestamp '1997-01-01 00:00:00'
+  and l.l_returnflag = 'R'
+group by c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+order by revenue desc, c_custkey
+limit 20
+"""
+_REGISTRY["tpch_q10_returns"] = _sql_pair(_Q10_SPARK)
+
+_WINDOW_TOP = """
+select n_name, c_name, c_acctbal, rnk from (
+  select n.n_name, c.c_name, c.c_acctbal,
+         row_number() over (partition by n.n_name order by c.c_acctbal desc, c.c_custkey) as rnk
+  from customer c join nation n on c.c_nationkey = n.n_nationkey
+) where rnk <= 3
+"""
+_REGISTRY["window_top_customers"] = _sql_pair(_WINDOW_TOP)
+
+
+# =========================================================================
+# Text analysis (beyond-reference; functions/text.py pairs)
+# =========================================================================
+
+def _text_pair(cols: list[tuple[str, tuple[str, str]]], name: str):
+    spark_cols = ", ".join(f"{s} as {alias}" for alias, (s, _) in cols)
+    duck_cols = ", ".join(f"{d} as {alias}" for alias, (_, d) in cols)
+
+    def fn(spark, sf_dir, _cols=spark_cols):
+        register_views(spark, sf_dir)
+        return spark.sql(f"select doc_id, {_cols} from documents")
+
+    return fn, f"select doc_id, {duck_cols} from documents"
+
+
+_REGISTRY["text_metrics"] = _text_pair(
+    [
+        ("n_chars", TXT.char_count("text")),
+        ("n_tokens", TXT.token_count("text")),
+        ("n_bpe_tokens", TXT.bpe_token_estimate("text")),
+        ("punct_ratio", TXT.punct_ratio("text")),
+        ("stopword_ratio", TXT.stopword_ratio("text")),
+        ("mean_word_len", TXT.mean_word_length("text")),
+        ("quality", TXT.quality_score("text")),
+    ],
+    "text_metrics",
+)
+
+_REGISTRY["text_langid"] = _text_pair(
+    [("lang_pred", TXT.lang_id("text"))], "text_langid"
+)
+
+_REGISTRY["text_fingerprint"] = _text_pair(
+    [
+        ("fp", TXT.fingerprint("text")),
+        ("polyhash", TXT.poly_hash("text")),
+    ],
+    "text_fingerprint",
+)
+
+
+# =========================================================================
+# Deduplication family (beyond-reference; operators/dedup.py)
+# =========================================================================
+
+_FP_S, _FP_D = TXT.fingerprint("text")
+
+
+@register(
+    "dedup_exact",
+    f"""
+    select fp, min(doc_id) as keep_id, count(*) as n_copies
+    from (select doc_id, {_FP_D} as fp from documents)
+    group by fp
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = DD.exact_dedup(docs, "doc_id", "text")
+    return d.select(
+        F.col("fp"), F.col("doc_id").alias("keep_id"), F.col("n_copies")
+    )
+
+
+_SH_S, _SH_D = TXT.shingle_hashes("text", 3)
+
+_NGRAM_ORACLE = f"""
+with sh as (
+  select doc_id, {_SH_D} as hs from documents
+),
+ex as (select doc_id, len(hs) as card, unnest(hs) as h from sh),
+pairs as (
+  select a.doc_id as id_a, b.doc_id as id_b,
+         any_value(a.card) as card_a, any_value(b.card) as card_b,
+         count(*) as shared
+  from ex a join ex b using (h)
+  where a.doc_id < b.doc_id
+  group by 1, 2
+)
+select id_a, id_b,
+       cast(shared as double) / (card_a + card_b - shared) as jaccard
+from pairs
+where cast(shared as double) / (card_a + card_b - shared) >= 0.75
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.75)
+
+
+def _minhash_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+    rows = num_hashes // bands
+    coeffs = DD.minhash_coeffs(num_hashes)
+    p = DD.MINHASH_P
+    mh_cols = ", ".join(
+        f"list_reduce(list_prepend(cast({p} as bigint), "
+        f"list_transform(hs, x -> ({a} * x + {b}) % {p})), "
+        f"(acc, v) -> least(acc, v)) as mh{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    band_keys = ", ".join(
+        "concat_ws('_', "
+        + ", ".join(f"cast(mh{bi * rows + r} as varchar)" for r in range(rows))
+        + f") as bk{bi}"
+        for bi in range(bands)
+    )
+    band_union = " union all ".join(
+        f"select doc_id, {bi} as band, bk{bi} as band_key from keys" for bi in range(bands)
+    )
+    return f"""
+    with sh as (select doc_id, {_SH_D} as hs from documents),
+    sigs as (select doc_id, hs, len(hs) as card, {mh_cols} from sh),
+    keys as (select *, {band_keys} from sigs),
+    banded as ({band_union}),
+    cand as (
+      select distinct x.doc_id as id_a, y.doc_id as id_b
+      from banded x join banded y using (band, band_key)
+      where x.doc_id < y.doc_id
+    ),
+    verified as (
+      select c.id_a, c.id_b,
+        cast(len(list_intersect(a.hs, b.hs)) as double)
+          / (a.card + b.card - len(list_intersect(a.hs, b.hs))) as jaccard
+      from cand c
+      join sigs a on a.doc_id = c.id_a
+      join sigs b on b.doc_id = c.id_b
+    )
+    select id_a, id_b, jaccard from verified where jaccard >= {threshold}
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_oracle(16, 4, 0.7))
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.7
+    )
+
+
+def _simhash_oracle(bits: int) -> str:
+    votes = ", ".join(
+        f"list_reduce(list_prepend(cast(0 as bigint), "
+        f"list_transform(hs, x -> case when (x // {1 << k}) % 2 = 1 then 1 else -1 end)), "
+        f"(a, b) -> a + b) as v{k}"
+        for k in range(bits)
+    )
+    sig = " + ".join(f"case when v{k} > 0 then {1 << k} else 0 end" for k in range(bits))
+    return f"""
+    with sh as (select doc_id, {_SH_D} as hs from documents),
+    votes as (select doc_id, {votes} from sh)
+    select doc_id, cast({sig} as bigint) as simhash from votes
+    """
+
+
+@register("dedup_simhash", _simhash_oracle(24))
+def dedup_simhash(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.simhash(docs, "doc_id", "text", bits=24).withColumnRenamed("id", "doc_id")
+
+
+@register("dedup_simhash_pairs", None)  # rows-only: blocked hamming join
+def dedup_simhash_pairs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.simhash_dup_pairs(docs, "doc_id", "text", bits=24, max_hamming=3)
+
+
+# =========================================================================
+# Similarity search (beyond-reference; operators/similarity.py)
+# =========================================================================
+
+_COS_D = VEC.cosine("a.embedding", "b.embedding")[1]
+
+
+@register(
+    "sim_cosine_topk",
+    f"""
+    select query_id, neighbor_id, cosine, rank from (
+      select a.vec_id as query_id, b.vec_id as neighbor_id,
+             {_COS_D} as cosine,
+             row_number() over (partition by a.vec_id order by {_COS_D} desc, b.vec_id) as rank
+      from embeddings a join embeddings b on a.vec_id != b.vec_id
+      where a.vec_id < 20
+    ) where rank <= 5
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+@register(
+    "sim_dup_pairs",
+    f"""
+    select a.vec_id as id_a, b.vec_id as id_b, {_COS_D} as cosine
+    from embeddings a join embeddings b on a.vec_id < b.vec_id
+    where {_COS_D} >= 0.4
+    """,
+)
+def sim_dup_pairs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.embedding_dup_pairs(emb, threshold=0.4)
+
+
+@register("sim_lsh_topk", None)  # rows-only; recall asserted in tests
+def sim_lsh_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+# =========================================================================
+# Multimodal plumbing (stubbed decode; real mapInPandas)
+# =========================================================================
+
+@register(
+    "mm_decode_meta",
+    f"""
+    with ph as (
+      select doc_id, octet_length(encode(text)) as n_bytes,
+             {TXT.poly_hash("text")[1]} as h
+      from documents
+    )
+    select doc_id, n_bytes, h as content_hash,
+           cast(1 + h % 1024 as int) as fake_width,
+           cast(1 + (h // 1024) % 1024 as int) as fake_height
+    from ph
+    """,
+)
+def mm_decode_meta(spark, sf_dir):
+    """Binary payload -> mapInPandas decode stub -> typed metadata.  ASCII
+    fixture text makes the byte-hash equal the codepoint-hash the oracle
+    computes (multimodal.decode_image_stub)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return MM.decode_metadata(MM.with_binary_payload(docs))

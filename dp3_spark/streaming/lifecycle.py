@@ -1,0 +1,172 @@
+"""Table lifecycle: versioned writes, range delete, truncate, export
+versions, tail — the rootmap/tombstone subsystem rebuilt Spark-first
+(SURVEY.md §2.5).
+
+Reference mechanisms -> Spark-native equivalents:
+
+- rootmap version per write (rootmap/sqlrootmap.go)    -> monotonically
+  increasing `version` recorded per ingest batch in a versions table
+- range delete tombstones applied lazily at read
+  (tree/tree.go:118-207, tree/iterator.go:268-337)     -> tombstone table
+  anti-applied at scan time (predicate, pushed down by Catalyst)
+- truncate = min-version pinning (treemgr.go:998-1010) -> truncate tombstone
+  with an open time range up to the cutoff
+- export with per-topic versions + tail polling
+  (routes/export.go, cli/cmd/tail.go)                  -> read-at-version:
+  scans filter `ingest_version <= v`; tail = incremental read of versions
+  (v_from, v_to]
+
+With Delta/Iceberg the versions table and tombstones collapse into the
+table format's transaction log; this implementation keeps plain parquet
+(container has no Delta) but isolates every read behind `read()` so the
+storage backend can change without touching operators.
+
+A `compact()` pass physically drops tombstoned rows and rewrites — the
+reference's merge-time mask application.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LOG_SCHEMA_META = "producer string, topic string, log_time long, sequence long"
+TOMBSTONE_SCHEMA = (
+    "producer string, topic string, start_ns long, end_ns long, version long"
+)
+
+
+@dataclass
+class VersionedLogTable:
+    """A writable dp3-style table: parquet data dir + tombstones dir.
+
+    Writes are append-only with an `ingest_version` column; deletes are
+    tombstones; reads apply both lazily (zero rewrite cost, exactly the
+    reference's lazy delete-mask application)."""
+
+    spark: SparkSession
+    root: str
+
+    @property
+    def data_path(self) -> str:
+        return os.path.join(self.root, "data")
+
+    @property
+    def tombstones_path(self) -> str:
+        return os.path.join(self.root, "tombstones")
+
+    # ------------------------------------------------------------- write
+    def current_version(self) -> int:
+        vs = [self._max_version(self._data()), self._max_version(self._tombstones())]
+        return max(v for v in vs if v is not None) if any(v is not None for v in vs) else 0
+
+    def _max_version(self, df: DataFrame | None) -> int | None:
+        if df is None:
+            return None
+        row = df.agg(F.max("version")).collect()[0]
+        return row[0]
+
+    def append(self, df: DataFrame) -> int:
+        """Append a batch under the next version (the WAL-batch merge +
+        rootmap flip, treemgr/treemgr.go:821-882).  Dedups
+        (producer, topic, log_time, sequence) within the batch."""
+        version = self.current_version() + 1
+        out = (
+            df.dropDuplicates(["producer", "topic", "log_time", "sequence"])
+            .withColumn("version", F.lit(version))
+        )
+        (
+            out.write.mode("append")
+            .partitionBy("producer", "topic")
+            .parquet(self.data_path)
+        )
+        return version
+
+    def delete_range(self, producer: str, topic: str, start_ns: int, end_ns: int) -> int:
+        """Range delete [start, end) as a tombstone (routes/delete.go;
+        tree/tree.go:118-207).  Applied lazily at read."""
+        version = self.current_version() + 1
+        self.spark.createDataFrame(
+            [(producer, topic, start_ns, end_ns, version)], TOMBSTONE_SCHEMA
+        ).write.mode("append").parquet(self.tombstones_path)
+        return version
+
+    def truncate(self, producer: str, topic: str, end_ns: int | None = None) -> int:
+        """`truncate producer topic (now|T);` (ql/grammar.go:45-50;
+        treemgr.go:998-1010): delete everything before the cutoff
+        (open-ended when `now`)."""
+        end = end_ns if end_ns is not None else (1 << 62)
+        return self.delete_range(producer, topic, 0, end)
+
+    # -------------------------------------------------------------- read
+    def _data(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self.data_path)
+        except Exception:
+            return None
+
+    def _tombstones(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self.tombstones_path)
+        except Exception:
+            return None
+
+    def read(self, *, as_of_version: int | None = None) -> DataFrame:
+        """Current table contents: appended rows minus tombstoned ranges.
+
+        as_of_version: time travel — only writes/deletes with
+        version <= as_of_version apply (rootmap versioned reads).
+
+        The tombstone application is a broadcast anti-join on range overlap:
+        tombstone counts are tiny relative to data (the reference stores
+        them per-leaf), so the data side never shuffles."""
+        df = self._data()
+        if df is None:
+            raise FileNotFoundError(f"no data at {self.data_path}")
+        ts = self._tombstones()
+        if as_of_version is not None:
+            df = df.filter(F.col("version") <= as_of_version)
+            if ts is not None:
+                ts = ts.filter(F.col("version") <= as_of_version)
+        if ts is None or ts.isEmpty():
+            return df
+        t = ts.select(
+            F.col("producer").alias("__tp"),
+            F.col("topic").alias("__tt"),
+            "start_ns",
+            "end_ns",
+        )
+        cond = (
+            (F.col("producer") == F.col("__tp"))
+            & (F.col("topic") == F.col("__tt"))
+            & (F.col("log_time") >= F.col("start_ns"))
+            & (F.col("log_time") < F.col("end_ns"))
+        )
+        return df.join(F.broadcast(t), cond, "left_anti")
+
+    def tail(self, from_version: int) -> DataFrame:
+        """Rows ingested after `from_version` — the export/tail polling
+        loop (cli/cmd/tail.go:29-97).  A Structured Streaming `readStream`
+        over the data dir is the push-based upgrade."""
+        df = self._data()
+        if df is None:
+            raise FileNotFoundError(f"no data at {self.data_path}")
+        return df.filter(F.col("version") > from_version)
+
+    # ---------------------------------------------------------- maintain
+    def compact(self) -> None:
+        """Physically apply tombstones and rewrite (merge-time mask
+        application, tree/merge.go:94-137).  Data-sized job; run it like
+        OPTIMIZE, off the query path."""
+        resolved = self.read()
+        tmp = self.data_path + ".compact"
+        resolved.write.mode("overwrite").partitionBy("producer", "topic").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(self.data_path)
+        os.rename(tmp, self.data_path)
+        if os.path.exists(self.tombstones_path):
+            shutil.rmtree(self.tombstones_path)

@@ -1,0 +1,100 @@
+"""Lifecycle tests: versioned append, range delete, truncate, time travel,
+tail, compact — mirroring the reference's delete/truncate/export semantics
+(treemgr_test.go delete + truncate scenarios)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dp3_spark.output import to_json_shape
+from dp3_spark.streaming.lifecycle import VersionedLogTable
+
+
+@pytest.fixture()
+def table(spark):
+    d = tempfile.mkdtemp(prefix="dp3_table_")
+    yield VersionedLogTable(spark, d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def mkbatch(spark, topic, times, producer="dev1"):
+    rows = [(producer, topic, t, i, float(i)) for i, t in enumerate(times)]
+    return spark.createDataFrame(
+        rows, "producer string, topic string, log_time long, sequence long, v double"
+    )
+
+
+def test_append_dedup_and_versions(spark, table):
+    v1 = table.append(mkbatch(spark, "/a", [10, 20, 30, 30]))  # 30 duplicated (same seq? no)
+    assert v1 == 1
+    v2 = table.append(mkbatch(spark, "/a", [40, 50]))
+    assert v2 == 2
+    assert table.read().count() == 6
+    assert table.read(as_of_version=1).count() == 4  # time travel
+
+
+def test_ingest_batch_dedup(spark, table):
+    rows = [("dev1", "/a", 10, 0, 1.0), ("dev1", "/a", 10, 0, 1.0)]
+    df = spark.createDataFrame(
+        rows, "producer string, topic string, log_time long, sequence long, v double"
+    )
+    table.append(df)
+    assert table.read().count() == 1  # (log_time, sequence) dedup
+
+
+def test_delete_range_lazy(spark, table):
+    table.append(mkbatch(spark, "/a", [10, 20, 30, 40, 50]))
+    table.delete_range("dev1", "/a", 20, 40)  # [20, 40): drops 20, 30
+    got = sorted(r["log_time"] for r in table.read().collect())
+    assert got == [10, 40, 50]
+
+
+def test_delete_scoped_to_producer_topic(spark, table):
+    table.append(mkbatch(spark, "/a", [10, 20]))
+    table.append(mkbatch(spark, "/b", [10, 20]))
+    table.delete_range("dev1", "/a", 0, 100)
+    got = {(r["topic"], r["log_time"]) for r in table.read().collect()}
+    assert got == {("/b", 10), ("/b", 20)}
+
+
+def test_truncate(spark, table):
+    table.append(mkbatch(spark, "/a", [10, 20, 30]))
+    table.truncate("dev1", "/a", 25)
+    assert sorted(r["log_time"] for r in table.read().collect()) == [30]
+    table.truncate("dev1", "/a")  # now: everything
+    assert table.read().count() == 0
+
+
+def test_time_travel_over_delete(spark, table):
+    table.append(mkbatch(spark, "/a", [10, 20, 30]))  # v1
+    v2 = table.delete_range("dev1", "/a", 0, 25)  # v2
+    assert table.read(as_of_version=1).count() == 3  # before the delete
+    assert table.read(as_of_version=v2).count() == 1
+
+
+def test_tail_by_version(spark, table):
+    v1 = table.append(mkbatch(spark, "/a", [10, 20]))
+    table.append(mkbatch(spark, "/a", [30]))
+    got = [r["log_time"] for r in table.tail(v1).collect()]
+    assert got == [30]
+
+
+def test_compact_applies_tombstones(spark, table):
+    table.append(mkbatch(spark, "/a", [10, 20, 30]))
+    table.delete_range("dev1", "/a", 0, 25)
+    table.compact()
+    assert sorted(r["log_time"] for r in table.read().collect()) == [30]
+    assert table._tombstones() is None  # physically applied
+
+
+def test_json_output_shape(spark):
+    df = mkbatch(spark, "/fix", [1_500_000_000, 2_000_000_001])
+    shaped = to_json_shape(df).orderBy("sequence").collect()
+    assert shaped[0]["log_time"] == "1.500000000"
+    assert shaped[1]["log_time"] == "2.000000001"
+    assert shaped[0]["publish_time"] == shaped[0]["log_time"]
+    assert shaped[0]["data"]["v"] == 0.0
+    skel = to_json_shape(df, skeleton=True).columns
+    assert "data" not in skel

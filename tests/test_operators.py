@@ -1,0 +1,178 @@
+"""Unit tests for the beyond-reference operators: dedup family, similarity
+search, statistics service, multimodal plumbing, mcap source plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dp3_spark.catalog import events_log_store
+from dp3_spark.operators import dedup as DD
+from dp3_spark.operators import similarity as SIM
+from dp3_spark.operators import stats as ST
+from dp3_spark.sources import mcap as MCAP
+from dp3_spark.sources import multimodal as MM
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+            (2, "the quick brown fox jumped over the lazy dog"),  # near dup
+            (3, "completely different text about spark engines"),
+            (4, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG!!"),  # dup after norm
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_groups(docs):
+    out = DD.exact_dedup(docs, "doc_id", "text").orderBy("doc_id").collect()
+    by_id = {r["doc_id"]: r["n_copies"] for r in out}
+    assert by_id == {0: 3, 2: 1, 3: 1}  # 0,1,4 collapse; 2 and 3 unique
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got and (0, 4) in got and (1, 4) in got  # jaccard 1.0
+    assert (0, 2) in got  # near dup
+    assert not any(3 in p for p in got)
+
+
+def test_minhash_catches_what_jaccard_catches(docs):
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    # identical docs always share all bands
+    assert (0, 1) in mh and (0, 4) in mh
+    # verify step enforces the true-jaccard threshold
+    ex = {
+        (r["id_a"], r["id_b"])
+        for r in DD.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert mh.issubset(ex)
+
+
+def test_simhash_identical_for_dups(docs):
+    sig = {r["id"]: r["simhash"] for r in DD.simhash(docs, "doc_id", "text", bits=24).collect()}
+    assert sig[0] == sig[1] == sig[4]
+    assert sig[0] != sig[3]
+
+
+def test_simhash_pairs_blocked_join(docs):
+    pairs = DD.simhash_dup_pairs(docs, "doc_id", "text", bits=24, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got[(0, 1)] == 0 and got[(0, 4)] == 0
+
+
+def test_cosine_topk_exact(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = SIM.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    ranked = [(r["neighbor_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [(1, 1), (2, 2)]
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, queries, k=5).collect()
+    approx = SIM.lsh_topk(emb, queries, k=5, planes=16, bands=8).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # 8 bands of 2 bits -> high collision probability for near vectors
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_stat_rollup_associativity(spark):
+    store = events_log_store(spark, SF, us_truncate=True)
+    hour = 3600 * 10**9
+    day = 24 * hour
+    hourly = ST.summarize(store, granularity_ns=hour, numeric_fields=["value"],
+                          group_by_producer=False)
+    rolled = ST.rollup_summary(
+        hourly, from_granularity_ns=hour, to_granularity_ns=day, numeric_fields=["value"]
+    )
+    direct = ST.summarize(store, granularity_ns=day, numeric_fields=["value"],
+                          group_by_producer=False)
+    r = {(x["topic"], x["bucket_start"]): (x["message_count"], x["value_sum"]) for x in rolled.collect()}
+    d = {(x["topic"], x["bucket_start"]): (x["message_count"], x["value_sum"]) for x in direct.collect()}
+    assert r == d  # exact, including float equality (decimal-exact sums)
+
+
+def test_quantiles_sketch_close_to_exact(spark):
+    store = events_log_store(spark, SF, us_truncate=True)
+    day = 24 * 3600 * 10**9
+    lo, hi = 1704067200 * 10**9, 1706745600 * 10**9
+    ex = ST.quantiles_exact(store, topic="click", field="value", start_ns=lo, end_ns=hi,
+                            granularity_ns=day * 40).collect()
+    sk = ST.quantiles_sketch(store, topic="click", field="value", start_ns=lo, end_ns=hi,
+                             granularity_ns=day * 40).collect()
+    assert len(ex) == len(sk) == 1
+    for q in ("p25", "p50", "p75", "p90", "p95", "p99"):
+        rel = abs(ex[0][q] - sk[0][q]) / max(abs(ex[0][q]), 1e-9)
+        assert rel < 0.05, f"{q}: exact {ex[0][q]} vs sketch {sk[0][q]}"
+
+
+def test_available_statistics(spark):
+    store = events_log_store(spark, SF)
+    rows = ST.available_statistics(store).collect()
+    fields = {r["field"] for r in rows}
+    assert fields == {"value", "props"}
+    value_stats = {r["stat"] for r in rows if r["field"] == "value"}
+    assert {"count", "sum", "mean", "min", "max", "p50", "p99"} <= value_stats
+    props_stats = {r["stat"] for r in rows if r["field"] == "props"}
+    assert props_stats == {"min", "max"}  # text: min/max only
+
+
+def test_mcap_source_plumbing(spark):
+    """Fake decoder exercises the real fan-out/batch path (no mcap lib)."""
+
+    def fake_decoder(path, producer):
+        for i in range(3):
+            yield {
+                "producer": producer,
+                "topic": f"/t{i % 2}",
+                "log_time": i * 10**9,
+                "sequence": i,
+                "schema_name": "std_msgs/String",
+                "schema_hash": MCAP.schema_hash(b"string data"),
+                "data": b"payload-%d" % i,
+            }
+
+    df = MCAP.read_mcap(spark, [("/fake/a.mcap", "dev1"), ("/fake/b.mcap", "dev2")],
+                        decoder=fake_decoder)
+    rows = df.collect()
+    assert len(rows) == 6
+    assert {r["producer"] for r in rows} == {"dev1", "dev2"}
+    assert all(isinstance(r["data"], (bytes, bytearray)) for r in rows)
+    # idempotent-ingest dedup drops the duplicate batch
+    doubled = df.unionByName(df)
+    assert MCAP.ingest_dedup(doubled).count() == 6
+
+
+def test_multimodal_decode_stub(spark):
+    docs = spark.createDataFrame([(1, "hello"), (2, "")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in MM.decode_metadata(MM.with_binary_payload(docs)).collect()}
+    assert out[1]["n_bytes"] == 5
+    assert out[1]["content_hash"] == MM.poly_hash_bytes(b"hello")
+    assert 1 <= out[1]["fake_width"] <= 1024
+    assert out[2]["n_bytes"] == 0 and out[2]["content_hash"] == 0
+
+
+def test_frame_sample_plan(spark):
+    docs = spark.createDataFrame([(1, "x" * 200)], "doc_id long, text string")
+    row = MM.frame_sample_plan(MM.with_binary_payload(docs), every_n_bytes=64).collect()[0]
+    assert row["sample_offsets"] == [0, 64, 128, 192]
