@@ -57,6 +57,7 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     out = {
         "metric": "headline query wall-clock (noop-materialized), local[%s]"

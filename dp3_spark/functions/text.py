@@ -197,12 +197,29 @@ def fingerprint(col: str) -> tuple[str, str]:
     return spark, duck
 
 
-def shingles(col: str, n: int = 3) -> tuple[str, str]:
+def normalize(col: str) -> tuple[str, str]:
+    """Dedup normalization: lowercase, strip non-alnum-space.
+
+    IMPORTANT: materialize this ONCE per row (own projection / CTE) before
+    feeding it to shingles — inlining it inside a per-element lambda makes
+    the regex run once per shingle position, O(len^2) per document."""
+    return (
+        f"lower(regexp_replace({col}, '[^a-zA-Z0-9 ]', ''))",
+        f"lower(regexp_replace({col}, '[^a-zA-Z0-9 ]', '', 'g'))",
+    )
+
+
+def shingles(col: str, n: int = 3, *, pre_normalized: bool = False) -> tuple[str, str]:
     """Character n-gram shingle strings over the normalized text.  Texts
     shorter than n yield a single shingle (the whole text) so every doc has
-    at least one — keeps jaccard defined."""
-    s_norm = f"lower(regexp_replace({col}, '[^a-zA-Z0-9 ]', ''))"
-    d_norm = f"lower(regexp_replace({col}, '[^a-zA-Z0-9 ]', '', 'g'))"
+    at least one — keeps jaccard defined.
+
+    pre_normalized: `col` is already the output of normalize() — required
+    for the fast path (see normalize)."""
+    if pre_normalized:
+        s_norm = d_norm = col
+    else:
+        s_norm, d_norm = normalize(col)
     spark = (
         f"case when length({s_norm}) <= {n} then array({s_norm}) else "
         f"transform(sequence(1, length({s_norm}) - {n - 1}), i -> substring({s_norm}, i, {n})) end"
@@ -214,10 +231,10 @@ def shingles(col: str, n: int = 3) -> tuple[str, str]:
     return spark, duck
 
 
-def shingle_hashes(col: str, n: int = 3) -> tuple[str, str]:
+def shingle_hashes(col: str, n: int = 3, *, pre_normalized: bool = False) -> tuple[str, str]:
     """Distinct polynomial hashes of the n-gram shingles -> array<bigint>.
     The minhash/jaccard primitives build on this."""
-    s_sh, d_sh = shingles(col, n)
+    s_sh, d_sh = shingles(col, n, pre_normalized=pre_normalized)
     spark = (
         f"array_distinct(transform({s_sh}, s -> "
         f"aggregate(transform(sequence(1, length(s)), i -> ascii(substring(s, i, 1))), "

@@ -60,8 +60,16 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_hash_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    sh_s, _ = TXT.shingle_hashes(text_col, n)
-    return df.select(F.col(id_col).alias("id"), F.expr(sh_s).alias("shingles"))
+    # two projections: normalization materializes once per row, then the
+    # shingle fold references the plain column.  One inlined expression
+    # would re-run the regex per shingle position — O(len^2)/doc.  The
+    # multi-reference of __norm__ also stops CollapseProject from fusing.
+    norm_s, _ = TXT.normalize(text_col)
+    sh_s, _ = TXT.shingle_hashes("__norm__", n, pre_normalized=True)
+    return (
+        df.select(F.col(id_col).alias("id"), F.expr(norm_s).alias("__norm__"))
+        .select("id", F.expr(sh_s).alias("shingles"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -79,7 +87,11 @@ def ngram_jaccard_pairs(
     count shared hashes per pair, then |A ∪ B| = |A| + |B| - shared.
     `max_shingle_freq` drops shingles appearing in more than that many docs
     (stopword-shingle fan-out cap for the 100 TB path)."""
-    sh = shingle_hash_df(df, id_col, text_col, n).withColumn("card", F.size("shingles"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        shingle_hash_df(df.repartition(par), id_col, text_col, n)
+        .withColumn("card", F.size("shingles"))
+    )
     exploded = sh.select("id", "card", F.explode("shingles").alias("h"))
     if max_shingle_freq is not None:
         freq = exploded.groupBy("h").agg(F.count("*").alias("__df__"))
@@ -128,7 +140,13 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must divide into equal bands")
     rows = num_hashes // bands
     coeffs = minhash_coeffs(num_hashes)
-    sh = shingle_hash_df(df, id_col, text_col, n).withColumn("card", F.size("shingles"))
+    # a small parquet reads as few partitions; the signature fold is
+    # CPU-bound per row, so spread it across all cores first
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        shingle_hash_df(df.repartition(par), id_col, text_col, n)
+        .withColumn("card", F.size("shingles"))
+    )
     sig_cols = [
         F.expr(
             f"aggregate(transform(shingles, x -> ({a}L * x + {b}L) % {MINHASH_P}L), "
@@ -136,7 +154,14 @@ def minhash_lsh_pairs(
         ).alias(f"mh{j}")
         for j, (a, b) in enumerate(coeffs)
     ]
-    sigs = sh.select("id", "shingles", "card", *sig_cols)
+    # cache: the shingle+minhash fold is CPU-heavy but byte-small, so AQE
+    # would coalesce any recomputation of it (e.g. inside the verify join's
+    # broadcast subtree) down to one task.  Materializing it once keeps
+    # every downstream consumer parallel and non-redundant.  Size: docs x
+    # (card longs + 16 longs) — at true cluster scale this becomes a
+    # persisted signatures table, which is how you'd run repeated dedup
+    # anyway.
+    sigs = sh.select("id", "shingles", "card", *sig_cols).cache()
     band_rows = []
     for bi in range(bands):
         key = F.concat_ws(
@@ -154,12 +179,32 @@ def minhash_lsh_pairs(
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
+        # AQE coalesces the post-distinct shuffle to few partitions (rows
+        # are tiny) but the next stage does heavy per-row array work —
+        # re-spread it or the intersect runs on 2-3 cores.  Cache: the
+        # verify job's broadcast subtrees must not re-derive the candidate
+        # pipeline (id-pair rows are 16 bytes — cheap to hold).
+        .repartition(2 * par)
+        .cache()
     )
-    # verify candidates with exact jaccard over the shingle sets
+    # verify candidates with exact jaccard over the shingle sets.  The
+    # shingle-set side is doc-count-sized (not pair-sized) — broadcast it so
+    # the pair stream never shuffles the big arrays.  At corpus sizes beyond
+    # broadcast range, bucket both sides by id range instead.
     sh_sets = sigs.select("id", "shingles", "card")
     verified = (
-        cand.join(sh_sets.withColumnsRenamed({"id": "id_a", "shingles": "sh_a", "card": "card_a"}), "id_a")
-        .join(sh_sets.withColumnsRenamed({"id": "id_b", "shingles": "sh_b", "card": "card_b"}), "id_b")
+        cand.join(
+            F.broadcast(
+                sh_sets.withColumnsRenamed({"id": "id_a", "shingles": "sh_a", "card": "card_a"})
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sh_sets.withColumnsRenamed({"id": "id_b", "shingles": "sh_b", "card": "card_b"})
+            ),
+            "id_b",
+        )
         .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",

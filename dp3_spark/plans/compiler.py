@@ -213,26 +213,22 @@ class Compiler:
         return self.compile_query(stmt.query)
 
     def compile_query(self, q: ast.Query) -> DataFrame:
+        # `from *` expands to producers having the requested topics
+        # (plan/plan.go:366-392) — but since our producers come FROM the
+        # data, a topic-filtered scan already implies that set: no producer
+        # filter (and no driver-side catalog roundtrip) is needed.
         producers = q.producers
-        if q.all_producers:
-            # `from *`: restrict to producers that have at least one of the
-            # requested topics (plan/plan.go:366-392).
-            topics = [s.topic for s in ast.scans(q.select)]
-            prods = (
-                self._base.filter(F.col("topic").isin(topics))
-                .select("producer")
-                .distinct()
-                .orderBy("producer")
-                .collect()
-            )
-            producers = tuple(r[0] for r in prods)
 
         # where split per top-level OR branch (plan/plan.go:326-344)
         filters: dict[str, ast.Expr] = {}
         if q.where is not None:
+            # only UNgrouped top-level ORs split per alias (plan.go:326-344;
+            # parenthesized groups are single branches, plan_test.go:30-34)
             branches = (
                 list(q.where.children)
-                if isinstance(q.where, ast.BoolExpr) and q.where.op == "or"
+                if isinstance(q.where, ast.BoolExpr)
+                and q.where.op == "or"
+                and not q.where.grouped
                 else [q.where]
             )
             for b in branches:
@@ -245,7 +241,7 @@ class Compiler:
             scan_names = {s.name for s in ast.scans(q.select)}
             for alias in filters:
                 if alias not in scan_names:
-                    raise CompileError(f"unknown table alias {alias}")
+                    raise CompileError(f"unresolved table alias: {alias}")
 
         ctx = _ScanCtx(producers=producers, between=q.between, filters=dict(filters))
         df = self._compile_select(q.select, ctx)
@@ -282,7 +278,7 @@ class Compiler:
         if isinstance(node, ast.Scan):
             return self._compile_scan(node, ctx)
         if isinstance(node, ast.MergeJoin):
-            return ordered_merge([self._compile_select(c, ctx) for c in node.children])
+            return self._compile_merge(node, ctx)
         if isinstance(node, ast.AsofJoin):
             if node.keyword == "neighbors":
                 raise NotImplementedError("neighbors is not implemented")  # executor.go:206-207
@@ -298,6 +294,62 @@ class Compiler:
                 partition_cols=("producer",),
             )
         raise CompileError(f"unknown select node {node!r}")
+
+    def _compile_merge(self, node: ast.MergeJoin, ctx: _ScanCtx) -> DataFrame:
+        """Merge compilation with scan collapsing: children that are plain
+        scans (no per-alias filter) fold into ONE `topic IN (...)` scan —
+        one pass over storage instead of N — with the child tie-break index
+        assigned by a topic->listing-position map.  Filtered scans and asof
+        children compile separately and union in.
+
+        (The reference reads each topic's tree separately because trees are
+        per-topic physical structures; here topics are one partitioned
+        table, so N scans of it would be N redundant reads.)"""
+        plain: list[tuple[int, ast.Scan]] = []
+        others: list[DataFrame] = []
+        # reserve child indices in listing order first
+        indices: list[int] = []
+        for c in node.children:
+            indices.append(ctx.next_index)
+            ctx.next_index += len(ast.scans(c))
+        plain_topics: list[str] = []
+        for idx, c in zip(indices, node.children):
+            if (
+                isinstance(c, ast.Scan)
+                and c.name not in ctx.filters
+                and c.topic not in plain_topics  # duplicate topics must scan twice
+            ):
+                plain.append((idx, c))
+                plain_topics.append(c.topic)
+            else:
+                sub_ctx = _ScanCtx(
+                    producers=ctx.producers,
+                    between=ctx.between,
+                    filters=ctx.filters,
+                    next_index=idx,
+                )
+                others.append(self._compile_select(c, sub_ctx))
+        if len(plain) > 1:
+            df = self._base.filter(F.col("topic").isin(plain_topics))
+            if ctx.producers:
+                df = df.filter(F.col("producer").isin(list(ctx.producers)))
+            if ctx.between is not None:
+                df = df.filter(
+                    (F.col("log_time") >= ctx.between.start_ns)
+                    & (F.col("log_time") < ctx.between.end_ns)
+                )
+            child_map = F.create_map(
+                *[x for idx, s in plain for x in (F.lit(s.topic), F.lit(idx))]
+            )
+            others.insert(0, df.withColumn("__child__", child_map[F.col("topic")]))
+        elif plain:
+            idx, s = plain[0]
+            sub_ctx = _ScanCtx(
+                producers=ctx.producers, between=ctx.between,
+                filters=ctx.filters, next_index=idx,
+            )
+            others.insert(0, self._compile_scan(s, sub_ctx))
+        return ordered_merge(others)
 
     def _compile_scan(self, scan: ast.Scan, ctx: _ScanCtx) -> DataFrame:
         df = self._base.filter(F.col("topic") == scan.topic)

@@ -45,10 +45,16 @@ class BinaryExpr:
 
 @dataclass(frozen=True)
 class BoolExpr:
-    """n-ary and/or node.  `and` binds tighter than `or` (grammar.go:77-93)."""
+    """n-ary and/or node.  `and` binds tighter than `or` (grammar.go:77-93).
+
+    `grouped` marks a parenthesized subexpression: the planner splits only
+    UNgrouped top-level OR branches per alias — `(a.x = 1 or b.y = 2)` is
+    one branch and errors with "more than one alias" (plan_test.go:30-34),
+    while the same expression without parens splits."""
 
     op: TLiteral["and", "or"]
     children: tuple[Expr, ...]
+    grouped: bool = False
 
 
 Expr = Union[BinaryExpr, BoolExpr]

@@ -25,7 +25,7 @@ _TOKEN_RE = re.compile(
   | (?P<punct>,|[()]|;)
   | (?P<binop>!=|<=|>=|=|<|>|~\*|~)
   | (?P<float>[-+]?\d*\.\d+(?:[eE][-+]?\d+)?)
-  | (?P<integer>[0-9]+)
+  | (?P<integer>[-+]?[0-9]+)
   | (?P<star>\*)
     """,
     re.VERBOSE,
@@ -33,7 +33,9 @@ _TOKEN_RE = re.compile(
 
 # note: the reference Word pattern excludes []; we additionally allow [i]
 # so fixed-array element paths (`f.position_covariance[3]`,
-# util/schema/parser.go:566-576) tokenize as one word.
+# util/schema/parser.go:566-576) tokenize as one word.  We also accept
+# signed integer literals — the reference lexer only signs floats
+# (grammar.go:30-31), so `= -1` is inexpressible there; documented superset.
 
 
 class QLParseError(ValueError):
@@ -286,6 +288,8 @@ class _Parser:
         if self.eat_punct("("):
             e = self.expression()
             self.expect_punct(")")
+            if isinstance(e, ast.BoolExpr):
+                e = ast.BoolExpr(e.op, e.children, grouped=True)
             return e
         field = self._word("field reference")
         t = self.peek()

@@ -342,6 +342,33 @@ def stat_quantiles_hourly(spark, sf_dir):
 
 
 @register(
+    "stat_range_by_producer",
+    f"""
+    select cast(user_id as varchar) as producer,
+           (epoch_ns(ts) - epoch_ns(ts) % {DAY_NS}) as bucket_start,
+           {_STAT_AGGS_SQL}
+    from events
+    where event_type = 'purchase'
+      and epoch_ns(ts) >= {BETWEEN_START} and epoch_ns(ts) < {BETWEEN_END}
+    group by 1, 2
+    """,
+)
+def stat_range_by_producer(spark, sf_dir):
+    """Statistics endpoint with groupByProducer=true
+    (treemgr/treemgr.go:376-501): per-producer binned series."""
+    store = events_log_store(spark, sf_dir, us_truncate=True)
+    return ST.stat_range(
+        store,
+        topic="purchase",
+        start_ns=BETWEEN_START,
+        end_ns=BETWEEN_END,
+        granularity_ns=DAY_NS,
+        numeric_fields=["value"],
+        group_by_producer=True,
+    )
+
+
+@register(
     "stat_catalog_tables",
     f"""
     with base as ({EV_BASE})
@@ -502,9 +529,52 @@ select n_name, c_name, c_acctbal, rnk from (
   select n.n_name, c.c_name, c.c_acctbal,
          row_number() over (partition by n.n_name order by c.c_acctbal desc, c.c_custkey) as rnk
   from customer c join nation n on c.c_nationkey = n.n_nationkey
-) where rnk <= 3
+) t where rnk <= 3
 """
 _REGISTRY["window_top_customers"] = _sql_pair(_WINDOW_TOP)
+
+# grouping sets / rollup (coalesce the null grouping keys so both engines
+# hash identical values)
+_ROLLUP = """
+select coalesce(l_returnflag, 'ALL') as returnflag,
+       coalesce(l_linestatus, 'ALL') as linestatus,
+       count(*) as n,
+       cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty
+from lineitem
+group by rollup (l_returnflag, l_linestatus)
+"""
+_REGISTRY["rel_rollup_agg"] = _sql_pair(_ROLLUP)
+
+# semi + anti joins: customers with open-priority orders but no 'F' orders
+_SEMI_ANTI = """
+select c.c_custkey, c.c_name
+from customer c
+where exists (select 1 from orders o
+              where o.o_custkey = c.c_custkey and o.o_orderpriority = '1-URGENT')
+  and not exists (select 1 from orders o
+                  where o.o_custkey = c.c_custkey and o.o_orderstatus = 'F')
+"""
+_REGISTRY["rel_semi_anti"] = _sql_pair(_SEMI_ANTI)
+
+# distinct aggregation + conditional aggregation
+_DISTINCT = """
+select o_orderpriority,
+       count(distinct o_custkey) as n_customers,
+       count(*) as n_orders,
+       sum(case when o_orderstatus = 'O' then 1 else 0 end) as n_open
+from orders
+group by o_orderpriority
+"""
+_REGISTRY["rel_distinct_agg"] = _sql_pair(_DISTINCT)
+
+# correlated scalar subquery: parts priced above their brand average
+_CORR_SUB = """
+select p_partkey, p_brand, p_retailprice
+from part p
+where p_retailprice > (select avg(p2.p_retailprice) * 1.2 from part p2
+                       where p2.p_brand = p.p_brand)
+"""
+_REGISTRY["rel_correlated_subquery"] = _sql_pair(_CORR_SUB)
 
 
 # =========================================================================
@@ -522,18 +592,74 @@ def _text_pair(cols: list[tuple[str, tuple[str, str]]], name: str):
     return fn, f"select doc_id, {duck_cols} from documents"
 
 
-_REGISTRY["text_metrics"] = _text_pair(
-    [
-        ("n_chars", TXT.char_count("text")),
-        ("n_tokens", TXT.token_count("text")),
-        ("n_bpe_tokens", TXT.bpe_token_estimate("text")),
-        ("punct_ratio", TXT.punct_ratio("text")),
-        ("stopword_ratio", TXT.stopword_ratio("text")),
-        ("mean_word_len", TXT.mean_word_length("text")),
-        ("quality", TXT.quality_score("text")),
-    ],
-    "text_metrics",
+# text_metrics: layered CTEs so tokenization/regex run once per row (the
+# single-select form re-evaluates the split per derived column).  Arithmetic
+# identical to the functions/text.py primitives.
+_STOP = ", ".join(f"'{w}'" for w in TXT.STOPWORDS_EN)
+
+_TM_SPARK = f"""
+with t as (
+  select doc_id, length(text) as n_chars,
+         length(regexp_replace(text, '[^a-zA-Z0-9 ]', '')) as n_keep,
+         split(trim(text), '\\\\s+') as toks
+  from documents
+),
+m as (
+  select doc_id, n_chars, n_keep, size(toks) as n_tokens,
+         aggregate(transform(toks, w -> cast(ceil(length(w) / 4.0) as bigint)),
+                   cast(0 as bigint), (a, x) -> a + x) as n_bpe_tokens,
+         size(filter(toks, w -> lower(w) in ({_STOP}))) as n_stop,
+         aggregate(transform(toks, w -> length(w)), 0, (a, x) -> a + x) as tok_chars
+  from t
+),
+r as (
+  select doc_id, n_chars, n_tokens, n_bpe_tokens,
+         case when n_chars = 0 then cast(0.0 as double)
+              else cast(n_chars - n_keep as double) / cast(n_chars as double) end as punct_ratio,
+         cast(n_stop as double) / cast(n_tokens as double) as stopword_ratio,
+         cast(tok_chars as double) / cast(n_tokens as double) as mean_word_len
+  from m
 )
+select doc_id, n_chars, n_tokens, n_bpe_tokens, punct_ratio, stopword_ratio, mean_word_len,
+       0.4 * least(1.0, cast(n_tokens as double) / 50.0)
+         + 0.3 * (1.0 - punct_ratio)
+         + 0.3 * least(1.0, 5.0 * stopword_ratio) as quality
+from r
+"""
+
+_TM_DUCK = f"""
+with t as (
+  select doc_id, length(text) as n_chars,
+         length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) as n_keep,
+         string_split_regex(trim(text), '\\s+') as toks
+  from documents
+),
+m as (
+  select doc_id, n_chars, n_keep, len(toks) as n_tokens,
+         list_reduce(list_prepend(cast(0 as bigint),
+           list_transform(toks, w -> cast(ceil(length(w) / 4.0) as bigint))),
+           (a, x) -> a + x) as n_bpe_tokens,
+         len(list_filter(toks, w -> lower(w) in ({_STOP}))) as n_stop,
+         list_reduce(list_prepend(0, list_transform(toks, w -> length(w))),
+                     (a, x) -> a + x) as tok_chars
+  from t
+),
+r as (
+  select doc_id, n_chars, n_tokens, n_bpe_tokens,
+         case when n_chars = 0 then cast(0.0 as double)
+              else cast(n_chars - n_keep as double) / cast(n_chars as double) end as punct_ratio,
+         cast(n_stop as double) / cast(n_tokens as double) as stopword_ratio,
+         cast(tok_chars as double) / cast(n_tokens as double) as mean_word_len
+  from m
+)
+select doc_id, n_chars, n_tokens, n_bpe_tokens, punct_ratio, stopword_ratio, mean_word_len,
+       0.4 * least(1.0, cast(n_tokens as double) / 50.0)
+         + 0.3 * (1.0 - punct_ratio)
+         + 0.3 * least(1.0, 5.0 * stopword_ratio) as quality
+from r
+"""
+
+_REGISTRY["text_metrics"] = _sql_pair(_TM_SPARK, _TM_DUCK)
 
 _REGISTRY["text_langid"] = _text_pair(
     [("lang_pred", TXT.lang_id("text"))], "text_langid"
@@ -572,11 +698,15 @@ def dedup_exact(spark, sf_dir):
 
 
 _SH_S, _SH_D = TXT.shingle_hashes("text", 3)
+# fast-path shingle CTE for oracles: normalization evaluated once per row
+_NORM_D = TXT.normalize("text")[1]
+_SH_D_FAST = TXT.shingle_hashes("__norm__", 3, pre_normalized=True)[1]
+_SH_CTE = f"norm as (select doc_id, {_NORM_D} as __norm__ from documents), " \
+          f"sh_base as (select doc_id, {_SH_D_FAST} as hs from norm)"
 
 _NGRAM_ORACLE = f"""
-with sh as (
-  select doc_id, {_SH_D} as hs from documents
-),
+with {_SH_CTE},
+sh as (select doc_id, hs from sh_base),
 ex as (select doc_id, len(hs) as card, unnest(hs) as h from sh),
 pairs as (
   select a.doc_id as id_a, b.doc_id as id_b,
@@ -619,7 +749,8 @@ def _minhash_oracle(num_hashes: int, bands: int, threshold: float) -> str:
         f"select doc_id, {bi} as band, bk{bi} as band_key from keys" for bi in range(bands)
     )
     return f"""
-    with sh as (select doc_id, {_SH_D} as hs from documents),
+    with {_SH_CTE},
+    sh as (select doc_id, hs from sh_base),
     sigs as (select doc_id, hs, len(hs) as card, {mh_cols} from sh),
     keys as (select *, {band_keys} from sigs),
     banded as ({band_union}),
@@ -657,7 +788,8 @@ def _simhash_oracle(bits: int) -> str:
     )
     sig = " + ".join(f"case when v{k} > 0 then {1 << k} else 0 end" for k in range(bits))
     return f"""
-    with sh as (select doc_id, {_SH_D} as hs from documents),
+    with {_SH_CTE},
+    sh as (select doc_id, hs from sh_base),
     votes as (select doc_id, {votes} from sh)
     select doc_id, cast({sig} as bigint) as simhash from votes
     """

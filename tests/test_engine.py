@@ -1,0 +1,113 @@
+"""DP3Engine end-to-end: ingest -> query -> truncate -> query, plus the
+asof operator checked against an independent Python state-machine reference
+(asof_node.go:64-111 re-derived) on randomized streams."""
+
+import random
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dp3_spark.engine import DP3Engine
+from dp3_spark.catalog import LogStore
+from dp3_spark.operators.asof import dp3_asof_join
+from dp3_spark.streaming.lifecycle import VersionedLogTable
+
+
+@pytest.fixture()
+def engine(spark):
+    d = tempfile.mkdtemp(prefix="dp3_engine_")
+    table = VersionedLogTable(spark, d)
+    rows = []
+    for i in range(20):
+        rows.append(("dev1", "/a", i * 10**9, i, float(i)))
+        rows.append(("dev1", "/b", i * 10**9 + 5 * 10**8, i, float(i)))
+    table.append(spark.createDataFrame(
+        rows, "producer string, topic string, log_time long, sequence long, v double"
+    ))
+    yield DP3Engine(spark, table=table)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_engine_query(engine):
+    df = engine.execute("from dev1 /a where /a.v >= 15.0;")
+    assert [r["sequence"] for r in df.collect()] == [15, 16, 17, 18, 19]
+
+
+def test_engine_asof_and_json(engine):
+    out = engine.query_shaped(
+        "from dev1 /a precedes immediate /b by less than 1 seconds limit 4;"
+    )
+    rows = out.collect()
+    assert [r["topic"] for r in rows] == ["/a", "/b", "/a", "/b"]
+    assert rows[0]["log_time"] == "0.000000000"
+    assert rows[1]["log_time"] == "0.500000000"
+
+
+def test_engine_truncate_then_query(engine):
+    assert engine.execute("from dev1 /a;").count() == 20
+    assert engine.execute("truncate dev1 /a 10000000000;") is None  # < 10 s
+    assert engine.execute("from dev1 /a;").count() == 10
+    assert engine.execute("from dev1 /b;").count() == 20  # untouched
+    engine.execute("truncate dev1 /b now;")
+    assert engine.execute("from dev1 /b;").count() == 0
+
+
+# ------------------------------------------------------- randomized asof
+
+def python_asof_reference(left, right, immediate, threshold):
+    """Independent re-derivation of the reference state machine
+    (asof_node.go:64-111): merged (time, side) stream, lastLeft/leftEmitted,
+    emit left on first match then rights."""
+    stream = sorted(
+        [(t, 0, s) for t, s in left] + [(t, 1, s) for t, s in right]
+    )
+    out = []
+    last_left = None
+    left_emitted = False
+    for t, side, seq in stream:
+        if side == 0:
+            last_left = (t, seq)
+            left_emitted = False
+            continue
+        if last_left is None:
+            continue
+        if threshold == 0 or last_left[0] + threshold > t:
+            if not left_emitted:
+                out.append(("L", *last_left))
+                left_emitted = True
+                out.append(("R", t, seq))
+            elif not immediate:
+                out.append(("R", t, seq))
+    return out
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize("immediate", [False, True])
+def test_asof_matches_python_reference(spark, seed, immediate):
+    rng = random.Random(seed)
+    n_l, n_r = rng.randint(5, 40), rng.randint(5, 40)
+    # times drawn with collisions likely (small domain) to stress tie rules
+    left = sorted((rng.randint(0, 200), i) for i in range(n_l))
+    right = sorted((rng.randint(0, 200), i) for i in range(n_r))
+    threshold = rng.choice([0, 1, 5, 50])
+
+    ldf = spark.createDataFrame(
+        [("p", "/l", t, s, 0.0) for t, s in left],
+        "producer string, topic string, log_time long, sequence long, v double",
+    )
+    rdf = spark.createDataFrame(
+        [("p", "/r", t, s, 0.0) for t, s in right],
+        "producer string, topic string, log_time long, sequence long, v double",
+    )
+    got_df = dp3_asof_join(
+        ldf, rdf, immediate=immediate, threshold_ns=threshold
+    ).orderBy("log_time", F.col("topic").asc(), "sequence")  # /l < /r: left first on ties
+    got = [("L" if r["topic"] == "/l" else "R", r["log_time"], r["sequence"])
+           for r in got_df.collect()]
+
+    expected = python_asof_reference(left, right, immediate, threshold)
+    # reference emission order == (time, side, seq) sort (asof.py docstring)
+    expected_sorted = sorted(expected, key=lambda x: (x[1], x[0] == "R", x[2]))
+    assert got == expected_sorted, f"seed={seed} imm={immediate} t={threshold}"

@@ -129,13 +129,40 @@ def test_unqualified_field_errors(alltypes_store):
 
 
 def test_unknown_alias_errors(alltypes_store):
-    with pytest.raises(CompileError, match="unknown table alias"):
+    with pytest.raises(CompileError, match="unresolved table alias: zz"):
         Compiler(alltypes_store).compile("from device t0 where zz.u8 = 1;")
 
 
 def test_multi_alias_conjunct_errors(alltypes_store):
     with pytest.raises(CompileError, match="more than one alias"):
         Compiler(alltypes_store).compile("from device t0, t1 where t0.u8 = 1 and t1.u8 = 2;")
+
+
+def test_grouped_or_spanning_aliases_errors(alltypes_store):
+    # plan_test.go:30-34: parens make the OR a single branch -> error
+    with pytest.raises(CompileError, match="more than one alias"):
+        Compiler(alltypes_store).compile("from device t0, t1 where (t0.u8 = 0 or t1.u8 = 0);")
+
+
+def test_grouped_or_single_alias_ok(alltypes_store):
+    df = Compiler(alltypes_store).compile(
+        "from device t0, t1 where (t0.u8 = 0 or t0.u8 = 1) and t0.u8 <= 4;"
+    )
+    got = [(r["topic"], r["log_time"]) for r in df.collect()]
+    # t0 filtered to u8 in {0,1}; t1 unfiltered
+    assert [g for g in got if g[0] == "t0"] == [("t0", 0), ("t0", 1)]
+    assert len([g for g in got if g[0] == "t1"]) == 5
+
+
+def test_partly_unqualified_where_errors(alltypes_store):
+    with pytest.raises(CompileError, match="must be qualified with a dot"):
+        Compiler(alltypes_store).compile("from device t0 where t0.u8 = 1 and u16 = 2;")
+
+
+def test_alias_shadowing_errors(alltypes_store):
+    # plan_test.go: "from device a as b where a.foo = 10 and b.bar = 20"
+    with pytest.raises(CompileError, match="more than one alias"):
+        Compiler(alltypes_store).compile("from device t0 as b where t0.u8 = 1 and b.u16 = 2;")
 
 
 def test_int_field_float_literal_errors(alltypes_store):

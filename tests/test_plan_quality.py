@@ -1,0 +1,110 @@
+"""Plan-quality regression guards: the properties that make queries scale
+must be visible in the physical plan (SURVEY.md §4 — Catalyst replaces the
+reference's hand-built statfilter/pushdown machinery, so verify it actually
+engages)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dp3_spark.catalog import events_log_store, register_views
+from dp3_spark.plans import Compiler
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_scan_filters_pushed_to_parquet(spark):
+    """QL where + between + topic must reach the parquet scan as
+    PushedFilters (the statfilter/zone-map analog, executor/statfilter.go)."""
+    store = events_log_store(spark, SF)
+    df = Compiler(store).compile(
+        "from * between 1704412800000000000 and 1705708800000000000 "
+        "click where click.value > 100.0;"
+    )
+    txt = formatted(df)
+    assert "PushedFilters:" in txt
+    pushed = [l for l in txt.splitlines() if "PushedFilters:" in l][0]
+    assert "EqualTo(event_type,click)" in pushed
+    assert "GreaterThan(value,100.0)" in pushed
+    assert "GreaterThanOrEqual(ts," in pushed  # between -> scan bounds
+
+
+def test_scan_prunes_columns(spark):
+    """Skeleton projection must prune payload columns at the scan
+    (the bytecode partial-deserialization analog, util/schema/parser.go)."""
+    store = events_log_store(spark, SF)
+    df = Compiler(store).compile("from * click;").select("topic", "log_time", "sequence")
+    txt = formatted(df)
+    schema_lines = [l for l in txt.splitlines() if "ReadSchema" in l]
+    assert schema_lines, txt
+    assert "props" not in schema_lines[0]  # payload column pruned
+    assert "value" not in schema_lines[0]
+
+
+def test_merge_collapses_to_single_scan(spark):
+    """A merge of unfiltered topics is ONE storage pass with an In filter,
+    not N scans."""
+    store = events_log_store(spark, SF)
+    df = Compiler(store).compile("from * click, view, purchase;")
+    txt = plan_of(df)
+    assert txt.count("FileScan parquet") == 1
+    assert "In(event_type" in txt
+
+
+def test_small_dims_broadcast(spark):
+    """TPC-H joins against nation/region must broadcast the dims, never
+    shuffle lineitem for them."""
+    register_views(spark, SF)
+    df = spark.sql(
+        """
+        select n.n_name, count(*) as n from lineitem l
+        join supplier s on l.l_suppkey = s.s_suppkey
+        join nation n on s.s_nationkey = n.n_nationkey
+        group by n.n_name
+        """
+    )
+    txt = plan_of(df)
+    assert "BroadcastHashJoin" in txt
+
+
+def test_asof_single_sort_per_window_chain(spark):
+    """The as-of join's windows share partitioning+ordering, so the plan
+    should not re-sort between the two window operators."""
+    store = events_log_store(spark, SF)
+    df = Compiler(store).compile("from * click precedes purchase by less than 1 minutes;")
+    txt = plan_of(df)
+    # two logical window groups but at most two physical sorts inside the
+    # asof (one per distinct partitioning: producer vs producer+left_rn)
+    assert txt.count("Window") >= 2
+    n_sorts = txt.count("Sort [")
+    assert n_sorts <= 4, f"unexpected sort explosion:\n{txt}"
+
+
+def test_whole_stage_codegen_covers_filters(spark):
+    """Typed comparisons stay JVM-side inside WholeStageCodegen (no
+    BatchEvalPython in the hot path)."""
+    store = events_log_store(spark, SF)
+    df = Compiler(store).compile("from * click where click.value >= 10.5;")
+    df.collect()  # AQE: codegen stages appear only in the finalized plan
+    txt = plan_of(df)
+    assert "*(" in txt  # WholeStageCodegen stage marker
+    assert "BatchEvalPython" not in txt
+
+
+def test_text_pipeline_no_python_udf(spark):
+    from dp3_spark import queries as Q
+
+    df = Q.queries()["text_metrics"](spark, SF)
+    txt = plan_of(df)
+    assert "BatchEvalPython" not in txt
+    assert "ArrowEvalPython" not in txt
