@@ -154,14 +154,15 @@ def minhash_lsh_pairs(
         ).alias(f"mh{j}")
         for j, (a, b) in enumerate(coeffs)
     ]
-    # cache: the shingle+minhash fold is CPU-heavy but byte-small, so AQE
-    # would coalesce any recomputation of it (e.g. inside the verify join's
-    # broadcast subtree) down to one task.  Materializing it once keeps
-    # every downstream consumer parallel and non-redundant.  Size: docs x
-    # (card longs + 16 longs) — at true cluster scale this becomes a
-    # persisted signatures table, which is how you'd run repeated dedup
+    # cache + eager materialization: the shingle+minhash fold is CPU-heavy
+    # but byte-small, so AQE would coalesce any recomputation of it (e.g.
+    # inside the verify join's broadcast subtree) down to one task, and lazy
+    # cache timing makes runtimes vary run-to-run.  Materializing once keeps
+    # every consumer parallel and non-redundant.  At true cluster scale this
+    # becomes a persisted signatures table, which is how repeated dedup runs
     # anyway.
     sigs = sh.select("id", "shingles", "card", *sig_cols).cache()
+    sigs.count()
     band_rows = []
     for bi in range(bands):
         key = F.concat_ws(
@@ -187,6 +188,7 @@ def minhash_lsh_pairs(
         .repartition(2 * par)
         .cache()
     )
+    cand.count()  # eager: the verify job must read candidates from cache
     # verify candidates with exact jaccard over the shingle sets.  The
     # shingle-set side is doc-count-sized (not pair-sized) — broadcast it so
     # the pair stream never shuffles the big arrays.  At corpus sizes beyond

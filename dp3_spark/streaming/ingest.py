@@ -98,7 +98,11 @@ def summary_maintainer(df: DataFrame, *, granularity_ns: int, numeric_fields: li
             "topic",
             (F.col("log_time") - F.col("log_time") % granularity_ns).alias("bucket_start"),
         ]
-        aggs = [F.count("*").alias("message_count")]
+        aggs = [
+            F.count("*").alias("message_count"),
+            F.min("log_time").alias("min_observed_time"),
+            F.max("log_time").alias("max_observed_time"),
+        ]
         for f in numeric_fields:
             aggs += [
                 F.count(_clean(f)).alias(f"{f}_count"),

@@ -54,3 +54,31 @@ def test_streaming_ingest_dedup(spark, tmpdir):
     # partition layout: producer + hour bucket directories
     got = out.filter(F.col("sequence") == 7).collect()
     assert len(got) == 1 and got[0]["hour_bucket"] == 1704067200 * 10**9
+
+
+def test_summary_maintainer_foreachbatch(spark, tmpdir):
+    """Micro-batch summary maintenance: partial aggregates per batch merge
+    associatively to the direct summary (the ingest-time statistics path,
+    treemgr/writer.go:184-203)."""
+    from dp3_spark.operators.stats import rollup_summary
+
+    base = 1704067200 * 10**9
+    rows = [("dev1", "/imu", base + i * 10**9, i, float(i)) for i in range(100)]
+    full = spark.createDataFrame(
+        rows, "producer string, topic string, log_time long, sequence long, v double"
+    )
+    update = ingest.summary_maintainer(full, granularity_ns=60 * 10**9, numeric_fields=["v"])
+
+    # simulate two micro-batches, merge their partials
+    b1 = update(full.filter(F.col("sequence") < 50), 0)
+    b2 = update(full.filter(F.col("sequence") >= 50), 1)
+    merged = rollup_summary(
+        b1.unionByName(b2), from_granularity_ns=60 * 10**9,
+        to_granularity_ns=60 * 10**9, numeric_fields=["v"],
+    )
+    direct = update(full, 2)
+    m = {(r["producer"], r["topic"], r["bucket_start"]): (r["message_count"], r["v_sum"])
+         for r in merged.collect()}
+    d = {(r["producer"], r["topic"], r["bucket_start"]): (r["message_count"], r["v_sum"])
+         for r in direct.collect()}
+    assert m == d and len(m) == 2  # 100 s span -> two 60 s buckets
