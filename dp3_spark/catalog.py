@@ -65,10 +65,17 @@ class LogStore:
     time_col: str  # expression producing int64 nanoseconds
     sequence_col: str
     payload_cols: tuple[str, ...] = field(default_factory=tuple)
+    # raw storage column implying log_time bounds (e.g. the untruncated ts
+    # when time_col is a derived/truncated expression).  Derived columns
+    # don't push down to parquet row-group stats; predicates on this one do.
+    pushdown_time_col: str | None = None
+
+    PUSHDOWN_COL = "__ptime__"
 
     def normalized(self) -> DataFrame:
         """Project to the canonical dp3 row shape:
-        (producer string, topic string, log_time long ns, sequence long, *payload)."""
+        (producer string, topic string, log_time long ns, sequence long,
+        *payload [, __ptime__])."""
         cols = [
             F.col(self.producer_col).cast("string").alias("producer"),
             F.col(self.topic_col).cast("string").alias("topic"),
@@ -76,7 +83,10 @@ class LogStore:
             F.col(self.sequence_col).cast("long").alias("sequence"),
         ]
         cols += [F.col(c) for c in self.payload_cols]
+        if self.pushdown_time_col is not None:
+            cols.append(F.col(self.pushdown_time_col).alias(self.PUSHDOWN_COL))
         return self.df.select(*cols)
+
 
     def producers(self) -> list[str]:
         """`from *` expansion (reference plan/plan.go:366-392)."""
@@ -102,6 +112,25 @@ class LogStore:
         )
 
 
+def time_range_filter(df: DataFrame, start_ns: int, end_ns: int) -> DataFrame:
+    """Half-open [start, end) filter on log_time, plus — when the store
+    exposes a raw pushdown column — the implied raw-column range so the
+    predicate reaches parquet row-group stats.  log_time may lag the raw
+    time by < 1 µs (truncation), so the raw upper bound widens by 999 ns;
+    row-group pruning is unaffected by the slack."""
+    out = df.filter((F.col("log_time") >= start_ns) & (F.col("log_time") < end_ns))
+    if LogStore.PUSHDOWN_COL in df.columns:
+        out = out.filter(
+            (F.col(LogStore.PUSHDOWN_COL) >= start_ns)
+            & (F.col(LogStore.PUSHDOWN_COL) < end_ns + 999)
+        )
+    return out
+
+
+def drop_internal(df: DataFrame) -> DataFrame:
+    return df.drop(LogStore.PUSHDOWN_COL)
+
+
 def events_log_store(spark: SparkSession, sf_dir: str, *, us_truncate: bool = False) -> LogStore:
     """The driver's `events` table viewed as a dp3 log store.
 
@@ -116,9 +145,11 @@ def events_log_store(spark: SparkSession, sf_dir: str, *, us_truncate: bool = Fa
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     time_col = "ts"
+    pushdown = None
     if us_truncate:
         ev = ev.withColumn("ts_us", F.col("ts") - F.col("ts") % 1000)
         time_col = "ts_us"
+        pushdown = "ts"  # derived ts_us doesn't push to parquet; raw ts does
     return LogStore(
         df=ev,
         producer_col="user_id",
@@ -126,4 +157,5 @@ def events_log_store(spark: SparkSession, sf_dir: str, *, us_truncate: bool = Fa
         time_col=time_col,
         sequence_col="event_id",
         payload_cols=("value", "props"),
+        pushdown_time_col=pushdown,
     )

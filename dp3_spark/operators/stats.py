@@ -25,7 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dp3_spark.catalog import LogStore
+from dp3_spark.catalog import LogStore, time_range_filter
 
 DEFAULT_GRANULARITY_NS = 60 * 1_000_000_000  # reference leaf width: 60 s
 
@@ -137,10 +137,8 @@ def stat_range(
 
     Served from raw here; in the summary-table deployment this re-buckets the
     base summary instead (rollup_summary)."""
-    df = store.normalized().filter(
-        (F.col("topic") == topic)
-        & (F.col("log_time") >= start_ns)
-        & (F.col("log_time") < end_ns)
+    df = time_range_filter(
+        store.normalized().filter(F.col("topic") == topic), start_ns, end_ns
     )
     if producer is not None:
         df = df.filter(F.col("producer") == producer)
@@ -175,10 +173,8 @@ def quantiles_exact(
     """Exact per-bucket quantiles via `percentile` (linear interpolation,
     matches DuckDB quantile_cont bit-for-bit on identical input sets).
     Correctness baseline for the sketch path."""
-    df = store.normalized().filter(
-        (F.col("topic") == topic)
-        & (F.col("log_time") >= start_ns)
-        & (F.col("log_time") < end_ns)
+    df = time_range_filter(
+        store.normalized().filter(F.col("topic") == topic), start_ns, end_ns
     )
     bucket = (F.col("log_time") - F.col("log_time") % granularity_ns).alias("bucket_start")
     qlist = ", ".join(str(q) for q in quantiles)
@@ -206,10 +202,8 @@ def quantiles_sketch(
     """Mergeable-sketch quantiles via approx_percentile — the scale path
     (t-digest-style, the DDSketch-0.01 analog; accuracy=10000 ≈ 1e-4 rank
     error)."""
-    df = store.normalized().filter(
-        (F.col("topic") == topic)
-        & (F.col("log_time") >= start_ns)
-        & (F.col("log_time") < end_ns)
+    df = time_range_filter(
+        store.normalized().filter(F.col("topic") == topic), start_ns, end_ns
     )
     bucket = (F.col("log_time") - F.col("log_time") % granularity_ns).alias("bucket_start")
     qlist = ", ".join(str(q) for q in quantiles)

@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dp3_spark.catalog import LogStore
+from dp3_spark.catalog import LogStore, drop_internal, time_range_filter
 from dp3_spark.operators.asof import dp3_asof_join
 from dp3_spark.operators.merge import ordered_merge
 from dp3_spark.ql import ast
@@ -199,7 +199,7 @@ class Compiler:
         self.store = store
         self._base = store.normalized()
         payload = [f for f in self._base.schema.fields if f.name not in
-                   ("producer", "topic", "log_time", "sequence")]
+                   ("producer", "topic", "log_time", "sequence", LogStore.PUSHDOWN_COL)]
         self._payload_schema = T.StructType(payload)
 
     # ------------------------------------------------------------------ api
@@ -256,7 +256,7 @@ class Compiler:
                 F.col("__child__"),
                 F.col("sequence").desc(),
             ]
-        df = df.orderBy(*order).drop("__child__")
+        df = drop_internal(df.orderBy(*order).drop("__child__"))
 
         if q.offset is not None:
             df = df.offset(q.offset)
@@ -334,10 +334,7 @@ class Compiler:
             if ctx.producers:
                 df = df.filter(F.col("producer").isin(list(ctx.producers)))
             if ctx.between is not None:
-                df = df.filter(
-                    (F.col("log_time") >= ctx.between.start_ns)
-                    & (F.col("log_time") < ctx.between.end_ns)
-                )
+                df = time_range_filter(df, ctx.between.start_ns, ctx.between.end_ns)
             child_map = F.create_map(
                 *[x for idx, s in plain for x in (F.lit(s.topic), F.lit(idx))]
             )
@@ -356,10 +353,7 @@ class Compiler:
         if ctx.producers:
             df = df.filter(F.col("producer").isin(list(ctx.producers)))
         if ctx.between is not None:
-            df = df.filter(
-                (F.col("log_time") >= ctx.between.start_ns)
-                & (F.col("log_time") < ctx.between.end_ns)
-            )
+            df = time_range_filter(df, ctx.between.start_ns, ctx.between.end_ns)
         # first scan with a matching name claims the filter
         # (plan/plan.go:487-490 deletes from the map)
         expr = ctx.filters.pop(scan.name, None)

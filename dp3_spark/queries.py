@@ -368,6 +368,22 @@ def stat_range_by_producer(spark, sf_dir):
     )
 
 
+@register("stat_sketch_daily", None)  # rows-only: log-binned sketch, libm-dependent
+def stat_sketch_daily(spark, sf_dir):
+    """Mergeable DDSketch-style quantile summary (operators/sketch.py):
+    per-day sketches over `value`, quantiles extracted from the sketch —
+    the storable/incremental analog of nodestore/statistics.go:129-155.
+    Accuracy (0.01) and merge associativity pinned in tests/test_sketch.py."""
+    from dp3_spark.operators import sketch as SK
+
+    store = events_log_store(spark, sf_dir, us_truncate=True)
+    ev = store.normalized().filter(F.col("topic") == "view").withColumn(
+        "bucket_start", F.col("log_time") - F.col("log_time") % DAY_NS
+    )
+    sk = SK.sketch_summarize(ev, keys=["bucket_start"], field="value")
+    return SK.sketch_quantiles(sk, keys=["bucket_start"], quantiles=[0.5, 0.9, 0.99])
+
+
 @register(
     "stat_catalog_tables",
     f"""

@@ -39,6 +39,20 @@ def test_scan_filters_pushed_to_parquet(spark):
     assert "GreaterThanOrEqual(ts," in pushed  # between -> scan bounds
 
 
+def test_us_truncated_store_still_pushes_time_bounds(spark):
+    """The oracle-parity µs-truncated time column is derived, which parquet
+    can't prune on — the implied raw-ts range must still reach the scan
+    (catalog.time_range_filter)."""
+    store = events_log_store(spark, SF, us_truncate=True)
+    df = Compiler(store).compile(
+        "from * between 1704412800000000000 and 1705708800000000000 purchase;"
+    )
+    pushed = [l for l in formatted(df).splitlines() if "PushedFilters:" in l][0]
+    assert "GreaterThanOrEqual(ts,1704412800000000000)" in pushed
+    assert "LessThan(ts,1705708800000000999)" in pushed
+    assert "__ptime__" not in df.columns  # internal column never leaks
+
+
 def test_scan_prunes_columns(spark):
     """Skeleton projection must prune payload columns at the scan
     (the bytecode partial-deserialization analog, util/schema/parser.go)."""

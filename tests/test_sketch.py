@@ -1,0 +1,65 @@
+"""DDSketch-style mergeable quantile sketch: accuracy bound, merge
+associativity, sign/zero handling (nodestore/statistics.go:129-155 parity —
+relative accuracy 0.01, associative merge)."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from dp3_spark.operators import sketch as SK
+
+
+@pytest.fixture(scope="module")
+def values_df(spark):
+    rng = random.Random(7)
+    rows = [(i % 4, rng.lognormvariate(3, 2)) for i in range(4000)]
+    return spark.createDataFrame(rows, "k int, v double"), rows
+
+
+def test_quantiles_within_relative_accuracy(spark, values_df):
+    df, rows = values_df
+    sk = SK.sketch_summarize(df, keys=["k"], field="v", accuracy=0.01)
+    got = SK.sketch_quantiles(sk, keys=["k"], quantiles=[0.25, 0.5, 0.9, 0.99]).collect()
+    by_k = {r["k"]: r for r in got}
+    for k in range(4):
+        vals = sorted(v for kk, v in rows if kk == k)
+        for q in (0.25, 0.5, 0.9, 0.99):
+            exact = vals[min(len(vals) - 1, int(math.ceil(q * len(vals))) - 1)]
+            est = by_k[k][f"p{int(q * 100)}"]
+            rel = abs(est - exact) / exact
+            assert rel <= 0.011, f"k={k} q={q}: {est} vs {exact} rel={rel}"
+
+
+def test_merge_associativity(spark, values_df):
+    df, _ = values_df
+    # fine sketches per (k, parity) merged to k == direct sketch per k
+    fine = SK.sketch_summarize(
+        df.withColumn("par", F.col("v") > 20), keys=["k", "par"], field="v"
+    )
+    merged = SK.sketch_merge(fine, keys=["k"])
+    direct = SK.sketch_summarize(df, keys=["k"], field="v")
+    m = {r["k"]: (sorted(r["sketch"].items()), r["sketch_n"]) for r in merged.collect()}
+    d = {r["k"]: (sorted(r["sketch"].items()), r["sketch_n"]) for r in direct.collect()}
+    assert m == d
+
+
+def test_zero_and_negative_values(spark):
+    rows = [(0, -100.0), (0, -1.0), (0, -0.25), (0, 0.0), (0, 0.5), (0, 2.0), (0, 100.0)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    sk = SK.sketch_summarize(df, keys=["k"], field="v")
+    assert sk.collect()[0]["sketch_n"] == 7
+    out = SK.sketch_quantiles(sk, keys=["k"], quantiles=[0.5]).collect()[0]
+    assert abs(out["p50"] - 0.0) < 1e-12  # median is the exact-zero bin
+    lo = SK.sketch_quantiles(sk, keys=["k"], quantiles=[0.01]).collect()[0]
+    assert lo["p1"] < -99  # most-negative bin
+    hi = SK.sketch_quantiles(sk, keys=["k"], quantiles=[0.99]).collect()[0]
+    assert abs(hi["p99"] - 100.0) / 100.0 <= 0.011
+
+
+def test_nan_inf_excluded(spark):
+    rows = [(0, 1.0), (0, float("nan")), (0, float("inf")), (0, 4.0)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    sk = SK.sketch_summarize(df, keys=["k"], field="v")
+    assert sk.collect()[0]["sketch_n"] == 2
