@@ -41,14 +41,27 @@ def schema_hash(schema_data: bytes) -> str:
 
 
 def _decode_mcap_file(path: str, producer: str) -> Iterator[dict]:
-    if not HAVE_MCAP:  # pragma: no cover
-        raise NotImplementedError(
-            "the `mcap` package is not installed in this environment; "
-            "use decode_records with a custom decoder, or install mcap"
-        )
-    with open(path, "rb") as f:  # pragma: no cover
-        reader = make_reader(f)
-        for schema, channel, message in reader.iter_messages():
+    """Decode one MCAP file.  Prefers the `mcap` package (handles chunked/
+    compressed files); falls back to the pure-python unchunked codec
+    (sources/mcap_codec.py) which needs no third-party libs."""
+    if HAVE_MCAP:  # pragma: no cover - mcap lib absent in this container
+        with open(path, "rb") as f:
+            reader = make_reader(f)
+            for schema, channel, message in reader.iter_messages():
+                yield {
+                    "producer": producer,
+                    "topic": channel.topic,
+                    "log_time": message.log_time,
+                    "sequence": message.sequence,
+                    "schema_name": schema.name if schema else "",
+                    "schema_hash": schema_hash(schema.data) if schema else "",
+                    "data": message.data,
+                }
+        return
+    from dp3_spark.sources.mcap_codec import iter_mcap
+
+    with open(path, "rb") as f:
+        for schema, channel, message in iter_mcap(f):
             yield {
                 "producer": producer,
                 "topic": channel.topic,
