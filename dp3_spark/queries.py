@@ -164,6 +164,23 @@ def ql_where_regex(spark, sf_dir):
     return _ql(spark, sf_dir, """from * error where error.props ~ '"k": 8[0-9]';""")
 
 
+@register(
+    "ql_between_iso8601",
+    f"""
+    with base as ({EV_BASE})
+    select * from base
+    where topic = 'signup'
+      and log_time >= {1704844800 * NS} and log_time < {1705363200 * NS}
+    """,
+)
+def ql_between_iso8601(spark, sf_dir):
+    """ISO8601 timestamps in between (grammar.go:121-133 -> UnixNano)."""
+    return _ql(
+        spark, sf_dir,
+        "from * between '2024-01-10T00:00:00Z' and '2024-01-16' signup;",
+    )
+
+
 def _asof_oracle(
     left: str, right: str, threshold_ns: int, immediate: bool, swap: bool = False
 ) -> str:
@@ -582,6 +599,15 @@ from orders
 group by o_orderpriority
 """
 _REGISTRY["rel_distinct_agg"] = _sql_pair(_DISTINCT)
+
+# set operations: customers in BUILDING segment except those with F orders
+_SETOPS = """
+select c_custkey from customer where c_mktsegment = 'BUILDING'
+except
+select c.c_custkey from customer c join orders o on o.o_custkey = c.c_custkey
+where o.o_orderstatus = 'F'
+"""
+_REGISTRY["rel_set_except"] = _sql_pair(_SETOPS)
 
 # correlated scalar subquery: parts priced above their brand average
 _CORR_SUB = """
