@@ -426,7 +426,7 @@ def stat_catalog_tables(spark, sf_dir):
     sid as (select *, sum(new_s) over (partition by user_id order by t, event_id
              rows between unbounded preceding and current row) as sess from s),
     per as (select user_id, sess, count(*) as n from sid group by 1, 2)
-    select user_id, count(*) as n_sessions, sum(n) as n_events,
+    select user_id, count(*) as n_sessions, cast(sum(n) as bigint) as n_events,
            max(n) as max_session_events,
            cast(sum(n) as double) / count(*) as avg_session_events
     from per group by 1
@@ -594,7 +594,7 @@ _DISTINCT = """
 select o_orderpriority,
        count(distinct o_custkey) as n_customers,
        count(*) as n_orders,
-       sum(case when o_orderstatus = 'O' then 1 else 0 end) as n_open
+       cast(sum(case when o_orderstatus = 'O' then 1 else 0 end) as bigint) as n_open
 from orders
 group by o_orderpriority
 """

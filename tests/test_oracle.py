@@ -46,6 +46,34 @@ def normalize(rows, cols):
 ORACLE_QUERIES = sorted(Q.oracle_sql().keys())
 
 
+def _type_class(arrow_type) -> str:
+    """Coarse type class used to mimic the driver's value-hash, which is
+    dtype-sensitive: DuckDB HUGEINT (sum of BIGINT) surfaces as
+    decimal128(38,0) in Arrow while Spark's bigint is int64 — the round-1
+    hash failures were exactly this.  Map each arrow type to a class that
+    must agree across engines."""
+    import pyarrow as pa
+
+    t = arrow_type
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return "ts"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return "list<%s>" % _type_class(t.value_type)
+    return str(t)
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, duck, name):
     fn = Q.queries()[name]
@@ -54,10 +82,17 @@ def test_query_matches_oracle(spark, duck, name):
     srows = [tuple(r) for r in sdf.collect()]
 
     res = duck.execute(Q.oracle_sql()[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    dtab = res.fetch_arrow_table()
+    dcols = dtab.column_names
+    drows = [tuple(r.values()) for r in dtab.to_pylist()]
 
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    stypes = {f.name: _type_class(f.type) for f in sdf.toArrow().schema}
+    dtypes = {f.name: _type_class(f.type) for f in dtab.schema}
+    assert stypes == dtypes, (
+        f"{name}: arrow type classes differ (driver hash is dtype-sensitive): "
+        f"spark={stypes} duckdb={dtypes}"
+    )
     assert len(srows) == len(drows), f"{name}: row counts differ {len(srows)} vs {len(drows)}"
     sn, dn = normalize(srows, scols), normalize(drows, dcols)
     mismatches = [(a, b) for a, b in zip(sn, dn) if a != b]
