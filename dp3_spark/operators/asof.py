@@ -113,7 +113,10 @@ def dp3_asof_join(
 
     # Rewrite the tie-break column so output order is (time, side, sub-child):
     # the asof node's emission order ties left-before-right (asof_node.go:126-131).
-    width = F.lit(1_000_000)
+    # 2^32 shift: child indices are scan ordinals (or the composite of a
+    # nested asof, which stays < 2^62 for any sane nesting depth); a 1e6
+    # shift would collide once a level's child exceeds 1e6.
+    width = F.lit(1 << 32)
     out = out.withColumn(child_col, F.col(_SIDE) * width + F.col(child_col))
     drop = [_SIDE, _RN, _LEFT_RN, _LEFT_TIME, _MATCHED, "__match_rank__", "__group_matches__"]
     if not has_child:

@@ -245,23 +245,29 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32, n: int
 def simhash_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, *, bits: int = 32, n: int = 3, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming, blocked by
-    16-bit halves (a pair within distance<=3 shares at least one half for
-    32-bit sigs split in 2 — pigeonhole) to avoid the cartesian product."""
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Blocked by splitting the signature into max_hamming+1 bit segments:
+    a pair within distance d <= max_hamming differs in at most max_hamming
+    segments, so by pigeonhole at least one segment matches exactly —
+    candidate generation is an equi-join on (segment index, segment bits),
+    never a cartesian product.  (Two halves only guarantee recall for
+    d <= 1; four segments are required for the default max_hamming=3.)"""
     sig = simhash(df, id_col, text_col, bits=bits, n=n)
-    half = bits // 2
+    nseg = max_hamming + 1
+    width = (bits + nseg - 1) // nseg
+    mask = (1 << width) - 1
+    segs = [
+        F.struct(
+            F.lit(k).alias("blk"),
+            F.expr(f"shiftright(simhash, {k * width}) & {mask}").alias("key"),
+        )
+        for k in range(nseg)
+    ]
     blocks = sig.select(
         "id",
         "simhash",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("blk"), (F.col("simhash") % (1 << half)).alias("key")),
-                F.struct(
-                    F.lit(1).alias("blk"),
-                    (F.col("simhash").cast("long") / F.lit(1 << half)).cast("long").alias("key"),
-                ),
-            )
-        ).alias("b"),
+        F.explode(F.array(*segs)).alias("b"),
     ).select("id", "simhash", F.col("b.blk").alias("blk"), F.col("b.key").alias("key"))
     cand = (
         blocks.alias("x")

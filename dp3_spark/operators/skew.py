@@ -48,7 +48,17 @@ def salted_join(
     salt_factor reducers.
 
     Uses a deterministic per-row salt (hash of all big-side columns, not
-    rand()) so retried tasks place rows identically."""
+    rand()) so retried tasks place rows identically.
+
+    Only inner/left joins are supported: the small side is replicated
+    salt_factor times, so a right/full outer join would emit every
+    unmatched small-side row once per salt (duplicate rows)."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner' or 'left', got {how!r}: "
+            "the replicated small side would duplicate unmatched rows in "
+            "right/full outer joins"
+        )
     on = list(on)
     salt = (F.abs(F.hash(*[F.col(c) for c in big.columns])) % salt_factor).alias("__salt__")
     big_s = big.withColumn("__salt__", salt)

@@ -19,10 +19,15 @@ META_COLS = ("producer", "topic", "log_time", "sequence")
 
 def nanos_decimal(col: str):
     """int64 ns -> 'sec.nanosecond' decimal string with 9-digit fraction
-    (mcap_to_json.go:29-40)."""
+    (mcap_to_json.go:29-40).
+
+    Seconds use exact integer division (`div`), matching the reference's
+    integer arithmetic: a double-rounded `/` misplaces the second for ns
+    values within ~128 ns of a boundary (int64 ~1.7e18 exceeds double's
+    53-bit mantissa)."""
     return F.concat_ws(
         ".",
-        (F.col(col) / F.lit(10**9)).cast("long").cast("string"),
+        F.expr(f"`{col}` div 1000000000").cast("string"),
         F.lpad((F.col(col) % F.lit(10**9)).cast("string"), 9, "0"),
     )
 
@@ -34,7 +39,11 @@ def to_json_shape(df: DataFrame, *, skeleton: bool = False) -> DataFrame:
     The fixtures carry no separate publish_time; dp3 sets both from the
     message — publish_time := log_time here.  `skeleton` strips payloads
     (routes/query.go:43)."""
-    payload = [c for c in df.columns if c not in META_COLS and not c.startswith("__")]
+    payload = [
+        c
+        for c in df.columns
+        if c not in META_COLS and c != "version" and not c.startswith("__")
+    ]
     cols = [
         F.col("topic"),
         F.col("sequence"),

@@ -58,10 +58,41 @@ class VersionedLogTable:
     def tombstones_path(self) -> str:
         return os.path.join(self.root, "tombstones")
 
+    @property
+    def meta_path(self) -> str:
+        return os.path.join(self.root, "_meta")
+
     # ------------------------------------------------------------- write
     def current_version(self) -> int:
+        """O(1) version lookup from a counter file — the rootmap's
+        `SELECT max(version)` over a tiny metadata table
+        (rootmap/sqlrootmap.go), NOT a scan of the data table.  At 100 TB
+        a per-append max() over the data would pay a full file-listing +
+        footer read per write; the counter is one small object.  (On a
+        real object store this file becomes a conditional-put or a Delta
+        transaction log entry; single-writer is assumed, as in the
+        reference's treemgr.)  Falls back to a one-time scan for tables
+        created before the counter existed."""
+        vf = os.path.join(self.meta_path, "version")
+        if os.path.exists(vf):
+            with open(vf) as f:
+                return int(f.read().strip() or "0")
         vs = [self._max_version(self._data()), self._max_version(self._tombstones())]
-        return max(v for v in vs if v is not None) if any(v is not None for v in vs) else 0
+        v = max((x for x in vs if x is not None), default=0)
+        self._write_version(v)
+        return v
+
+    def _write_version(self, v: int) -> None:
+        os.makedirs(self.meta_path, exist_ok=True)
+        tmp = os.path.join(self.meta_path, "version.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(self.meta_path, "version"))
+
+    def _next_version(self) -> int:
+        v = self.current_version() + 1
+        self._write_version(v)
+        return v
 
     def _max_version(self, df: DataFrame | None) -> int | None:
         if df is None:
@@ -73,7 +104,7 @@ class VersionedLogTable:
         """Append a batch under the next version (the WAL-batch merge +
         rootmap flip, treemgr/treemgr.go:821-882).  Dedups
         (producer, topic, log_time, sequence) within the batch."""
-        version = self.current_version() + 1
+        version = self._next_version()
         out = (
             df.dropDuplicates(["producer", "topic", "log_time", "sequence"])
             .withColumn("version", F.lit(version))
@@ -81,14 +112,19 @@ class VersionedLogTable:
         (
             out.write.mode("append")
             .partitionBy("producer", "topic")
-            .parquet(self.data_path)
+            .parquet(self._resolve_data_path())
         )
         return version
 
     def delete_range(self, producer: str, topic: str, start_ns: int, end_ns: int) -> int:
         """Range delete [start, end) as a tombstone (routes/delete.go;
-        tree/tree.go:118-207).  Applied lazily at read."""
-        version = self.current_version() + 1
+        tree/tree.go:118-207).  Applied lazily at read.
+
+        The tombstone's version pins WHAT it masks: only rows ingested at
+        version <= the tombstone's version (the reference's rootmap pins a
+        version at delete time, sqlrootmap.go:372-402) — data ingested
+        AFTER a delete/truncate stays visible."""
+        version = self._next_version()
         self.spark.createDataFrame(
             [(producer, topic, start_ns, end_ns, version)], TOMBSTONE_SCHEMA
         ).write.mode("append").parquet(self.tombstones_path)
@@ -102,9 +138,21 @@ class VersionedLogTable:
         return self.delete_range(producer, topic, 0, end)
 
     # -------------------------------------------------------------- read
+    def _resolve_data_path(self) -> str:
+        """Current data generation.  compact() never rewrites the live dir
+        in place; it writes a fresh generation dir and swaps this pointer
+        (object-store-safe: no rename of a live prefix)."""
+        pf = os.path.join(self.meta_path, "data_ptr")
+        if os.path.exists(pf):
+            with open(pf) as f:
+                name = f.read().strip()
+            if name:
+                return os.path.join(self.root, name)
+        return self.data_path
+
     def _data(self) -> DataFrame | None:
         try:
-            return self.spark.read.parquet(self.data_path)
+            return self.spark.read.parquet(self._resolve_data_path())
         except Exception:
             return None
 
@@ -136,12 +184,18 @@ class VersionedLogTable:
         t = ts.select(
             F.col("producer").alias("__tp"),
             F.col("topic").alias("__tt"),
+            F.col("version").alias("__tv"),
             "start_ns",
             "end_ns",
         )
+        # A tombstone masks only rows ingested at or before it
+        # (data.version <= tombstone.version): truncate-then-keep-ingesting
+        # must not hide the new data (sqlrootmap.go:372-402,
+        # treemgr.go:998-1010).
         cond = (
             (F.col("producer") == F.col("__tp"))
             & (F.col("topic") == F.col("__tt"))
+            & (F.col("version") <= F.col("__tv"))
             & (F.col("log_time") >= F.col("start_ns"))
             & (F.col("log_time") < F.col("end_ns"))
         )
@@ -160,13 +214,30 @@ class VersionedLogTable:
     def compact(self) -> None:
         """Physically apply tombstones and rewrite (merge-time mask
         application, tree/merge.go:94-137).  Data-sized job; run it like
-        OPTIMIZE, off the query path."""
+        OPTIMIZE, off the query path.
+
+        Write-new-then-swap-pointer: the resolved rows land in a fresh
+        generation dir (`data_genN`), then `_meta/data_ptr` flips to it
+        atomically.  The live prefix is never renamed or deleted in place,
+        so this works on object stores (S3 has no atomic rename of a
+        prefix); readers holding the old pointer keep a consistent view.
+        The superseded generation is dropped best-effort afterwards (a
+        real deployment would GC it after a retention window)."""
         resolved = self.read()
-        tmp = self.data_path + ".compact"
-        resolved.write.mode("overwrite").partitionBy("producer", "topic").parquet(tmp)
+        old = self._resolve_data_path()
+        gen = 0
+        base = os.path.basename(old)
+        if base.startswith("data_gen"):
+            gen = int(base[len("data_gen"):])
+        new_name = f"data_gen{gen + 1}"
+        new_path = os.path.join(self.root, new_name)
+        resolved.write.mode("overwrite").partitionBy("producer", "topic").parquet(new_path)
+        os.makedirs(self.meta_path, exist_ok=True)
+        tmp = os.path.join(self.meta_path, "data_ptr.tmp")
+        with open(tmp, "w") as f:
+            f.write(new_name)
+        os.replace(tmp, os.path.join(self.meta_path, "data_ptr"))
         import shutil
 
-        shutil.rmtree(self.data_path)
-        os.rename(tmp, self.data_path)
-        if os.path.exists(self.tombstones_path):
-            shutil.rmtree(self.tombstones_path)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(self.tombstones_path, ignore_errors=True)

@@ -74,6 +74,24 @@ def test_time_travel_over_delete(spark, table):
     assert table.read(as_of_version=v2).count() == 1
 
 
+def test_truncate_then_keep_ingesting(spark, table):
+    """Tombstones pin a version: data ingested AFTER a truncate/delete must
+    stay visible (sqlrootmap.go:372-402; treemgr.go:998-1010)."""
+    table.append(mkbatch(spark, "/a", [10, 20, 30]))
+    table.truncate("dev1", "/a")  # `now`: masks everything so far
+    assert table.read().count() == 0
+    table.append(mkbatch(spark, "/a", [15, 25]))  # re-ingest inside the range
+    got = sorted(r["log_time"] for r in table.read().collect())
+    assert got == [15, 25]
+
+
+def test_delete_then_reingest_visible(spark, table):
+    table.append(mkbatch(spark, "/a", [10, 20, 30]))
+    table.delete_range("dev1", "/a", 0, 100)
+    table.append(mkbatch(spark, "/a", [20]))
+    assert [r["log_time"] for r in table.read().collect()] == [20]
+
+
 def test_tail_by_version(spark, table):
     v1 = table.append(mkbatch(spark, "/a", [10, 20]))
     table.append(mkbatch(spark, "/a", [30]))
@@ -89,6 +107,32 @@ def test_compact_applies_tombstones(spark, table):
     assert table._tombstones() is None  # physically applied
 
 
+def test_compact_swaps_pointer_and_stays_writable(spark, table):
+    """compact() writes a new generation and flips _meta/data_ptr — the live
+    dir is never renamed in place (object-store-safe); appends and a second
+    compact keep working against the resolved generation."""
+    table.append(mkbatch(spark, "/a", [10, 20]))
+    table.delete_range("dev1", "/a", 0, 15)
+    table.compact()
+    assert table._resolve_data_path() != table.data_path
+    table.append(mkbatch(spark, "/a", [40]))
+    assert sorted(r["log_time"] for r in table.read().collect()) == [20, 40]
+    table.delete_range("dev1", "/a", 0, 25)
+    table.compact()  # second generation flip
+    assert sorted(r["log_time"] for r in table.read().collect()) == [40]
+
+
+def test_append_does_not_scan_data_for_version(spark, table):
+    """current_version() is O(1) metadata, not max(version) over the table."""
+    table.append(mkbatch(spark, "/a", [10]))
+    import os
+
+    assert os.path.exists(os.path.join(table.meta_path, "version"))
+    # drop the data dir entirely: version lookup must still answer from meta
+    shutil.rmtree(table._resolve_data_path())
+    assert table.current_version() == 1
+
+
 def test_json_output_shape(spark):
     df = mkbatch(spark, "/fix", [1_500_000_000, 2_000_000_001])
     shaped = to_json_shape(df).orderBy("sequence").collect()
@@ -98,3 +142,12 @@ def test_json_output_shape(spark):
     assert shaped[0]["data"]["v"] == 0.0
     skel = to_json_shape(df, skeleton=True).columns
     assert "data" not in skel
+
+
+def test_json_nanos_exact_near_second_boundary(spark):
+    """ns within ~128 ns of a second boundary: double division rounds the
+    seconds part up; the reference uses exact integer arithmetic
+    (mcap_to_json.go:29-40)."""
+    df = mkbatch(spark, "/fix", [1_704_412_799_999_999_872])
+    shaped = to_json_shape(df).collect()
+    assert shaped[0]["log_time"] == "1704412799.999999872"

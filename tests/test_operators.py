@@ -69,6 +69,28 @@ def test_simhash_pairs_blocked_join(docs):
     assert got[(0, 1)] == 0 and got[(0, 4)] == 0
 
 
+def test_simhash_pairs_exact_recall_vs_bruteforce(spark, docs):
+    """Pigeonhole guarantee: with max_hamming+1 segments, EVERY pair within
+    the distance bound shares a segment — blocked output must equal the
+    brute-force all-pairs answer, not just the hamming-0 subset."""
+    for max_h in (1, 3, 6):
+        sig = {r["id"]: r["simhash"] for r in DD.simhash(docs, "doc_id", "text", bits=24).collect()}
+        ids = sorted(sig)
+        expect = {
+            (a, b): bin(sig[a] ^ sig[b]).count("1")
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(sig[a] ^ sig[b]).count("1") <= max_h
+        }
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in DD.simhash_dup_pairs(
+                docs, "doc_id", "text", bits=24, max_hamming=max_h
+            ).collect()
+        }
+        assert got == expect, f"max_hamming={max_h}"
+
+
 def test_cosine_topk_exact(spark):
     emb = spark.createDataFrame(
         [

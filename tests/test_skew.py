@@ -26,6 +26,16 @@ def test_salted_left_join(spark):
     assert out == {(1, "a"), (2, "b"), (99, None)}
 
 
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    big = spark.createDataFrame([(1, 10)], "uid long, x long")
+    small = spark.createDataFrame([(1, "a")], "uid long, name string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, ["uid"], how=how)
+
+
 def test_top_keys_detects_hot_key(spark):
     big = spark.createDataFrame(
         [(1 if i % 10 else i, i) for i in range(5000)], "uid long, x long"
