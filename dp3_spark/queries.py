@@ -916,3 +916,119 @@ def mm_decode_meta(spark, sf_dir):
     computes (multimodal.decode_image_stub)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return MM.decode_metadata(MM.with_binary_payload(docs))
+
+
+# =========================================================================
+# MCAP import + ROS1 payload decode, end to end against the SQL oracle:
+# events rows -> ros1msg-encoded MCAP files -> read_mcap -> compiled
+# binary decode (sources/rosdecode.py) -> aggregation over DECODED fields.
+# The oracle computes the same aggregate from the parquet rows directly, so
+# any encode/import/decode corruption breaks the hash match.
+# =========================================================================
+
+EVENT_MSGDEF = "int64 event_id\nfloat64 value\nstring props\n"
+
+
+def _mcap_fixture_files(spark, sf_dir: str) -> list[tuple[str, str]]:
+    """Write (once per sf_dir) one MCAP file per selected producer, each
+    carrying that producer's events as ros1msg-encoded messages."""
+    import hashlib
+    import os
+    import tempfile
+
+    from dp3_spark.sources.mcap_codec import (
+        McapChannel,
+        McapMessage,
+        McapSchema,
+        write_mcap,
+    )
+    from dp3_spark.sources.msgdef import parse_ros1msg
+    from dp3_spark.sources.rosdecode import ros1_encode
+
+    store = events_log_store(spark, sf_dir, us_truncate=True)
+    norm = store.normalized()
+    producers = [
+        r[0]
+        for r in norm.select("producer").distinct().orderBy("producer").limit(5).collect()
+    ]
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"dp3_mcap_fixture_{key}")
+    files = [(os.path.join(root, f"p{p}.mcap"), p) for p in producers]
+    if os.path.isdir(root) and all(os.path.exists(f) for f, _ in files):
+        return files
+    os.makedirs(root, exist_ok=True)
+    schema = parse_ros1msg("dp3", "Event", EVENT_MSGDEF)
+    rows = (
+        norm.filter(F.col("producer").isin(producers))
+        .select("producer", "topic", "log_time", "sequence", "value", "props")
+        .collect()
+    )
+    by_producer: dict[str, list] = {p: [] for p in producers}
+    for r in rows:
+        by_producer[r["producer"]].append(r)
+    for path, p in files:
+        topics = sorted({r["topic"] for r in by_producer[p]})
+        channels = [
+            McapChannel(i + 1, 1, topic, "ros1") for i, topic in enumerate(topics)
+        ]
+        cid = {topic: i + 1 for i, topic in enumerate(topics)}
+        messages = [
+            McapMessage(
+                cid[r["topic"]],
+                r["sequence"],
+                r["log_time"],
+                r["log_time"],
+                ros1_encode(
+                    schema,
+                    {
+                        "event_id": r["sequence"],
+                        "value": r["value"],
+                        "props": r["props"],
+                    },
+                ),
+            )
+            for r in sorted(by_producer[p], key=lambda r: (r["log_time"], r["sequence"]))
+        ]
+        with open(path + ".tmp", "wb") as f:
+            write_mcap(
+                f,
+                [McapSchema(1, "dp3/Event", "ros1msg", EVENT_MSGDEF.encode())],
+                channels,
+                messages,
+            )
+        os.replace(path + ".tmp", path)
+    return files
+
+
+@register(
+    "mcap_roundtrip_agg",
+    f"""
+    with base as ({EV_BASE}),
+    sel as (select distinct producer from base order by producer limit 5),
+    m as (select * from base where producer in (select producer from sel))
+    select topic, count(*) as n_msgs,
+           cast(sum(cast(value as decimal(25,6))) as double) as sum_value,
+           min(log_time) as min_t, max(log_time) as max_t,
+           count(distinct props) as n_props,
+           cast(sum(sequence) as bigint) as sum_event_id
+    from m group by topic
+    """,
+)
+def mcap_roundtrip_agg(spark, sf_dir):
+    """dp3's bread-and-butter import path, oracle-gated: events ->
+    ros1msg-encoded MCAP -> distributed import (sources/mcap.read_mcap) ->
+    compiled payload decode (sources/rosdecode.decode_ros1) -> aggregate
+    over the DECODED typed columns (treemgr/treemgr.go:204-264 ingest +
+    executor/expression.go:141-152 decode-on-read)."""
+    from dp3_spark.sources import mcap as MCAP
+
+    files = _mcap_fixture_files(spark, sf_dir)
+    df = MCAP.decode_tables(spark, files)["dp3/Event"]
+    return df.groupBy("topic").agg(
+        F.count("*").alias("n_msgs"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        F.min("log_time").alias("min_t"),
+        F.max("log_time").alias("max_t"),
+        F.countDistinct("props").alias("n_props"),
+        F.sum("event_id").cast("bigint").alias("sum_event_id"),
+    )

@@ -103,3 +103,67 @@ def ingest_dedup(df: DataFrame) -> DataFrame:
     """Idempotent-ingest dedup on (producer, topic, log_time, sequence) —
     the filter-merge iterator semantics (mcap/filter_merge_iterator.go:14-37)."""
     return df.dropDuplicates(["producer", "topic", "log_time", "sequence"])
+
+
+# ------------------------------------------------------- schema registry
+
+SCHEMA_ROW = "schema_hash string, schema_name string, encoding string, schema_data binary"
+
+
+def read_mcap_schemas(spark: SparkSession, files: list[tuple[str, str]]) -> DataFrame:
+    """Schema registry rows for a set of MCAP files: one row per distinct
+    schema content hash (the reference's schema store keyed by
+    cryptographic hash, treemgr.go:308-321; served by GET /schemas/{hash},
+    routes/routes.go).  Schema records are scanned without reading message
+    payloads, so this is cheap even on large captures."""
+    if HAVE_MCAP:  # pragma: no cover - mcap lib absent in this container
+        rows = []
+        for path, _producer in files:
+            with open(path, "rb") as f:
+                reader = make_reader(f)
+                for _, sc in reader.get_summary().schemas.items():
+                    rows.append((schema_hash(sc.data), sc.name, sc.encoding, sc.data))
+    else:
+        from dp3_spark.sources.mcap_codec import scan_schemas
+
+        rows = []
+        for path, _producer in files:
+            with open(path, "rb") as f:
+                for sc in scan_schemas(f):
+                    rows.append((schema_hash(sc.data), sc.name, sc.encoding, sc.data))
+    uniq = {r[0]: r for r in rows}
+    return spark.createDataFrame(sorted(uniq.values()), SCHEMA_ROW)
+
+
+def decode_tables(
+    spark: SparkSession,
+    files: list[tuple[str, str]],
+    decoder: Callable[[str, str], Iterator[dict]] | None = None,
+) -> dict[str, DataFrame]:
+    """Import MCAP files and decode payloads into one typed DataFrame per
+    schema name — dp3's bread-and-butter path: after this, QL field
+    queries (`from robot /fix where fix.lat > 47`) run on real imported
+    data.
+
+    The message scan happens ONCE; each schema's slice is filtered from it
+    by schema_hash (a pushable predicate) and decoded with the compiled
+    decoder for that schema (sources/rosdecode.py).  Schemas that are not
+    ros1msg-decodable are returned raw (data stays binary)."""
+    from dp3_spark.sources.msgdef import MsgDefError, parse_schema
+    from dp3_spark.sources.rosdecode import decode_ros1
+
+    raw = read_mcap(spark, files, decoder)
+    registry = read_mcap_schemas(spark, files).collect()
+    out: dict[str, DataFrame] = {}
+    for row in registry:
+        subset = raw.filter(raw.schema_hash == row.schema_hash)
+        if row.encoding != "ros1msg":
+            out[row.schema_name] = subset
+            continue
+        try:
+            schema = parse_schema(row.schema_name, row.encoding, bytes(row.schema_data))
+        except MsgDefError:
+            out[row.schema_name] = subset
+            continue
+        out[row.schema_name] = decode_ros1(subset, schema)
+    return out

@@ -167,3 +167,29 @@ def iter_mcap(f: BinaryIO) -> Iterator[tuple[McapSchema | None, McapChannel, Mca
                 "(install the mcap package for chunked/compressed files)"
             )
     # footer + closing magic follow DataEnd; not needed for streaming reads
+
+
+def scan_schemas(f: BinaryIO) -> list[McapSchema]:
+    """Light pass collecting only Schema records — skips message payloads,
+    so it is cheap even on large files.  Used to build the schema registry
+    before the distributed message decode."""
+    if _read_exact(f, 8) != MAGIC:
+        raise McapFormatError("bad magic")
+    out: list[McapSchema] = []
+    while True:
+        head = f.read(9)
+        if len(head) < 9:
+            break
+        op, length = struct.unpack("<BQ", head)
+        if op == OP_SCHEMA:
+            payload = _read_exact(f, length)
+            (sid,) = struct.unpack_from("<H", payload, 0)
+            name, off = _parse_s(payload, 2)
+            enc, off = _parse_s(payload, off)
+            (dlen,) = struct.unpack_from("<I", payload, off)
+            out.append(McapSchema(sid, name, enc, payload[off + 4 : off + 4 + dlen]))
+        elif op == OP_DATA_END:
+            break
+        else:
+            f.seek(length, 1)
+    return out
