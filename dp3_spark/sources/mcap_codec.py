@@ -1,10 +1,13 @@
 """Minimal pure-Python MCAP codec (public spec: https://mcap.dev/spec).
 
-Implements the UNCHUNKED profile of MCAP v0: magic, Header(0x01),
-Schema(0x03), Channel(0x04), Message(0x05), DataEnd(0x0F), Footer(0x02),
-closing magic.  Unchunked files are valid MCAP (chunking/indexing are
-optional); compression is therefore not required, which matters here since
-this container has no zstd/lz4 python bindings.
+Implements MCAP v0 reading and writing: magic, Header(0x01), Schema(0x03),
+Channel(0x04), Message(0x05), Chunk(0x06) with zstd / lz4 / zlib-less
+"" (none) compression via the pyarrow codecs, DataEnd(0x0F), Footer(0x02),
+closing magic.  Index/summary records (MessageIndex, ChunkIndex,
+Statistics, Attachment*, Metadata*, SummaryOffset) are skipped on read —
+they are optimizations, not data — so real-world chunked+compressed
+captures import correctly (the reference reads them through the foxglove
+library, e.g. mcap/lazy_indexed_iterator.go:10-48).
 
 This makes the dp3-style import path (routes/import.go; SURVEY.md §2.5)
 real end-to-end without the `mcap` pip package: write_mcap produces files
@@ -19,6 +22,7 @@ All integers little-endian; strings length-prefixed uint32; records are
 from __future__ import annotations
 
 import struct
+import zlib
 from dataclasses import dataclass
 from typing import BinaryIO, Iterator
 
@@ -29,6 +33,9 @@ OP_FOOTER = 0x02
 OP_SCHEMA = 0x03
 OP_CHANNEL = 0x04
 OP_MESSAGE = 0x05
+OP_CHUNK = 0x06
+OP_MESSAGE_INDEX = 0x07
+OP_CHUNK_INDEX = 0x08
 OP_DATA_END = 0x0F
 
 
@@ -66,6 +73,64 @@ def _record(op: int, payload: bytes) -> bytes:
     return struct.pack("<BQ", op, len(payload)) + payload
 
 
+def _codec(compression: str):
+    """MCAP chunk codecs via pyarrow (no third-party bindings needed):
+    'zstd' -> zstd frame, 'lz4' -> LZ4 frame, '' -> none."""
+    import pyarrow as pa
+
+    name = {"zstd": "zstd", "lz4": "lz4_frame"}.get(compression)
+    if name is None or not pa.Codec.is_available(name):
+        raise McapFormatError(f"unsupported chunk compression: {compression!r}")
+    return pa.Codec(name)
+
+
+def _schema_record(sc: McapSchema) -> bytes:
+    return _record(
+        OP_SCHEMA,
+        struct.pack("<H", sc.id)
+        + _s(sc.name)
+        + _s(sc.encoding)
+        + struct.pack("<I", len(sc.data))
+        + sc.data,
+    )
+
+
+def _channel_record(ch: McapChannel) -> bytes:
+    return _record(
+        OP_CHANNEL,
+        struct.pack("<HH", ch.id, ch.schema_id)
+        + _s(ch.topic)
+        + _s(ch.message_encoding)
+        + struct.pack("<I", 0),  # empty metadata map
+    )
+
+
+def _message_record(m: McapMessage) -> bytes:
+    return _record(
+        OP_MESSAGE,
+        struct.pack("<HIQQ", m.channel_id, m.sequence, m.log_time, m.publish_time)
+        + m.data,
+    )
+
+
+def _chunk_record(messages: list[McapMessage], compression: str) -> bytes:
+    records = b"".join(_message_record(m) for m in messages)
+    start = min(m.log_time for m in messages)
+    end = max(m.log_time for m in messages)
+    crc = zlib.crc32(records)
+    if compression:
+        body = bytes(_codec(compression).compress(records))
+    else:
+        body = records
+    payload = (
+        struct.pack("<QQQI", start, end, len(records), crc)
+        + _s(compression)
+        + struct.pack("<Q", len(body))
+        + body
+    )
+    return _record(OP_CHUNK, payload)
+
+
 def write_mcap(
     f: BinaryIO,
     schemas: list[McapSchema],
@@ -74,32 +139,34 @@ def write_mcap(
     *,
     profile: str = "",
     library: str = "dp3_spark",
+    chunked: bool = False,
+    compression: str = "zstd",
+    chunk_size: int = 1 << 20,
 ) -> None:
+    """chunked=False writes the plain unchunked profile; chunked=True
+    groups messages into Chunk records (compression: 'zstd' | 'lz4' | '').
+    Schemas/channels are written outside chunks (spec-legal) so readers can
+    resolve them without decompressing."""
     f.write(MAGIC)
     f.write(_record(OP_HEADER, _s(profile) + _s(library)))
     for sc in schemas:
-        payload = (
-            struct.pack("<H", sc.id)
-            + _s(sc.name)
-            + _s(sc.encoding)
-            + struct.pack("<I", len(sc.data))
-            + sc.data
-        )
-        f.write(_record(OP_SCHEMA, payload))
+        f.write(_schema_record(sc))
     for ch in channels:
-        payload = (
-            struct.pack("<HH", ch.id, ch.schema_id)
-            + _s(ch.topic)
-            + _s(ch.message_encoding)
-            + struct.pack("<I", 0)  # empty metadata map
-        )
-        f.write(_record(OP_CHANNEL, payload))
-    for m in messages:
-        payload = (
-            struct.pack("<HIQQ", m.channel_id, m.sequence, m.log_time, m.publish_time)
-            + m.data
-        )
-        f.write(_record(OP_MESSAGE, payload))
+        f.write(_channel_record(ch))
+    if chunked and messages:
+        batch: list[McapMessage] = []
+        size = 0
+        for m in messages:
+            batch.append(m)
+            size += len(m.data) + 31
+            if size >= chunk_size:
+                f.write(_chunk_record(batch, compression))
+                batch, size = [], 0
+        if batch:
+            f.write(_chunk_record(batch, compression))
+    else:
+        for m in messages:
+            f.write(_message_record(m))
     f.write(_record(OP_DATA_END, struct.pack("<I", 0)))
     # footer: no summary section (all zero offsets is spec-legal)
     f.write(_record(OP_FOOTER, struct.pack("<QQI", 0, 0, 0)))
@@ -123,27 +190,79 @@ def _parse_s(buf: bytes, off: int) -> tuple[str, int]:
     return buf[off : off + n].decode("utf-8"), off + n
 
 
-def iter_mcap(f: BinaryIO) -> Iterator[tuple[McapSchema | None, McapChannel, McapMessage]]:
-    """Stream (schema, channel, message) for every message record, resolving
-    schema/channel references as they appear (the shape the reference's
-    import consumes; schema may be None for schema_id 0)."""
+def _unchunk(payload: bytes, *, verify_crc: bool = True) -> bytes:
+    """Chunk record -> its decompressed inner record stream."""
+    start, end, usize, crc = struct.unpack_from("<QQQI", payload, 0)
+    compression, off = _parse_s(payload, 28)
+    (blen,) = struct.unpack_from("<Q", payload, off)
+    body = payload[off + 8 : off + 8 + blen]
+    if compression == "":
+        records = body
+    else:
+        records = bytes(_codec(compression).decompress(body, usize))
+    if len(records) != usize:
+        raise McapFormatError(
+            f"chunk decompressed to {len(records)} bytes, expected {usize}"
+        )
+    if verify_crc and crc != 0 and zlib.crc32(records) != crc:
+        raise McapFormatError("chunk crc mismatch")
+    return records
+
+
+def _iter_buffer_records(buf: bytes) -> Iterator[tuple[int, bytes]]:
+    off = 0
+    n = len(buf)
+    while off + 9 <= n:
+        op, length = struct.unpack_from("<BQ", buf, off)
+        off += 9
+        yield op, buf[off : off + length]
+        off += length
+
+
+def _iter_records(
+    f: BinaryIO, *, skip_message_payloads: bool = False
+) -> Iterator[tuple[int, bytes]]:
+    """Top-level record stream, recursing into Chunk records so callers see
+    a flat (op, payload) sequence whether or not the file is chunked.
+    skip_message_payloads seeks past top-level Message records (cheap
+    schema scans); chunked content still decompresses."""
     if _read_exact(f, 8) != MAGIC:
         raise McapFormatError("bad magic")
-    schemas: dict[int, McapSchema] = {}
-    channels: dict[int, McapChannel] = {}
     while True:
         head = f.read(9)
         if len(head) < 9:
             raise McapFormatError("missing footer")
         op, length = struct.unpack("<BQ", head)
-        payload = _read_exact(f, length)
+        if op == OP_DATA_END:
+            break
+        if op == OP_CHUNK:
+            yield from _iter_buffer_records(_unchunk(_read_exact(f, length)))
+        elif skip_message_payloads and op == OP_MESSAGE:
+            f.seek(length, 1)
+        else:
+            yield op, _read_exact(f, length)
+    # footer + closing magic follow DataEnd; not needed for streaming reads
+
+
+def _parse_schema(payload: bytes) -> McapSchema:
+    (sid,) = struct.unpack_from("<H", payload, 0)
+    name, off = _parse_s(payload, 2)
+    enc, off = _parse_s(payload, off)
+    (dlen,) = struct.unpack_from("<I", payload, off)
+    return McapSchema(sid, name, enc, payload[off + 4 : off + 4 + dlen])
+
+
+def iter_mcap(f: BinaryIO) -> Iterator[tuple[McapSchema | None, McapChannel, McapMessage]]:
+    """Stream (schema, channel, message) for every message record —
+    chunked (zstd/lz4/none) or unchunked — resolving schema/channel
+    references as they appear (the shape the reference's import consumes;
+    schema may be None for schema_id 0)."""
+    schemas: dict[int, McapSchema] = {}
+    channels: dict[int, McapChannel] = {}
+    for op, payload in _iter_records(f):
         if op == OP_SCHEMA:
-            (sid,) = struct.unpack_from("<H", payload, 0)
-            name, off = _parse_s(payload, 2)
-            enc, off = _parse_s(payload, off)
-            (dlen,) = struct.unpack_from("<I", payload, off)
-            data = payload[off + 4 : off + 4 + dlen]
-            schemas[sid] = McapSchema(sid, name, enc, data)
+            sc = _parse_schema(payload)
+            schemas[sc.id] = sc
         elif op == OP_CHANNEL:
             cid, sid = struct.unpack_from("<HH", payload, 0)
             topic, off = _parse_s(payload, 4)
@@ -156,40 +275,15 @@ def iter_mcap(f: BinaryIO) -> Iterator[tuple[McapSchema | None, McapChannel, Mca
                 raise McapFormatError(f"message references unknown channel {cid}")
             ch = channels[cid]
             yield schemas.get(ch.schema_id), ch, msg
-        elif op == OP_DATA_END:
-            break
-        # other record types (chunks, indexes, attachments, metadata) are
-        # skipped — a chunked file would need the chunk records decoded;
-        # raise loudly instead of silently dropping data:
-        elif op in (0x06, 0x07, 0x08):  # Chunk, MessageIndex, ChunkIndex
-            raise McapFormatError(
-                "chunked MCAP not supported by the pure-python codec "
-                "(install the mcap package for chunked/compressed files)"
-            )
-    # footer + closing magic follow DataEnd; not needed for streaming reads
+        # index/summary/attachment/metadata records: skipped
 
 
 def scan_schemas(f: BinaryIO) -> list[McapSchema]:
-    """Light pass collecting only Schema records — skips message payloads,
-    so it is cheap even on large files.  Used to build the schema registry
-    before the distributed message decode."""
-    if _read_exact(f, 8) != MAGIC:
-        raise McapFormatError("bad magic")
+    """Light pass collecting only Schema records — skips top-level message
+    payloads, so it is cheap even on large files.  Used to build the schema
+    registry before the distributed message decode."""
     out: list[McapSchema] = []
-    while True:
-        head = f.read(9)
-        if len(head) < 9:
-            break
-        op, length = struct.unpack("<BQ", head)
+    for op, payload in _iter_records(f, skip_message_payloads=True):
         if op == OP_SCHEMA:
-            payload = _read_exact(f, length)
-            (sid,) = struct.unpack_from("<H", payload, 0)
-            name, off = _parse_s(payload, 2)
-            enc, off = _parse_s(payload, off)
-            (dlen,) = struct.unpack_from("<I", payload, off)
-            out.append(McapSchema(sid, name, enc, payload[off + 4 : off + 4 + dlen]))
-        elif op == OP_DATA_END:
-            break
-        else:
-            f.seek(length, 1)
+            out.append(_parse_schema(payload))
     return out

@@ -24,7 +24,7 @@ from dp3_spark.sources.mcap_codec import (
 from dp3_spark.streaming.lifecycle import VersionedLogTable
 
 
-def fix_mcap_bytes(n=20, topic="/fix"):
+def fix_mcap_bytes(n=20, topic="/fix", **write_opts):
     schema = McapSchema(1, "sensor_msgs/NavSatFix", "jsonschema", b'{"type":"object"}')
     channel = McapChannel(1, 1, topic, "json")
     base = 1479512770309617340
@@ -39,7 +39,7 @@ def fix_mcap_bytes(n=20, topic="/fix"):
         for i in range(n)
     ]
     buf = io.BytesIO()
-    write_mcap(buf, [schema], [channel], msgs)
+    write_mcap(buf, [schema], [channel], msgs, **write_opts)
     return buf.getvalue()
 
 
@@ -52,6 +52,94 @@ def test_round_trip():
     assert channel.topic == "/fix"
     assert msg.log_time == 1479512770309617340
     assert json.loads(out[4][2].data)["latitude"] == pytest.approx(37.4004)
+
+
+@pytest.mark.parametrize("compression", ["zstd", "lz4", ""])
+def test_chunked_round_trip(compression):
+    """Chunked+compressed files — the real-world MCAP profile
+    (mcap/lazy_indexed_iterator.go:10-48) — decode identically to the
+    unchunked stream."""
+    raw = fix_mcap_bytes(
+        50, chunked=True, compression=compression, chunk_size=256
+    )
+    plain = fix_mcap_bytes(50)
+    if compression:
+        assert len(raw) != len(plain)
+    got = [
+        (m.sequence, m.log_time, m.data) for _, _, m in iter_mcap(io.BytesIO(raw))
+    ]
+    want = [
+        (m.sequence, m.log_time, m.data) for _, _, m in iter_mcap(io.BytesIO(plain))
+    ]
+    assert got == want and len(got) == 50
+
+
+def test_chunked_multi_chunk_boundaries():
+    raw = fix_mcap_bytes(200, chunked=True, compression="zstd", chunk_size=512)
+    out = list(iter_mcap(io.BytesIO(raw)))
+    assert [m.sequence for _, _, m in out] == list(range(200))
+
+
+def test_chunk_crc_validated():
+    raw = bytearray(fix_mcap_bytes(30, chunked=True, compression=""))
+    # flip a byte inside the chunk body (a message payload char)
+    idx = raw.find(b"latitude")
+    assert idx > 0
+    raw[idx] ^= 0xFF
+    with pytest.raises(McapFormatError, match="crc"):
+        list(iter_mcap(io.BytesIO(bytes(raw))))
+
+
+def test_unsupported_compression_rejected():
+    with pytest.raises(McapFormatError, match="compression"):
+        fix_mcap_bytes(5, chunked=True, compression="snappy-unknown")
+
+
+def test_scan_schemas_on_chunked_file():
+    from dp3_spark.sources.mcap_codec import scan_schemas
+
+    raw = fix_mcap_bytes(50, chunked=True, compression="lz4", chunk_size=256)
+    scs = scan_schemas(io.BytesIO(raw))
+    assert [s.name for s in scs] == ["sensor_msgs/NavSatFix"]
+
+
+def test_chunked_ros1_decode_tables(spark, tmp_path):
+    """Chunked+zstd MCAP through the full import+decode path."""
+    from tests.test_rosdecode import NAVSATFIX, _write_navsat_mcap  # noqa: F401
+    from dp3_spark.sources.mcap_codec import scan_schemas as _  # keep import local
+    from dp3_spark.sources.msgdef import parse_ros1msg
+    from dp3_spark.sources.rosdecode import ros1_encode
+
+    s = parse_ros1msg("sensor_msgs", "NavSatFix", NAVSATFIX)
+    msgs = []
+    for i in range(40):
+        payload = ros1_encode(
+            s,
+            {
+                "header": {"seq": i, "stamp": 10**18 + i, "frame_id": "gps"},
+                "status": 0,
+                "lat": 40.0 + i,
+                "lon": -120.0,
+                "position_covariance": [0.0] * 9,
+                "position_covariance_type": 1,
+            },
+        )
+        msgs.append(McapMessage(1, i, 1000 + i, 1000 + i, payload))
+    p = str(tmp_path / "fix_chunked.mcap")
+    with open(p, "wb") as f:
+        write_mcap(
+            f,
+            [McapSchema(1, "sensor_msgs/NavSatFix", "ros1msg", NAVSATFIX.encode())],
+            [McapChannel(1, 1, "/fix", "ros1")],
+            msgs,
+            chunked=True,
+            compression="zstd",
+            chunk_size=1024,
+        )
+    df = MCAP.decode_tables(spark, [(p, "bot")])["sensor_msgs/NavSatFix"]
+    rows = df.orderBy("sequence").collect()
+    assert len(rows) == 40
+    assert rows[7]["lat"] == 47.0 and rows[7]["header"]["seq"] == 7
 
 
 def test_bad_magic_rejected():
