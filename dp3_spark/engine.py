@@ -82,3 +82,13 @@ class DP3Engine:
         df = self.execute(statement)
         assert df is not None
         return to_json_shape(df, skeleton=skeleton)
+
+    def query_mcap(self, statement: str, out, *, skeleton: bool = False, **opts) -> int:
+        """Default dp3 query output: ONE multiplexed MCAP stream with
+        remapped schema/channel IDs (mcap/merge_coordinator.go;
+        executor/executor.go:62-108).  Returns the message count."""
+        from dp3_spark.sinks import query_to_mcap
+
+        df = self.execute(statement)
+        assert df is not None
+        return query_to_mcap(df, out, skeleton=skeleton, **opts)
