@@ -120,14 +120,79 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 128,
+) -> DataFrame:
+    """Distinct shingle hashes + MinHash signature per document, computed in
+    one Arrow-batched mapInPandas pass (numpy-vectorized).
+
+    Value-identical to the pure-SQL formulation in
+    functions/text.py:shingle_hashes + the per-permutation aggregate fold
+    (pinned by tests/test_operators.py): normalize = strip non-[a-zA-Z0-9 ]
+    then lowercase; shingle hash = poly-31 fold mod 1e9+7; texts shorter
+    than `n` hash as a single whole-text shingle; permutation j is
+    min((A[j]*h + B[j]) mod P) over the distinct shingle hashes.
+
+    The SQL lambda fold evaluates interpreted per element (~µs/op); the
+    numpy path is one (num_hashes × n_shingles) matrix op per document,
+    ~100× faster — this is the sanctioned Pandas-UDF escape hatch for work
+    Catalyst can't vectorize.  Output: (id, shingles array<bigint> sorted
+    distinct, card, mh array<bigint>[num_hashes])."""
+    import numpy as np
+    import pandas as pd
+    import re
+
+    coeffs = minhash_coeffs(num_hashes)
+    A = [a for a, _ in coeffs]
+    B = [b for _, b in coeffs]
+    mod, p, nn = TXT.POLY_MOD, MINHASH_P, n
+    strip = re.compile(r"[^a-zA-Z0-9 ]")
+
+    def gen(batches):
+        a_vec = np.array(A, dtype=np.int64)[:, None]
+        b_vec = np.array(B, dtype=np.int64)[:, None]
+        for pdf in batches:
+            ids, shs, cards, mhs = [], [], [], []
+            for id_, text in zip(pdf[id_col].values, pdf[text_col].values):
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    ids.append(id_); shs.append(None); cards.append(None); mhs.append(None)
+                    continue
+                norm = strip.sub("", text).lower()
+                cp = np.frombuffer(norm.encode("ascii"), dtype=np.uint8).astype(np.int64)
+                L = cp.size
+                if L <= nn:
+                    h = 0
+                    for c in cp:
+                        h = (h * TXT.POLY_BASE + int(c)) % mod
+                    hs = np.array([h], dtype=np.int64)
+                else:
+                    h = np.zeros(L - nn + 1, dtype=np.int64)
+                    for j in range(nn):
+                        h = (h * TXT.POLY_BASE + cp[j : L - nn + 1 + j]) % mod
+                    hs = np.unique(h)
+                # a < P < 2^31 and h < 2^30, so a*h + b < 2^62: no overflow
+                mh = ((a_vec * hs[None, :] + b_vec) % p).min(axis=1)
+                ids.append(id_); shs.append(hs); cards.append(hs.size); mhs.append(mh)
+            yield pd.DataFrame({"id": ids, "shingles": shs, "card": cards, "mh": mhs})
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        gen, "id long, shingles array<bigint>, card int, mh array<bigint>"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     *,
     n: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int = 128,
+    bands: int = 16,
     threshold: float = 0.6,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with exact Jaccard.
@@ -135,45 +200,51 @@ def minhash_lsh_pairs(
     shingle-hash -> `num_hashes` permutation minima -> `bands` band keys ->
     bucket join for candidates -> exact jaccard verify >= threshold.
     Deterministic (fixed coefficients) so results are reproducible and
-    oracle-checkable."""
+    oracle-checkable.
+
+    Band geometry: rows-per-band r = num_hashes/bands sets the collision
+    sharpness (band hit probability j^r).  The 128/16 default (r=8) is tuned
+    for thresholds ~0.7: on a clustery corpus the shoulder of j≈0.5 pairs
+    collides at j^8≈0.8% per band instead of j^4≈6% — an order of magnitude
+    fewer false candidates reaching the exact-verify join, which is where a
+    near-dup-heavy corpus spends its time."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must divide into equal bands")
     rows = num_hashes // bands
-    coeffs = minhash_coeffs(num_hashes)
-    # a small parquet reads as few partitions; the signature fold is
+    # a small parquet reads as few partitions; the signature work is
     # CPU-bound per row, so spread it across all cores first
     par = df.sparkSession.sparkContext.defaultParallelism
-    sh = (
-        shingle_hash_df(df.repartition(par), id_col, text_col, n)
-        .withColumn("card", F.size("shingles"))
-    )
-    sig_cols = [
-        F.expr(
-            f"aggregate(transform(shingles, x -> ({a}L * x + {b}L) % {MINHASH_P}L), "
-            f"cast({MINHASH_P} as bigint), (acc, v) -> least(acc, v))"
-        ).alias(f"mh{j}")
-        for j, (a, b) in enumerate(coeffs)
-    ]
-    # cache + eager materialization: the shingle+minhash fold is CPU-heavy
-    # but byte-small, so AQE would coalesce any recomputation of it (e.g.
-    # inside the verify join's broadcast subtree) down to one task, and lazy
-    # cache timing makes runtimes vary run-to-run.  Materializing once keeps
-    # every consumer parallel and non-redundant.  At true cluster scale this
+    # cache + eager materialization: the signature pass is CPU-heavy but
+    # byte-small, so AQE would coalesce any recomputation of it (e.g. inside
+    # the verify join's broadcast subtree) down to one task, and lazy cache
+    # timing makes runtimes vary run-to-run.  Materializing once keeps every
+    # consumer parallel and non-redundant.  At true cluster scale this
     # becomes a persisted signatures table, which is how repeated dedup runs
     # anyway.
-    sigs = sh.select("id", "shingles", "card", *sig_cols).cache()
+    sigs = minhash_signatures(
+        df.repartition(par), id_col, text_col, n=n, num_hashes=num_hashes
+    ).cache()
     sigs.count()
-    band_rows = []
-    for bi in range(bands):
-        key = F.concat_ws(
-            "_", *[F.col(f"mh{bi * rows + r}").cast("string") for r in range(rows)]
-        )
-        band_rows.append(
-            sigs.select("id", F.lit(bi).alias("band"), key.alias("band_key"))
-        )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
+    # one banded row per (doc, band) via a single explode — not a
+    # bands-way union, which would re-read the cache `bands` times
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col("mh").getItem(bi * rows + r).cast("string") for r in range(rows)]
+                ).alias("band_key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = (
+        # null-text docs have null signatures; concat_ws would collapse
+        # them to empty band keys that all collide — drop them up front
+        sigs.filter(F.col("mh").isNotNull())
+        .select("id", F.explode(band_structs).alias("bk"))
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    )
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "band_key"])
@@ -189,6 +260,33 @@ def minhash_lsh_pairs(
         .cache()
     )
     cand.count()  # eager: the verify job must read candidates from cache
+    import numpy as np
+    import pandas as pd
+
+    thr = threshold
+
+    def _verify(batches):
+        # exact |A ∩ B| via searchsorted merge over the sorted distinct
+        # shingle arrays.  Spark's array_intersect is a CodegenFallback
+        # (interpreted, boxed hash set): measured ~70µs per 143-element
+        # intersect warm and ~6× that before JIT; the numpy merge is ~2µs
+        # and has no JVM warmup cliff — on a near-dup-heavy corpus with
+        # ~1M candidate pairs that is the difference between ~2s and ~14s.
+        for pdf in batches:
+            m = len(pdf)
+            shared = np.zeros(m, dtype=np.int64)
+            for i, (a, b) in enumerate(zip(pdf["sh_a"].values, pdf["sh_b"].values)):
+                if a.size > b.size:
+                    a, b = b, a
+                idx = np.searchsorted(b, a)
+                idx[idx == b.size] = 0
+                shared[i] = int((b[idx] == a).sum())
+            denom = pdf["card_a"].values + pdf["card_b"].values - shared
+            jac = shared / denom
+            keep = jac >= thr
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"].values[keep], "id_b": pdf["id_b"].values[keep], "jaccard": jac[keep]}
+            )
     # verify candidates with exact jaccard over the shingle sets.  The
     # shingle-set side is doc-count-sized (not pair-sized) — broadcast it so
     # the pair stream never shuffles the big arrays.  At corpus sizes beyond
@@ -207,14 +305,16 @@ def minhash_lsh_pairs(
             ),
             "id_b",
         )
-        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("shared").cast("double")
-            / (F.col("card_a") + F.col("card_b") - F.col("shared")).cast("double"),
+        # exact pre-prune: jaccard <= min(card)/max(card) (shared can't
+        # exceed the smaller set), so pairs failing the cardinality ratio
+        # can't pass the threshold — filter on two ints before the
+        # per-pair set intersection
+        .filter(
+            F.least("card_a", "card_b").cast("double")
+            >= F.lit(threshold) * F.greatest("card_a", "card_b").cast("double")
         )
-        .filter(F.col("jaccard") >= F.lit(threshold))
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "card_a", "card_b", "sh_a", "sh_b")
+        .mapInPandas(_verify, "id_a long, id_b long, jaccard double")
     )
     return verified
 

@@ -772,30 +772,33 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _minhash_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+    # relational formulation (unnest + cross-join coefficients + group-min):
+    # DuckDB executes this vectorized, unlike `num_hashes` inline list-lambda
+    # folds which evaluate interpreted per element.  Band keys via
+    # list_slice + array_to_string mirror Spark's concat_ws of casts exactly
+    # (plain base-10 bigint rendering in both engines).
     rows = num_hashes // bands
     coeffs = DD.minhash_coeffs(num_hashes)
     p = DD.MINHASH_P
-    mh_cols = ", ".join(
-        f"list_reduce(list_prepend(cast({p} as bigint), "
-        f"list_transform(hs, x -> ({a} * x + {b}) % {p})), "
-        f"(acc, v) -> least(acc, v)) as mh{j}"
-        for j, (a, b) in enumerate(coeffs)
-    )
-    band_keys = ", ".join(
-        "concat_ws('_', "
-        + ", ".join(f"cast(mh{bi * rows + r} as varchar)" for r in range(rows))
-        + f") as bk{bi}"
-        for bi in range(bands)
-    )
-    band_union = " union all ".join(
-        f"select doc_id, {bi} as band, bk{bi} as band_key from keys" for bi in range(bands)
-    )
+    coe_values = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(coeffs))
     return f"""
     with {_SH_CTE},
     sh as (select doc_id, hs from sh_base),
-    sigs as (select doc_id, hs, len(hs) as card, {mh_cols} from sh),
-    keys as (select *, {band_keys} from sigs),
-    banded as ({band_union}),
+    ex as (select doc_id, unnest(hs) as h from sh),
+    coe as (select * from (values {coe_values}) t(j, a, b)),
+    mins as (
+      select doc_id, j, min((a * h + b) % {p}) as mh
+      from ex cross join coe group by doc_id, j
+    ),
+    sigs as (select doc_id, list(mh order by j asc) as mh from mins group by doc_id),
+    cards as (select doc_id, len(hs) as card, hs from sh),
+    bandt as (select unnest(range({bands})) as band),
+    banded as (
+      select doc_id, band,
+             array_to_string(list_slice(mh, band * {rows} + 1, band * {rows} + {rows}), '_')
+               as band_key
+      from sigs cross join bandt
+    ),
     cand as (
       select distinct x.doc_id as id_a, y.doc_id as id_b
       from banded x join banded y using (band, band_key)
@@ -806,18 +809,18 @@ def _minhash_oracle(num_hashes: int, bands: int, threshold: float) -> str:
         cast(len(list_intersect(a.hs, b.hs)) as double)
           / (a.card + b.card - len(list_intersect(a.hs, b.hs))) as jaccard
       from cand c
-      join sigs a on a.doc_id = c.id_a
-      join sigs b on b.doc_id = c.id_b
+      join cards a on a.doc_id = c.id_a
+      join cards b on b.doc_id = c.id_b
     )
     select id_a, id_b, jaccard from verified where jaccard >= {threshold}
     """
 
 
-@register("dedup_minhash_lsh", _minhash_oracle(16, 4, 0.7))
+@register("dedup_minhash_lsh", _minhash_oracle(128, 16, 0.7))
 def dedup_minhash_lsh(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return DD.minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.7
+        docs, "doc_id", "text", n=3, num_hashes=128, bands=16, threshold=0.7
     )
 
 

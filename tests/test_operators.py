@@ -57,6 +57,48 @@ def test_minhash_catches_what_jaccard_catches(docs):
     assert mh.issubset(ex)
 
 
+def test_minhash_signatures_match_sql_formulation(spark):
+    """The numpy mapInPandas signature path must be value-identical to the
+    pure-SQL shingle-hash + aggregate-fold formulation (which the DuckDB
+    oracle mirrors): same distinct shingle-hash sets, same permutation
+    minima — including short/empty/unicode/uppercase edge cases."""
+    rows = [
+        (0, "the quick brown fox"),
+        (1, ""),                      # empty -> single hash 0
+        (2, "ab"),                    # shorter than n -> whole-text shingle
+        (3, "abc"),                   # exactly n
+        (4, "ÜBER-náïve … text!!"),   # non-ascii stripped before hashing
+        (5, "AbC aBc ABC"),           # case folding
+        (6, "x" * 500),               # one repeated shingle
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    real = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    df = df.unionByName(real.select((F.col("doc_id") + 1000).alias("doc_id"), "text"))
+
+    coeffs = DD.minhash_coeffs(8)
+    sql_sh = DD.shingle_hash_df(df, "doc_id", "text", 3)
+    sql_sig = sql_sh.select(
+        "id",
+        F.expr("array_sort(shingles)").alias("shingles"),
+        *[
+            F.expr(
+                f"aggregate(transform(shingles, x -> ({a}L * x + {b}L) % {DD.MINHASH_P}L), "
+                f"cast({DD.MINHASH_P} as bigint), (acc, v) -> least(acc, v))"
+            ).alias(f"mh{j}")
+            for j, (a, b) in enumerate(coeffs)
+        ],
+    )
+    np_sig = DD.minhash_signatures(df, "doc_id", "text", n=3, num_hashes=8)
+    sql_rows = {r["id"]: r for r in sql_sig.collect()}
+    np_rows = {r["id"]: r for r in np_sig.collect()}
+    assert set(sql_rows) == set(np_rows)
+    for id_, nr in np_rows.items():
+        sr = sql_rows[id_]
+        assert nr["shingles"] == sr["shingles"], f"doc {id_}: shingle sets differ"
+        assert nr["card"] == len(sr["shingles"])
+        assert nr["mh"] == [sr[f"mh{j}"] for j in range(8)], f"doc {id_}: minhash differs"
+
+
 def test_simhash_identical_for_dups(docs):
     sig = {r["id"]: r["simhash"] for r in DD.simhash(docs, "doc_id", "text", bits=24).collect()}
     assert sig[0] == sig[1] == sig[4]
