@@ -40,6 +40,7 @@ HEADLINE = [
                               # exact all-pairs jaccard is oracle-only — it is
                               # inherently quadratic on this shared-vocab corpus)
     "sim_cosine_topk",        # brute-force ANN baseline
+    "sim_dup_pairs_lsh",      # banded near-dup pairs (the at-scale ANN path)
 ]
 
 

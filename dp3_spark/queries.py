@@ -889,6 +889,54 @@ def sim_dup_pairs(spark, sf_dir):
     return SIM.embedding_dup_pairs(emb, threshold=0.4)
 
 
+def _lsh_dup_oracle(threshold: float, planes: int = 16, bands: int = 4) -> str:
+    # mirrors operators/similarity.py hyperplane_lsh_signature: plane p,
+    # dim i weight w = ((MUL*((p*65537+i)%MOD)+ADD)%MOD % 2001 - 1000)/1000;
+    # identical left-to-right double folds keep the sign bits bit-equal.
+    rows = planes // bands
+    mask = (1 << rows) - 1
+    mul, add, mod = SIM._LCG31_MUL, SIM._LCG31_ADD, SIM._LCG31_MOD
+    projs = ", ".join(
+        f"list_reduce(list_prepend(cast(0.0 as double), "
+        f"list_transform(range(0, len(embedding)), i -> cast(embedding[i+1] as double) * "
+        f"(cast(({mul} * (({p} * 65537 + i) % {mod}) + {add}) % {mod} % 2001 - 1000 as double) / 1000.0))), "
+        f"(a, b) -> a + b) as proj{p}"
+        for p in range(planes)
+    )
+    sig = " + ".join(f"case when proj{p} > 0 then {1 << p} else 0 end" for p in range(planes))
+    divisors = ", ".join(f"({b}, {1 << (b * rows)})" for b in range(bands))
+    return f"""
+    with planes as (select vec_id, {projs} from embeddings),
+    sigs as (select vec_id, cast({sig} as bigint) as sig from planes),
+    banded as (
+      select vec_id, band, (sig // divisor) % {mask + 1} as key
+      from sigs cross join (values {divisors}) t(band, divisor)
+    ),
+    cand as (
+      select distinct x.vec_id as id_a, y.vec_id as id_b
+      from banded x join banded y using (band, key)
+      where x.vec_id < y.vec_id
+    )
+    select c.id_a, c.id_b, {_COS_D} as cosine
+    from cand c
+    join embeddings a on a.vec_id = c.id_a
+    join embeddings b on b.vec_id = c.id_b
+    where {_COS_D} >= {threshold}
+    """
+
+
+@register("sim_dup_pairs_lsh", _lsh_dup_oracle(0.4))
+def sim_dup_pairs_lsh(spark, sf_dir):
+    """The at-scale near-dup path: banded candidate join instead of the
+    brute all-pairs loop sim_dup_pairs uses.  Threshold 0.4 matches the
+    brute gate query so the two results are directly comparable (the
+    synthetic embeddings corpus tops out near cosine 0.55); recall at the
+    design point (0.9+ near-dups) is pinned on a clustered corpus in
+    tests/test_operators.py."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.embedding_dup_pairs_lsh(emb, threshold=0.4)
+
+
 @register("sim_lsh_topk", None)  # rows-only; recall asserted in tests
 def sim_lsh_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -99,6 +99,51 @@ def test_minhash_signatures_match_sql_formulation(spark):
         assert nr["mh"] == [sr[f"mh{j}"] for j in range(8)], f"doc {id_}: minhash differs"
 
 
+def test_embedding_dup_pairs_lsh_recall_vs_brute(spark):
+    # the parquet embeddings have no near-dups (max cosine ~0.55), so build
+    # a clustered corpus at the operator's design point: base vectors plus
+    # small deterministic perturbations -> true dup pairs at cosine ~0.95+
+    import math
+
+    rows = []
+    vid = 0
+    for c in range(1, 41):
+        base = [math.sin(0.7 * c * (i + 1)) for i in range(16)]
+        for copy in range(3):
+            eps = [0.05 * math.sin(1.3 * (c + 7 * copy) * (i + 2)) for i in range(16)]
+            rows.append((vid, [b + e for b, e in zip(base, eps)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.embedding_dup_pairs(emb, threshold=0.9, method="brute").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.embedding_dup_pairs_lsh(emb, threshold=0.9).collect()
+    }
+    assert lsh.issubset(brute)  # banding only prunes candidates, never invents
+    assert len(brute) >= 40  # the corpus really contains near-dup clusters
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} vs brute ({len(brute)} true pairs)"
+
+
+def test_embedding_dup_pairs_auto_dispatch(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # tiny corpus -> auto picks brute (exact)
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.embedding_dup_pairs(emb, threshold=0.9, method="auto").collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.embedding_dup_pairs(emb, threshold=0.9, method="brute").collect()
+    }
+    assert auto == brute
+    with pytest.raises(ValueError):
+        SIM.embedding_dup_pairs(emb, method="nope")
+
+
 def test_simhash_identical_for_dups(docs):
     sig = {r["id"]: r["simhash"] for r in DD.simhash(docs, "doc_id", "text", bits=24).collect()}
     assert sig[0] == sig[1] == sig[4]
