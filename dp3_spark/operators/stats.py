@@ -121,6 +121,30 @@ def rollup_summary(
     return out
 
 
+# the reference tree stores statistics at leaf buckets of 60 s, with inner
+# levels 64x wider each (tree.go bwidth / nodestore defaults) — StatRange
+# requests finer than a leaf error with "sorry, too granular"
+TREE_LEAF_WIDTH_NS = 60 * 1_000_000_000
+TREE_BFACTOR = 64
+
+
+class TooGranularError(ValueError):
+    """Reference parity: tree.go:252-254."""
+
+
+def aligned_granularity_ns(granularity_ns: int) -> int:
+    """The node-width-aligned granularity the reference would serve: the
+    widest tree level (60 s * 64^k) that is <= the requested maximum
+    granularity (tree.go:210-217 — granularity is a maximum; results can be
+    finer).  Requests finer than the 60 s leaf raise TooGranularError."""
+    if granularity_ns < TREE_LEAF_WIDTH_NS:
+        raise TooGranularError("sorry, too granular")
+    width = TREE_LEAF_WIDTH_NS
+    while width * TREE_BFACTOR <= granularity_ns:
+        width *= TREE_BFACTOR
+    return width
+
+
 def stat_range(
     store: LogStore,
     *,
@@ -136,7 +160,14 @@ def stat_range(
     topic over [start, end) at the requested granularity.
 
     Served from raw here; in the summary-table deployment this re-buckets the
-    base summary instead (rollup_summary)."""
+    base summary instead (rollup_summary).  Unlike the reference we can bin
+    at ANY granularity >= the 60 s leaf width (exact aggregation, not tree
+    buckets) — a documented superset; sub-leaf requests raise the
+    reference's "sorry, too granular" error (tree.go:252-254), and
+    aligned_granularity_ns() reports what bucket width the reference would
+    have returned for a given request."""
+    if granularity_ns < TREE_LEAF_WIDTH_NS:
+        raise TooGranularError("sorry, too granular")
     df = time_range_filter(
         store.normalized().filter(F.col("topic") == topic), start_ns, end_ns
     )

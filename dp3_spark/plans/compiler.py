@@ -264,13 +264,19 @@ class Compiler:
             df = df.limit(q.limit)
 
         if q.explain:
+            # reference parity: dp3's `explain` EXECUTES the query (pulls
+            # every tuple, executor.go:62-86) and reports per-node runtime
+            # stats (nodestats.go:13-35) alongside the plan.  Mirror that:
+            # formatted plan text + executed-operator SQLMetrics.
+            from dp3_spark.plans.nodestats import executed_node_stats, render_node_stats
+
             spark = df.sparkSession
             plan_text = df._jdf.queryExecution().explainString(  # noqa: SLF001
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
             )
-            return spark.createDataFrame(
-                [(line,) for line in plan_text.splitlines()], "plan: string"
-            )
+            stats = executed_node_stats(df)
+            lines = plan_text.splitlines() + render_node_stats(stats)
+            return spark.createDataFrame([(line,) for line in lines], "plan: string")
         return df
 
     # ------------------------------------------------------------- internal

@@ -19,6 +19,7 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 ROW_SCHEMA = (
     "producer string, topic string, log_time long, sequence long, "
@@ -133,6 +134,22 @@ def read_mcap_schemas(spark: SparkSession, files: list[tuple[str, str]]) -> Data
                     rows.append((schema_hash(sc.data), sc.name, sc.encoding, sc.data))
     uniq = {r[0]: r for r in rows}
     return spark.createDataFrame(sorted(uniq.values()), SCHEMA_ROW)
+
+
+class SchemaNotFoundError(KeyError):
+    """Reference parity: GET /schemas/{hash} on an unknown hash is a 404
+    (routes/schemas.go)."""
+
+
+def schema_by_hash(registry: DataFrame, hash_: str):
+    """GET /databases/{db}/schemas/{hash} analog (routes/routes.go:57):
+    look one schema up by content hash in a registry DataFrame produced by
+    read_mcap_schemas.  Returns the Row (schema_hash, schema_name,
+    encoding, schema_data); raises SchemaNotFoundError if absent."""
+    rows = registry.filter(F.col("schema_hash") == hash_).take(1)
+    if not rows:
+        raise SchemaNotFoundError(hash_)
+    return rows[0]
 
 
 def decode_tables(

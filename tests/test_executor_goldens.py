@@ -189,3 +189,32 @@ def test_explain_returns_plan(alltypes_store):
     df = Compiler(alltypes_store).compile("explain from device t0;")
     text = "\n".join(r["plan"] for r in df.collect())
     assert "Physical Plan" in text
+    # nodestats parity (executor/nodestats.go): explain executes the query
+    # and reports per-operator runtime metrics
+    assert "Node Stats (executed)" in text
+    assert "rows=" in text
+
+
+def test_explain_node_stats_merge_asof(alltypes_store):
+    """Golden for the metrics harvest on a merge+asof pipeline: every
+    operator row has id/depth/operator/metrics, the sort that implements
+    the ordered merge reports its output rows, and the scan row count
+    matches the fixture."""
+    from dp3_spark.plans.nodestats import executed_node_stats
+
+    c = Compiler(alltypes_store)
+    df = c.compile("from device t0 precedes t1 by less than 2 nanoseconds;")
+    stats = executed_node_stats(df)
+    ops = [s["operator"] for s in stats]
+    assert any(o.startswith("Scan") for o in ops)
+    assert any("Sort" in o for o in ops)
+    for s in stats:
+        assert isinstance(s["metrics"], dict)
+        assert s["node_id"] >= 0 and s["depth"] >= 0
+    # root tuplesOut: the asof result for this query is 6 rows (JOIN_CASES)
+    assert stats[0]["operator"] == "Result" and stats[0]["rows"] == 6
+    # scan tuplesOut: full fixture is 10 topics x 5 messages
+    scans = [s for s in stats if s["operator"].startswith("Scan")]
+    assert scans and all(s["rows"] == 50 for s in scans)
+    # per-topic filters under the scans emit 5 rows each
+    assert [s["rows"] for s in stats if s["operator"] == "Filter" and s["rows"] == 5]

@@ -235,6 +235,30 @@ def test_quantiles_sketch_close_to_exact(spark):
         assert rel < 0.05, f"{q}: exact {ex[0][q]} vs sketch {sk[0][q]}"
 
 
+def test_stat_range_too_granular_error(spark):
+    """Reference parity (tree.go:252-254): StatRange finer than the 60 s
+    leaf bucket errors with 'sorry, too granular'."""
+    store = events_log_store(spark, SF, us_truncate=True)
+    with pytest.raises(ST.TooGranularError, match="too granular"):
+        ST.stat_range(
+            store, topic="click", start_ns=0, end_ns=2**62,
+            granularity_ns=10**9, numeric_fields=["value"],
+        )
+
+
+def test_aligned_granularity_node_widths(spark):
+    """Node-width alignment (tree.go:210-217): served width is the widest
+    60s*64^k level <= the requested maximum granularity."""
+    s = 10**9
+    assert ST.aligned_granularity_ns(60 * s) == 60 * s
+    assert ST.aligned_granularity_ns(3600 * s) == 60 * s        # < 3840 s
+    assert ST.aligned_granularity_ns(3840 * s) == 3840 * s      # 60*64
+    assert ST.aligned_granularity_ns(86400 * s) == 3840 * s     # < 64^2
+    assert ST.aligned_granularity_ns(3840 * 64 * s) == 3840 * 64 * s
+    with pytest.raises(ST.TooGranularError):
+        ST.aligned_granularity_ns(59 * s)
+
+
 def test_available_statistics(spark):
     store = events_log_store(spark, SF)
     rows = ST.available_statistics(store).collect()

@@ -388,3 +388,17 @@ def test_schema_registry_rows(spark, tmp_path):
     assert reg[0]["encoding"] == "ros1msg"
     assert bytes(reg[0]["schema_data"]) == NAVSATFIX.encode()
     assert reg[0]["schema_hash"] == MCAP.schema_hash(NAVSATFIX.encode())
+
+
+def test_schema_lookup_by_hash(spark, tmp_path):
+    """GET /schemas/{hash} parity (routes/routes.go:57): known hash returns
+    the schema row; unknown hash is an error, not an empty result."""
+    p = str(tmp_path / "fix.mcap")
+    _write_navsat_mcap(p)
+    reg = MCAP.read_mcap_schemas(spark, [(p, "r")])
+    h = MCAP.schema_hash(NAVSATFIX.encode())
+    row = MCAP.schema_by_hash(reg, h)
+    assert row["schema_name"] == "sensor_msgs/NavSatFix"
+    assert bytes(row["schema_data"]) == NAVSATFIX.encode()
+    with pytest.raises(MCAP.SchemaNotFoundError):
+        MCAP.schema_by_hash(reg, "0" * 64)
