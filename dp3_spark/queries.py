@@ -943,6 +943,14 @@ def sim_lsh_topk(spark, sf_dir):
     return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
+@register("sim_ivf_topk", None)  # rows-only: iterative k-means training
+def sim_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (the second at-scale family next to
+    hyperplane LSH); recall vs brute pinned in tests/test_operators.py."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, k_clusters=8, nprobe=3, iters=2)
+
+
 # =========================================================================
 # Multimodal plumbing (stubbed decode; real mapInPandas)
 # =========================================================================

@@ -205,6 +205,32 @@ def test_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, queries, k=5).collect()
+    approx = SIM.ivf_topk(emb, queries, k=5, k_clusters=8, nprobe=3, iters=2).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # probing 3 of 8 lists; true neighbors concentrate in the query's lists
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # every reported cosine must equal the exact cosine (rerank is exact)
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert abs(r["cosine"] - exact_cos[key]) < 1e-12
+
+
+def test_ivf_centroids_deterministic(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = SIM.ivf_fit_centroids(emb, k_clusters=4, iters=2)
+    b = SIM.ivf_fit_centroids(emb, k_clusters=4, iters=2)
+    assert len(a) == 4 and len(a[0]) == 64
+    assert a == b  # fixed init, stable argsort -> reproducible
+
+
 def test_stat_rollup_associativity(spark):
     store = events_log_store(spark, SF, us_truncate=True)
     hour = 3600 * 10**9
