@@ -56,6 +56,115 @@ def test_streaming_ingest_dedup(spark, tmpdir):
     assert len(got) == 1 and got[0]["hour_bucket"] == 1704067200 * 10**9
 
 
+def test_stateful_sessionize_stream(spark, tmpdir):
+    """applyInPandasWithState sessionization: same gap semantics as the
+    batch events_sessionize query, incremental with bounded per-key state.
+    With availableNow data arriving as one batch, every session followed by
+    a later event closes with closed_by='gap'; the open tail session stays
+    in state (append semantics) and is NOT emitted."""
+    from dp3_spark.streaming.sessionize import sessionize_stream
+
+    src = f"{tmpdir}/src"
+    gap = 30 * 60 * 10**9  # 30 min, like events_sessionize
+    base = 1704067200 * 10**9
+    m = 60 * 10**9
+    rows = [
+        # user 1: [0, 5, 10 min] then gap -> [60, 61 min] then gap -> [200 min] (open tail)
+        (1, base + 0 * m, 1.0), (1, base + 5 * m, 2.0), (1, base + 10 * m, 3.0),
+        (1, base + 60 * m, 4.0), (1, base + 61 * m, 5.0),
+        (1, base + 200 * m, 6.0),
+        # user 2: single event then gap -> [100 min] (open tail)
+        (2, base + 0 * m, 10.0),
+        (2, base + 100 * m, 20.0),
+    ]
+    batch = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    sessions = sessionize_stream(stream, gap_ns=gap)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows_out = spark.sql("select * from sessions_out").collect()
+    gaps = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["total_value"])
+        for r in rows_out if r["closed_by"] == "gap"
+    }
+    assert gaps == {
+        (1, base + 0 * m): (base + 10 * m, 3, 6.0),
+        (1, base + 60 * m): (base + 61 * m, 2, 9.0),
+        (2, base + 0 * m): (base + 0 * m, 1, 10.0),
+    }
+    # tail sessions may or may not have been flushed by the idle timeout
+    # (depends on wall-clock between micro-batches); if they were, they
+    # must be exactly the open tails
+    timeouts = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["total_value"])
+        for r in rows_out if r["closed_by"] == "timeout"
+    }
+    allowed = {
+        (1, base + 200 * m): (base + 200 * m, 1, 6.0),
+        (2, base + 100 * m): (base + 100 * m, 1, 20.0),
+    }
+    assert set(timeouts) <= set(allowed)
+    for k, v in timeouts.items():
+        assert v == allowed[k]
+
+
+def test_sessionizer_function_pure(spark):
+    """The state-machine itself, driven directly with a fake GroupState:
+    multi-batch accumulation, gap close across batches, timeout flush."""
+    from dp3_spark.streaming.sessionize import make_sessionizer
+
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    fn = make_sessionizer(gap_ns=100)
+    st = FakeState()
+    # batch 1: two events 50 apart -> one open session, nothing emitted
+    out1 = list(fn((7,), iter([pd.DataFrame({"user_id": [7, 7], "ts": [0, 50], "value": [1.0, 2.0]})]), st))
+    assert out1 == [] and st.get == (0, 50, 2, 3.0)
+    # batch 2: event at 500 closes the first session
+    out2 = list(fn((7,), iter([pd.DataFrame({"user_id": [7], "ts": [500], "value": [4.0]})]), st))
+    assert len(out2) == 1
+    r = out2[0].iloc[0]
+    assert (r["session_start"], r["session_end"], r["n_events"], r["total_value"], r["closed_by"]) == (
+        0, 50, 2, 3.0, "gap")
+    assert st.get == (500, 500, 1, 4.0)
+    # timeout: open session flushes and state clears
+    st.hasTimedOut = True
+    out3 = list(fn((7,), iter([]), st))
+    assert out3[0].iloc[0]["closed_by"] == "timeout"
+    assert not st.exists
+
+
 def test_summary_maintainer_foreachbatch(spark, tmpdir):
     """Micro-batch summary maintenance: partial aggregates per batch merge
     associatively to the direct summary (the ingest-time statistics path,
