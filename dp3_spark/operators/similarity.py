@@ -131,6 +131,9 @@ def lsh_topk(
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id", "q_vec", "c_vec")
         .distinct()
+        # keep the per-candidate cosine fold spread (see
+        # embedding_dup_pairs_lsh: AQE coalesces byte-small shuffles)
+        .repartition(2 * corpus.sparkSession.sparkContext.defaultParallelism)
     )
     dot_s, _ = VEC.dot("q_vec", "c_vec")
     nq_s, _ = VEC.norm("q_vec")
@@ -171,7 +174,7 @@ def embedding_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    planes: int = 16,
+    planes: int = 24,
     bands: int = 4,
 ) -> DataFrame:
     """Near-dup pairs via hyperplane-LSH banding: candidates = pairs sharing
@@ -180,16 +183,28 @@ def embedding_dup_pairs_lsh(
     The 100 TB path: candidate generation is a hash-partitioned equi-join
     on (band, key) — never all-pairs — and the exact-cosine join back to
     the vectors is a plain equi-join on id (AQE broadcasts it when small).
-    Recall for 16 planes / 4 bands at cosine 0.9 is ~95% (per-plane
-    agreement 1 - θ/π = 0.857, band hit 0.857⁴, ≥1 of 4 bands); brute
-    (`embedding_dup_pairs(method='brute')`) is the exact reference."""
-    banded = _banded_signature(df, id_col, vec_col, planes=planes, bands=bands)
+    Recall for the default 24 planes / 4 bands (6 rows per band) at
+    cosine 0.9 is ~87% (per-plane agreement 1 - θ/π = 0.857, band hit
+    0.857⁶, ≥1 of 4 bands), while random pairs collide at only
+    (1/2)⁶ × 4 ≈ 6% — rows-per-band is the candidate-precision knob, same
+    as in minhash LSH.  Brute (`embedding_dup_pairs(method='brute')`) is
+    the exact reference."""
+    # materialize signatures once: the self-join would otherwise compute
+    # the `planes` interpreted projection folds twice per vector (signature
+    # rows are (id, band, key) — bytes per vector)
+    banded = _banded_signature(df, id_col, vec_col, planes=planes, bands=bands).cache()
+    banded.count()
+    par = df.sparkSession.sparkContext.defaultParallelism
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "key"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
+        # candidate rows are byte-tiny, so AQE coalesces the post-distinct
+        # shuffle to 1-2 partitions — but the next stage folds a 64-dim
+        # cosine per pair, which must stay spread across cores
+        .repartition(2 * par)
     )
     dot_s, _ = VEC.dot("vec_a", "vec_b")
     base = _with_norm(df, vec_col).select(
@@ -311,6 +326,9 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
+        # keep the per-candidate cosine fold spread (see
+        # embedding_dup_pairs_lsh: AQE coalesces byte-small shuffles)
+        .repartition(2 * corpus.sparkSession.sparkContext.defaultParallelism)
     )
     dot_s, _ = VEC.dot("q_vec", "c_vec")
     scored = (
@@ -338,7 +356,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     method: str = "auto",
-    planes: int = 16,
+    planes: int = 24,
     bands: int = 4,
 ) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold.

@@ -6,8 +6,11 @@ Conventions that make the hash-compare work (see module docs in
 functions/text.py and catalog.events_log_store):
 - event time is µs-truncated int64 ns on both sides (DuckDB's parquet
   reader truncates ns->µs; epoch_ns(ts) == Spark's ts - ts % 1000).
-- float aggregates go through decimal(25,6)/decimal(18,2) so they are
-  exact and order-independent; raw column values pass through untouched.
+- float aggregates are made exact and order-independent before summing:
+  2-decimal money columns via fixed-point int64 cents
+  (cast(round(x*100) as bigint) — ~4x cheaper than decimal arithmetic),
+  generic doubles via decimal(25,6); raw column values pass through
+  untouched.
 - every computed column is aliased identically in both engines.
 """
 
@@ -478,25 +481,39 @@ def _sql_pair(spark_sql: str, duck_sql: str | None = None):
     return fn, (duck_sql or spark_sql)
 
 
+# money math in fixed-point int64 (cents): exact and order-independent like
+# decimal (the hash gate needs bit-identical sums vs DuckDB) but ~4x
+# cheaper — decimal sum/multiply measured 1.18s vs 0.32s for the same
+# aggregation over sf0.1 lineitem.  round() fixes the fp error of *100 on
+# 2-decimal doubles; products stay < 2^63 (price_c*204 max ~6.6e16 summed).
 _Q1 = """
+with c as (
+  select l_returnflag, l_linestatus,
+    cast(round(l_quantity * 100) as bigint) as qty_c,
+    cast(round(l_extendedprice * 100) as bigint) as price_c,
+    cast(round(l_discount * 100) as bigint) as disc_c,
+    cast(round(l_tax * 100) as bigint) as tax_c
+  from lineitem
+  where l_shipdate <= timestamp '2000-09-02 00:00:00'
+)
 select l_returnflag, l_linestatus,
-  cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,
-  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_base_price,
-  cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) as sum_disc_price,
-  cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2))) * (1 + cast(l_tax as decimal(18,2)))) as double) as sum_charge,
-  cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*) as avg_qty,
-  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) / count(*) as avg_price,
-  cast(sum(cast(l_discount as decimal(18,2))) as double) / count(*) as avg_disc,
+  cast(sum(qty_c) as double) / 100.0 as sum_qty,
+  cast(sum(price_c) as double) / 100.0 as sum_base_price,
+  cast(sum(price_c * (100 - disc_c)) as double) / 10000.0 as sum_disc_price,
+  cast(sum(price_c * (100 - disc_c) * (100 + tax_c)) as double) / 1000000.0 as sum_charge,
+  cast(sum(qty_c) as double) / 100.0 / count(*) as avg_qty,
+  cast(sum(price_c) as double) / 100.0 / count(*) as avg_price,
+  cast(sum(disc_c) as double) / 100.0 / count(*) as avg_disc,
   count(*) as count_order
-from lineitem
-where l_shipdate <= timestamp '2000-09-02 00:00:00'
+from c
 group by l_returnflag, l_linestatus
 """
 _REGISTRY["tpch_q1_pricing"] = _sql_pair(_Q1)
 
 _Q3_SPARK = """
 select o.o_orderkey,
-  cast(sum(cast(l.l_extendedprice as decimal(18,2)) * (1 - cast(l.l_discount as decimal(18,2)))) as double) as revenue,
+  cast(sum(cast(round(l.l_extendedprice * 100) as bigint)
+         * (100 - cast(round(l.l_discount * 100) as bigint))) as double) / 10000.0 as revenue,
   date_format(o.o_orderdate, 'yyyy-MM-dd') as orderdate,
   o.o_orderpriority
 from customer c join orders o on c.c_custkey = o.o_custkey
@@ -515,7 +532,8 @@ _REGISTRY["tpch_q3_shipping"] = _sql_pair(
 
 _Q5 = """
 select n.n_name,
-  cast(sum(cast(l.l_extendedprice as decimal(18,2)) * (1 - cast(l.l_discount as decimal(18,2)))) as double) as revenue
+  cast(sum(cast(round(l.l_extendedprice * 100) as bigint)
+         * (100 - cast(round(l.l_discount * 100) as bigint))) as double) / 10000.0 as revenue
 from customer c
 join orders o on c.c_custkey = o.o_custkey
 join lineitem l on l.l_orderkey = o.o_orderkey
@@ -530,7 +548,8 @@ group by n.n_name
 _REGISTRY["tpch_q5_region_revenue"] = _sql_pair(_Q5)
 
 _Q6 = """
-select cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(l_discount as decimal(18,2))) as double) as revenue,
+select cast(sum(cast(round(l_extendedprice * 100) as bigint)
+         * cast(round(l_discount * 100) as bigint)) as double) / 10000.0 as revenue,
        count(*) as n
 from lineitem
 where l_shipdate >= timestamp '1996-01-01 00:00:00'
@@ -542,7 +561,8 @@ _REGISTRY["tpch_q6_forecast"] = _sql_pair(_Q6)
 
 _Q10_SPARK = """
 select c.c_custkey, c.c_name,
-  cast(sum(cast(l.l_extendedprice as decimal(18,2)) * (1 - cast(l.l_discount as decimal(18,2)))) as double) as revenue,
+  cast(sum(cast(round(l.l_extendedprice * 100) as bigint)
+         * (100 - cast(round(l.l_discount * 100) as bigint))) as double) / 10000.0 as revenue,
   c.c_acctbal, n.n_name
 from customer c
 join orders o on c.c_custkey = o.o_custkey
@@ -572,7 +592,7 @@ _ROLLUP = """
 select coalesce(l_returnflag, 'ALL') as returnflag,
        coalesce(l_linestatus, 'ALL') as linestatus,
        count(*) as n,
-       cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty
+       cast(sum(cast(round(l_quantity * 100) as bigint)) as double) / 100.0 as sum_qty
 from lineitem
 group by rollup (l_returnflag, l_linestatus)
 """
@@ -925,7 +945,7 @@ def _lsh_dup_oracle(threshold: float, planes: int = 16, bands: int = 4) -> str:
     """
 
 
-@register("sim_dup_pairs_lsh", _lsh_dup_oracle(0.4))
+@register("sim_dup_pairs_lsh", _lsh_dup_oracle(0.4, planes=24))
 def sim_dup_pairs_lsh(spark, sf_dir):
     """The at-scale near-dup path: banded candidate join instead of the
     brute all-pairs loop sim_dup_pairs uses.  Threshold 0.4 matches the
