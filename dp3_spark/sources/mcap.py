@@ -165,16 +165,18 @@ def decode_tables(
     The message scan happens ONCE; each schema's slice is filtered from it
     by schema_hash (a pushable predicate) and decoded with the compiled
     decoder for that schema (sources/rosdecode.py).  Schemas that are not
-    ros1msg-decodable are returned raw (data stays binary)."""
+    ros1msg/ros2msg-decodable are returned raw (data stays binary)."""
     from dp3_spark.sources.msgdef import MsgDefError, parse_schema
-    from dp3_spark.sources.rosdecode import decode_ros1
+    from dp3_spark.sources.rosdecode import decode_ros1, decode_ros2
 
+    decoders = {"ros1msg": decode_ros1, "ros2msg": decode_ros2}
     raw = read_mcap(spark, files, decoder)
     registry = read_mcap_schemas(spark, files).collect()
     out: dict[str, DataFrame] = {}
     for row in registry:
         subset = raw.filter(raw.schema_hash == row.schema_hash)
-        if row.encoding != "ros1msg":
+        decode = decoders.get(row.encoding)
+        if decode is None:
             out[row.schema_name] = subset
             continue
         try:
@@ -182,5 +184,5 @@ def decode_tables(
         except MsgDefError:
             out[row.schema_name] = subset
             continue
-        out[row.schema_name] = decode_ros1(subset, schema)
+        out[row.schema_name] = decode(subset, schema)
     return out

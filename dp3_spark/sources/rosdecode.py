@@ -64,6 +64,13 @@ _SIZE = {c: struct.calcsize("<" + c) for c in "bBhHiIqQfd"}
 
 _BYTEISH = ("uint8", "char", "byte")
 
+_PRIM_BYTES = {
+    "int8": 1, "uint8": 1, "char": 1, "byte": 1, "bool": 1,
+    "int16": 2, "uint16": 2,
+    "int32": 4, "uint32": 4, "float32": 4,
+    "int64": 8, "uint64": 8, "float64": 8,
+}
+
 
 class RosDecodeError(ValueError):
     pass
@@ -75,10 +82,27 @@ class RosDecodeError(ValueError):
 class _RowGen:
     """Generates the body of `def _decode(buf):` for one schema.  Adjacent
     fixed-width leaves coalesce into a single precompiled struct.Struct
-    unpack; variable-length content flushes the pending run first."""
+    unpack; variable-length content flushes the pending run first.
 
-    def __init__(self) -> None:
-        self.lines: list[str] = ["def _decode(buf):", "    off = 0"]
+    cdr=True switches to ROS2 XCDR1 little-endian wire rules: a 4-byte
+    encapsulation header, each primitive aligned to its size (relative to
+    the post-header payload start), strings NUL-terminated with the NUL
+    counted in the length prefix.  Alignment padding is folded into the
+    coalesced unpack runs ('x' pad codes) while the offset is statically
+    known, and becomes a runtime `off += (-off) % n` once a
+    variable-length field has made it dynamic."""
+
+    def __init__(self, *, cdr: bool = False) -> None:
+        self.cdr = cdr
+        self.lines: list[str] = ["def _decode(buf):"]
+        if cdr:
+            self.lines += [
+                "    if len(buf) < 4 or buf[1] != 1:",
+                "        raise RosDecodeError('unsupported CDR encapsulation "
+                "(only XCDR1 little-endian)')",
+                "    buf = memoryview(buf)[4:]",
+            ]
+        self.lines.append("    off = 0")
         self.indent = 1
         self.ns: dict[str, object] = {
             "_struct": struct,
@@ -88,6 +112,27 @@ class _RowGen:
         self.n = 0
         # pending: (fmt, nvals, kind, var)
         self.pending: list[tuple[str, int, str, str]] = []
+        # offset mod 8, when statically known (cdr alignment tracking)
+        self.rel: int | None = 0
+
+    # --------------------------------------------------- cdr alignment
+    def align(self, n: int) -> None:
+        if not self.cdr or n <= 1:
+            return
+        if self.rel is not None:
+            pad = (-self.rel) % n
+            if pad:
+                self.pending.append((f"{pad}x", 0, "pad", ""))
+            self.rel = (self.rel + pad) % 8
+        else:
+            self.flush()
+            self.w(f"off += (-off) % {n}")
+            if n == 8:
+                self.rel = 0
+
+    def advance(self, nbytes: int) -> None:
+        if self.cdr and self.rel is not None:
+            self.rel = (self.rel + nbytes) % 8
 
     def var(self) -> str:
         self.n += 1
@@ -113,7 +158,9 @@ class _RowGen:
         self.w(f"{t} = {sname}.unpack_from(buf, off); off += {size}")
         i = 0
         for _, nvals, kind, var in self.pending:
-            if kind == "scalar":
+            if kind == "pad":
+                pass
+            elif kind == "scalar":
                 self.w(f"{var} = {t}[{i}]")
             elif kind == "bool":
                 self.w(f"{var} = {t}[{i}] != 0")
@@ -145,26 +192,42 @@ class _RowGen:
 
     # ------------------------------------------------------------ emitters
     def emit_string(self, var: str) -> None:
+        self.align(4)
         self.flush()
         self.n += 1
         ln = f"_n{self.n}"
         self.w(f"({ln},) = _U32.unpack_from(buf, off); off += 4")
-        self.w(
-            f"{var} = bytes(buf[off:off + {ln}]).decode('utf-8', 'replace'); "
-            f"off += {ln}"
-        )
+        if self.cdr:
+            # length prefix counts the trailing NUL; the value excludes it
+            self.w(
+                f"{var} = bytes(buf[off:off + {ln} - 1]).decode('utf-8', 'replace') "
+                f"if {ln} else ''; off += {ln}"
+            )
+        else:
+            self.w(
+                f"{var} = bytes(buf[off:off + {ln}]).decode('utf-8', 'replace'); "
+                f"off += {ln}"
+            )
+        self.rel = None
 
     def emit_primitive(self, prim: str, var: str) -> None:
         if prim in ("string", "wstring"):
             self.emit_string(var)
         elif prim in ("time", "duration"):
+            self.align(4)
             self.pending.append(("II", 2, "time", var))
+            self.advance(8)
         elif prim == "bool":
             self.pending.append(("B", 1, "bool", var))
+            self.advance(1)
         elif prim == "uint64":
+            self.align(8)
             self.pending.append(("Q", 1, "u64", var))
+            self.advance(8)
         else:
+            self.align(_PRIM_BYTES[prim])
             self.pending.append((_FMT[prim], 1, "scalar", var))
+            self.advance(_PRIM_BYTES[prim])
 
     def emit_record(self, t: MsgType, var: str) -> None:
         subvars = []
@@ -176,38 +239,55 @@ class _RowGen:
         body = ", ".join(f"{name!r}: {sv}" for name, sv in subvars)
         self.w(f"{var} = {{{body}}}")
 
+    def _emit_count(self) -> str:
+        """u32 element count (aligned in cdr mode)."""
+        self.align(4)
+        self.flush()
+        self.n += 1
+        ln = f"_n{self.n}"
+        self.w(f"({ln},) = _U32.unpack_from(buf, off); off += 4")
+        self.advance(4)
+        return ln
+
     def emit_array(self, t: MsgType, var: str) -> None:
         items = t.items
         n = t.fixed_size
         if items.is_primitive and items.primitive in _BYTEISH and not (0 < n < 10):
             # byte-array blob (parser.go:505-507)
-            self.flush()
             if n:
+                self.flush()
                 self.w(f"{var} = bytes(buf[off:off + {n}]); off += {n}")
+                self.advance(n)
             else:
-                self.n += 1
-                ln = f"_n{self.n}"
-                self.w(f"({ln},) = _U32.unpack_from(buf, off); off += 4")
+                ln = self._emit_count()
                 self.w(f"{var} = bytes(buf[off:off + {ln}]); off += {ln}")
+                self.rel = None
             return
         if items.is_primitive and items.primitive not in ("string", "wstring"):
             prim = items.primitive
             ch = _FMT.get(prim)  # None for time/duration (handled below)
             if n:  # fixed: joins the pending fixed run
                 if prim in ("time", "duration"):
+                    self.align(4)
                     self.pending.append((f"{2 * n}I", 2 * n, "timelist", var))
+                    self.advance(8 * n)
                 elif prim == "bool":
                     self.pending.append((f"{n}{ch}", n, "boollist", var))
+                    self.advance(n)
                 elif prim == "uint64":
+                    self.align(8)
                     self.pending.append((f"{n}{ch}", n, "u64list", var))
+                    self.advance(8 * n)
                 else:
+                    self.align(_PRIM_BYTES[prim])
                     self.pending.append((f"{n}{ch}", n, "list", var))
+                    self.advance(n * _PRIM_BYTES[prim])
                 return
             # varlen primitive array
-            self.flush()
-            self.n += 1
-            ln = f"_n{self.n}"
-            self.w(f"({ln},) = _U32.unpack_from(buf, off); off += 4")
+            ln = self._emit_count()
+            if self.cdr and prim in ("int64", "uint64", "float64"):
+                # elements re-align to 8 after the 4-byte count
+                self.w(f"if {ln}: off += (-off) % 8")
             if prim in ("time", "duration"):
                 self.n += 1
                 tmp = f"_t{self.n}"
@@ -232,25 +312,26 @@ class _RowGen:
                         f"if any(x > {_I64_MAX} for x in {var}): "
                         f"raise RosDecodeError('uint64 value overflows bigint')"
                     )
+            self.rel = None
             return
         # loop path: arrays of strings or records
-        self.flush()
         if n:
+            self.flush()
             count = str(n)
         else:
-            self.n += 1
-            ln = f"_n{self.n}"
-            self.w(f"({ln},) = _U32.unpack_from(buf, off); off += 4")
-            count = ln
+            count = self._emit_count()
         self.w(f"{var} = []")
         self.n += 1
         self.w(f"for _i{self.n} in range({count}):")
         self.indent += 1
+        # the body executes repeatedly: offsets inside it are never static
+        self.rel = None
         sv = self.var()
         self.emit_type(items, sv)
         self.flush()
         self.w(f"{var}.append({sv})")
         self.indent -= 1
+        self.rel = None
 
     def emit_type(self, t: MsgType, var: str) -> None:
         if t.is_primitive:
@@ -263,9 +344,8 @@ class _RowGen:
             raise RosDecodeError(f"cannot decode type {t!r}")
 
 
-def compile_row_decoder(schema: MsgSchema):
-    """-> callable(bytes) -> dict keyed by top-level field name."""
-    g = _RowGen()
+def _compile(schema: MsgSchema, *, cdr: bool):
+    g = _RowGen(cdr=cdr)
     tops = []
     for f in schema.fields:
         v = g.var()
@@ -279,6 +359,20 @@ def compile_row_decoder(schema: MsgSchema):
     fn = g.ns["_decode"]
     fn.__source__ = src  # aid debugging
     return fn
+
+
+def compile_row_decoder(schema: MsgSchema):
+    """-> callable(bytes) -> dict keyed by top-level field name (ROS1)."""
+    return _compile(schema, cdr=False)
+
+
+def compile_cdr_row_decoder(schema: MsgSchema):
+    """ROS2 variant: XCDR1 little-endian CDR, the wire format of ros2msg
+    payloads in MCAP.  Beyond-reference: the reference parses ros2msg
+    schema TEXT (util/ros2msg/transform.go) but implements a payload
+    Decoder only for ros1 (util/ros1msg/parser.go) — here both wire
+    formats decode through the same compiled-decoder machinery."""
+    return _compile(schema, cdr=True)
 
 
 # ==================================================== vectorized decoder
@@ -341,6 +435,89 @@ def schema_np_dtype(schema: MsgSchema) -> np.dtype | None:
         fields.append((f.name, sub))
     try:
         return np.dtype(fields)
+    except (TypeError, ValueError):  # pragma: no cover
+        return None
+
+
+_NP_SIZE = {
+    "int8": 1, "uint8": 1, "char": 1, "byte": 1, "bool": 1,
+    "int16": 2, "uint16": 2,
+    "int32": 4, "uint32": 4, "float32": 4,
+    "int64": 8, "uint64": 8, "float64": 8,
+}
+
+
+def _cdr_layout(t: MsgType, off: int):
+    """(dtype-like, aligned start, end) for fixed-width types under CDR
+    alignment rules, or None for varlen content / arrays of records (the
+    row decoder handles those)."""
+    if t.is_primitive:
+        p = t.primitive
+        if p in ("string", "wstring"):
+            return None
+        if p in ("time", "duration"):
+            off += (-off) % 4
+            return np.dtype([("sec", "<u4"), ("nsec", "<u4")]), off, off + 8
+        size = _NP_SIZE[p]
+        off += (-off) % size
+        return np.dtype(_NP_FMT[p]), off, off + size
+    if t.array:
+        n = t.fixed_size
+        if n == 0:
+            return None
+        if t.items.is_primitive and t.items.primitive in _BYTEISH and not (0 < n < 10):
+            return None  # binary blob: row decoder
+        if t.items.is_primitive:
+            p = t.items.primitive
+            if p in ("string", "wstring"):
+                return None
+            if p in ("time", "duration"):
+                inner, align, size = np.dtype([("sec", "<u4"), ("nsec", "<u4")]), 4, 8
+            else:
+                inner, align, size = np.dtype(_NP_FMT[p]), _NP_SIZE[p], _NP_SIZE[p]
+            # packed once the first element is aligned (stride == size for
+            # every CDR primitive incl. the 8-byte 4-aligned time pair)
+            off += (-off) % align
+            return np.dtype((inner, (n,))), off, off + n * size
+        return None  # arrays of records: per-element realignment
+    if t.record:
+        names, formats, offsets = [], [], []
+        cur = off
+        for f in t.fields:
+            sub = _cdr_layout(f.type, cur)
+            if sub is None:
+                return None
+            fmt, fstart, fend = sub
+            names.append(f.name)
+            formats.append(fmt)
+            offsets.append(fstart - off)
+            cur = fend
+        spec = np.dtype(
+            {"names": names, "formats": formats, "offsets": offsets, "itemsize": cur - off}
+        )
+        return spec, off, cur
+    return None
+
+
+def cdr_np_dtype(schema: MsgSchema) -> np.dtype | None:
+    """Whole-message structured dtype for fixed-width CDR payloads: explicit
+    field offsets encode the alignment padding, and the 4-byte encapsulation
+    header is skipped by shifting every top-level offset."""
+    names, formats, offsets = [], [], []
+    cur = 0
+    for f in schema.fields:
+        sub = _cdr_layout(f.type, cur)
+        if sub is None:
+            return None
+        fmt, fstart, fend = sub
+        names.append(f.name)
+        formats.append(fmt)
+        offsets.append(4 + fstart)
+        cur = fend
+    try:
+        return np.dtype(
+            {"names": names, "formats": formats, "offsets": offsets, "itemsize": 4 + cur}
+        )
     except (TypeError, ValueError):  # pragma: no cover
         return None
 
@@ -434,21 +611,28 @@ def _arrow_type(t: MsgType) -> pa.DataType:
 META_COLS = ("producer", "topic", "log_time", "sequence")
 
 
-def decode_ros1(
+def _pad_dtype(dt: np.dtype, itemsize: int) -> np.dtype:
+    """Same field layout, wider record (uniform trailing padding)."""
+    if itemsize == dt.itemsize:
+        return dt
+    return np.dtype(
+        {
+            "names": list(dt.names),
+            "formats": [dt.fields[n][0] for n in dt.names],
+            "offsets": [dt.fields[n][1] for n in dt.names],
+            "itemsize": itemsize,
+        }
+    )
+
+
+def _decode_impl(
     df: DataFrame,
     schema: MsgSchema,
     *,
-    data_col: str = "data",
-    meta_cols: tuple[str, ...] = META_COLS,
+    cdr: bool,
+    data_col: str,
+    meta_cols: tuple[str, ...],
 ) -> DataFrame:
-    """Decode the binary `data_col` of an imported-MCAP DataFrame into typed
-    top-level columns per schema field (nested structs for records, arrays
-    for array fields) — the analog of the reference's decode-on-read
-    (executor/expression.go:141-152), but materialized once per scan and
-    fully Arrow-batched.
-
-    All rows MUST carry payloads of this schema (filter by schema_hash
-    first; see `dp3_spark.sources.mcap.decode_tables`)."""
     payload_struct = spark_struct(schema)
     for f in payload_struct.fieldNames():
         if f in meta_cols or f == data_col:
@@ -464,31 +648,56 @@ def decode_ros1(
         )
     )
     arrow_types = [(f.name, _arrow_type(f.type)) for f in schema.fields]
-    vec_dtype = schema_np_dtype(schema)
+    vec_dtype = cdr_np_dtype(schema) if cdr else schema_np_dtype(schema)
     names = list(meta_cols) + [n for n, _ in arrow_types]
     msg_fields = list(schema.fields)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # compiled per executor: the generated decoder holds struct.Struct
         # objects, which don't pickle — the (picklable) MsgSchema ships
-        # instead and compiles once per task
-        row_decode = None if vec_dtype is not None else compile_row_decoder(schema)
+        # instead and compiles lazily once per task
+        row_decode = None
         for b in batches:
             nrows = b.num_rows
             if nrows == 0:
                 continue
             payloads = b.column(b.schema.get_field_index(data_col)).to_pylist()
             meta_arrays = [b.column(b.schema.get_field_index(c)) for c in meta_cols]
+            use_vec = False
+            blob = None
             if vec_dtype is not None:
-                blob = b"".join(payloads)
-                if len(blob) != nrows * vec_dtype.itemsize:
-                    raise RosDecodeError(
-                        f"fixed-width schema {schema.name}: payload bytes "
-                        f"{len(blob)} != {nrows} rows * {vec_dtype.itemsize}"
+                sizes = {len(p) for p in payloads}
+                if cdr:
+                    # CDR serializers may pad the tail (encapsulation options);
+                    # a uniform size >= the layout vectorizes with a widened
+                    # record, anything ragged falls back to the row decoder
+                    use_vec = (
+                        len(sizes) == 1 and next(iter(sizes)) >= vec_dtype.itemsize
                     )
-                rec = np.frombuffer(blob, dtype=vec_dtype)
+                else:
+                    blob = b"".join(payloads)
+                    if len(blob) != nrows * vec_dtype.itemsize:
+                        raise RosDecodeError(
+                            f"fixed-width schema {schema.name}: payload bytes "
+                            f"{len(blob)} != {nrows} rows * {vec_dtype.itemsize}"
+                        )
+                    use_vec = True
+            if use_vec:
+                if blob is None:
+                    blob = b"".join(payloads)
+                dt = _pad_dtype(vec_dtype, len(blob) // nrows)
+                if cdr:
+                    hdr = np.frombuffer(blob, np.uint8).reshape(nrows, dt.itemsize)
+                    if not (hdr[:, 1] == 1).all():
+                        raise RosDecodeError(
+                            "unsupported CDR encapsulation (only XCDR1 "
+                            "little-endian)"
+                        )
+                rec = np.frombuffer(blob, dtype=dt)
                 cols = [_np_to_arrow(f.type, rec[f.name]) for f in msg_fields]
             else:
+                if row_decode is None:
+                    row_decode = _compile(schema, cdr=cdr)
                 dicts = [row_decode(p) for p in payloads]
                 cols = [
                     pa.array([d[name] for d in dicts], type=typ)
@@ -497,6 +706,41 @@ def decode_ros1(
             yield pa.RecordBatch.from_arrays(meta_arrays + cols, names)
 
     return df.mapInArrow(fn, out_schema_ddl)
+
+
+def decode_ros1(
+    df: DataFrame,
+    schema: MsgSchema,
+    *,
+    data_col: str = "data",
+    meta_cols: tuple[str, ...] = META_COLS,
+) -> DataFrame:
+    """Decode the binary `data_col` of an imported-MCAP DataFrame into typed
+    top-level columns per schema field (nested structs for records, arrays
+    for array fields) — the analog of the reference's decode-on-read
+    (executor/expression.go:141-152), but materialized once per scan and
+    fully Arrow-batched.
+
+    All rows MUST carry payloads of this schema (filter by schema_hash
+    first; see `dp3_spark.sources.mcap.decode_tables`)."""
+    return _decode_impl(df, schema, cdr=False, data_col=data_col, meta_cols=meta_cols)
+
+
+def decode_ros2(
+    df: DataFrame,
+    schema: MsgSchema,
+    *,
+    data_col: str = "data",
+    meta_cols: tuple[str, ...] = META_COLS,
+) -> DataFrame:
+    """ROS2 variant of `decode_ros1` for CDR (XCDR1 little-endian) payloads
+    — the wire format of `ros2msg`-schema messages in MCAP.  Fixed-width
+    schemas take the numpy path via an offset-explicit dtype that encodes
+    the alignment padding (`cdr_np_dtype`); everything else runs the
+    compiled row decoder.  Beyond-reference: the reference parses ros2msg
+    schema text but decodes payloads only for ros1 (util/ros2msg/
+    transform.go vs util/ros1msg/parser.go)."""
+    return _decode_impl(df, schema, cdr=True, data_col=data_col, meta_cols=meta_cols)
 
 
 # ============================================================== encoder
@@ -550,3 +794,67 @@ def ros1_encode(schema: MsgSchema, msg: dict) -> bytes:
     for f in schema.fields:
         enc(f.type, msg[f.name])
     return bytes(out)
+
+
+CDR_HEADER = b"\x00\x01\x00\x00"  # XCDR1 little-endian, no options
+
+
+def cdr_encode(schema: MsgSchema, msg: dict) -> bytes:
+    """Serialize a message dict into ROS2 CDR (XCDR1 little-endian) wire
+    format — inverse of `compile_cdr_row_decoder`, used for tests and
+    fixture generation.  Alignment is relative to the post-encapsulation
+    payload start; strings carry a counted trailing NUL."""
+    out = bytearray()
+
+    def align(n: int) -> None:
+        out.extend(b"\x00" * ((-len(out)) % n))
+
+    def enc(t: MsgType, v) -> None:
+        if t.is_primitive:
+            p = t.primitive
+            if p in ("string", "wstring"):
+                b = v.encode("utf-8") + b"\x00"
+                align(4)
+                out.extend(struct.pack("<I", len(b)))
+                out.extend(b)
+            elif p in ("time", "duration"):
+                align(4)
+                out.extend(struct.pack("<II", v // 1_000_000_000, v % 1_000_000_000))
+            elif p == "bool":
+                out.append(1 if v else 0)
+            else:
+                align(_PRIM_BYTES[p])
+                out.extend(struct.pack("<" + _FMT[p], v))
+            return
+        if t.array:
+            if isinstance(v, (bytes, bytearray)):
+                if t.fixed_size:
+                    if len(v) != t.fixed_size:
+                        raise RosDecodeError(
+                            f"fixed array needs {t.fixed_size} bytes, got {len(v)}"
+                        )
+                else:
+                    align(4)
+                    out.extend(struct.pack("<I", len(v)))
+                out.extend(v)
+                return
+            if t.fixed_size:
+                if len(v) != t.fixed_size:
+                    raise RosDecodeError(
+                        f"fixed array needs {t.fixed_size} items, got {len(v)}"
+                    )
+            else:
+                align(4)
+                out.extend(struct.pack("<I", len(v)))
+            for item in v:
+                enc(t.items, item)
+            return
+        if t.record:
+            for f in t.fields:
+                enc(f.type, v[f.name])
+            return
+        raise RosDecodeError(f"cannot encode type {t!r}")  # pragma: no cover
+
+    for f in schema.fields:
+        enc(f.type, msg[f.name])
+    return bytes(CDR_HEADER + out)

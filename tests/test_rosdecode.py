@@ -402,3 +402,205 @@ def test_schema_lookup_by_hash(spark, tmp_path):
     assert bytes(row["schema_data"]) == NAVSATFIX.encode()
     with pytest.raises(MCAP.SchemaNotFoundError):
         MCAP.schema_by_hash(reg, "0" * 64)
+
+
+# ------------------------------------------------------------- ros2 / CDR
+
+from dp3_spark.sources.rosdecode import (  # noqa: E402
+    cdr_encode,
+    cdr_np_dtype,
+    compile_cdr_row_decoder,
+    decode_ros2,
+)
+
+CDR_VARLEN_DEF = """\
+uint8 tiny
+float64 big
+float32[3] cov
+string name
+float64[] samples
+Inner inner
+bool ok
+string[] tags
+int16 end
+================================================================================
+MSG: test/Inner
+uint8 a
+int64 b
+uint16[] c
+"""
+
+CDR_FIXED_DEF = """\
+uint8 tiny
+float64 big
+int16 half
+Inner2 pose
+float32[3] cov
+bool ok
+================================================================================
+MSG: test/Inner2
+int32 sec
+uint32 nanosec
+float64 x
+"""
+
+
+def _cdr_varlen_msg(i=0):
+    return {
+        "tiny": 7 + i,
+        "big": 3.5 + i,
+        "cov": [1.0 + i, 2.0, 3.0],
+        "name": f"héllo{i}",
+        "samples": [1.5, -2.5, 9.25][: i % 4],
+        "inner": {"a": 200, "b": -(1 << 40) - i, "c": [1, 2, 65535]},
+        "ok": i % 2 == 0,
+        "tags": ["a", "", "xyz"][: (i + 1) % 4],
+        "end": -5 * i,
+    }
+
+
+def _cdr_fixed_msg(i=0):
+    return {
+        "tiny": 9 + i,
+        "big": -1.25 * i,
+        "half": -7 + i,
+        "pose": {"sec": 123 + i, "nanosec": 456, "x": 2.5 + i},
+        "cov": [0.5 + i, 1.5, 2.5],
+        "ok": i % 2 == 1,
+    }
+
+
+def test_cdr_roundtrip_varlen():
+    """Alignment stress: u8→f64 (7 pad), 8-byte realign after a varlen
+    count, NUL-counted strings, nested record with trailing varlen."""
+    s = parse_ros2msg("test", "M", CDR_VARLEN_DEF)
+    dec = compile_cdr_row_decoder(s)
+    for i in range(5):
+        m = _cdr_varlen_msg(i)
+        assert dec(cdr_encode(s, m)) == m
+    assert cdr_np_dtype(s) is None  # strings are varlen
+
+
+def test_cdr_vector_dtype_matches_wire():
+    s = parse_ros2msg("test", "M2", CDR_FIXED_DEF)
+    dt = cdr_np_dtype(s)
+    m = _cdr_fixed_msg(3)
+    buf = cdr_encode(s, m)
+    assert dt is not None and dt.itemsize == len(buf)
+    import numpy as np
+
+    rec = np.frombuffer(buf, dtype=dt)
+    assert rec["big"][0] == m["big"]
+    assert rec["pose"]["x"][0] == m["pose"]["x"]
+    assert list(rec["cov"][0]) == m["cov"]
+    assert compile_cdr_row_decoder(s)(buf) == m
+
+
+def test_cdr_bad_encapsulation():
+    s = parse_ros2msg("test", "M2", CDR_FIXED_DEF)
+    dec = compile_cdr_row_decoder(s)
+    good = cdr_encode(s, _cdr_fixed_msg())
+    with pytest.raises(RosDecodeError, match="encapsulation"):
+        dec(b"\x00\x00" + good[2:])  # big-endian flag
+
+
+def _ros2_rows(s, msgs, pad=0):
+    return [
+        (
+            "dev",
+            "/imu",
+            100 + i,
+            i,
+            "test/M",
+            "h",
+            cdr_encode(s, m) + b"\x00" * pad,
+        )
+        for i, m in enumerate(msgs)
+    ]
+
+
+def test_decode_ros2_vectorized_e2e(spark):
+    s = parse_ros2msg("test", "M2", CDR_FIXED_DEF)
+    msgs = [_cdr_fixed_msg(i) for i in range(7)]
+    df = spark.createDataFrame(_ros2_rows(s, msgs), MCAP.ROW_SCHEMA)
+    out = decode_ros2(df, s).orderBy("sequence").collect()
+    for r, m in zip(out, msgs):
+        assert r["big"] == m["big"] and r["tiny"] == m["tiny"]
+        assert r["pose"]["sec"] == m["pose"]["sec"]
+        assert r["pose"]["x"] == m["pose"]["x"]
+        assert r["cov"] == m["cov"] and r["ok"] == m["ok"]
+
+
+def test_decode_ros2_uniform_trailing_pad(spark):
+    """CDR serializers may pad the tail to 4 bytes — uniform pad still
+    takes the vectorized path (widened record)."""
+    s = parse_ros2msg("test", "M2", CDR_FIXED_DEF)
+    msgs = [_cdr_fixed_msg(i) for i in range(4)]
+    df = spark.createDataFrame(_ros2_rows(s, msgs, pad=3), MCAP.ROW_SCHEMA)
+    out = decode_ros2(df, s).orderBy("sequence").collect()
+    assert [r["half"] for r in out] == [m["half"] for m in msgs]
+
+
+def test_decode_ros2_varlen_e2e(spark):
+    s = parse_ros2msg("test", "M", CDR_VARLEN_DEF)
+    msgs = [_cdr_varlen_msg(i) for i in range(6)]
+    df = spark.createDataFrame(_ros2_rows(s, msgs), MCAP.ROW_SCHEMA)
+    out = decode_ros2(df, s).orderBy("sequence").collect()
+    for r, m in zip(out, msgs):
+        assert r["name"] == m["name"]
+        assert r["samples"] == m["samples"]
+        assert r["inner"]["b"] == m["inner"]["b"]
+        assert r["inner"]["c"] == m["inner"]["c"]
+        assert r["tags"] == m["tags"]
+        assert r["end"] == m["end"]
+
+
+IMU_ROS2 = """\
+std_msgs/Header header
+float64[4] orientation
+float64[3] angular_velocity
+================================================================================
+MSG: std_msgs/Header
+builtin_interfaces/Time stamp
+string frame_id
+================================================================================
+MSG: builtin_interfaces/Time
+int32 sec
+uint32 nanosec
+"""
+
+
+def test_mcap_ros2_decode_tables(spark, tmp_path):
+    """End-to-end: chunked MCAP with a ros2msg schema + CDR payloads →
+    decode_tables → typed nested columns, QL-addressable."""
+    s = parse_ros2msg("sensor_msgs", "Imu", IMU_ROS2)
+    msgs = []
+    for i in range(15):
+        payload = cdr_encode(
+            s,
+            {
+                "header": {
+                    "stamp": {"sec": 1_600_000_000 + i, "nanosec": 17 * i},
+                    "frame_id": "imu",
+                },
+                "orientation": [0.0, 0.0, 0.0, 1.0 + i],
+                "angular_velocity": [0.1 * i, -0.1 * i, 0.0],
+            },
+        )
+        msgs.append(McapMessage(1, i, 2000 + i, 2000 + i, payload))
+    p = str(tmp_path / "imu.mcap")
+    with open(p, "wb") as f:
+        write_mcap(
+            f,
+            [McapSchema(1, "sensor_msgs/Imu", "ros2msg", IMU_ROS2.encode())],
+            [McapChannel(1, 1, "/imu", "cdr")],
+            msgs,
+        )
+    tables = MCAP.decode_tables(spark, [(p, "bot2")])
+    assert set(tables) == {"sensor_msgs/Imu"}
+    rows = tables["sensor_msgs/Imu"].orderBy("sequence").collect()
+    assert len(rows) == 15
+    assert rows[4]["header"]["stamp"]["sec"] == 1_600_000_004
+    assert rows[4]["header"]["frame_id"] == "imu"
+    assert rows[4]["orientation"][3] == 5.0
+    assert rows[4]["angular_velocity"][0] == pytest.approx(0.4)
