@@ -209,6 +209,7 @@ def _resolve(
     subdeps: dict[str, tuple[str, list]],
     *,
     ros2: bool,
+    _stack: tuple = (),
 ) -> MsgType:
     if base in PRIMITIVES:
         return MsgType(primitive=base)
@@ -216,11 +217,19 @@ def _resolve(
     key = base if base in subdeps else f"{pkg}/{base}"
     if key not in subdeps:
         raise MsgDefError(f"failed to resolve subdep {pkg}/{base}")
+    if key in _stack:
+        # recursive definitions cannot exist on the wire; a malformed
+        # schema must error cleanly, not blow the stack
+        raise MsgDefError(f"recursive message definition: {key}")
+    _stack = _stack + (key,)
     sub_pkg_name, sub_fields = subdeps[key]
     sub_pkg = sub_pkg_name.split("/")[0]
     fields = []
     for b, arr, fixed, bounded, bound, sbound, name, default in sub_fields:
-        t = _make_type(sub_pkg, b, arr, fixed, bounded, bound, sbound, subdeps, ros2=ros2)
+        t = _make_type(
+            sub_pkg, b, arr, fixed, bounded, bound, sbound, subdeps,
+            ros2=ros2, _stack=_stack,
+        )
         fields.append(MsgField(name, t, default))
     return MsgType(record=True, fields=tuple(fields))
 
@@ -236,8 +245,9 @@ def _make_type(
     subdeps: dict,
     *,
     ros2: bool,
+    _stack: tuple = (),
 ) -> MsgType:
-    inner = _resolve(pkg, base, subdeps, ros2=ros2)
+    inner = _resolve(pkg, base, subdeps, ros2=ros2, _stack=_stack)
     if sbound:
         inner = MsgType(primitive=inner.primitive, bounded=True, size_bound=sbound)
     if arr:
