@@ -203,12 +203,33 @@ class VersionedLogTable:
 
     def tail(self, from_version: int) -> DataFrame:
         """Rows ingested after `from_version` — the export/tail polling
-        loop (cli/cmd/tail.go:29-97).  A Structured Streaming `readStream`
-        over the data dir is the push-based upgrade."""
+        loop (cli/cmd/tail.go:29-97).  `tail_stream` is the push-based
+        upgrade."""
         df = self._data()
         if df is None:
             raise FileNotFoundError(f"no data at {self.data_path}")
         return df.filter(F.col("version") > from_version)
+
+    def tail_stream(self, from_version: int = 0) -> DataFrame:
+        """Push-based tail: a Structured Streaming file source over the
+        data dir.  Every `append()` lands new parquet files, which arrive
+        as micro-batches — real streaming instead of the reference's
+        client-side export-version polling (cli/cmd/tail.go:29-97; the
+        SURVEY §2.5 mapping).  Attach any sink (`foreachBatch`, kafka,
+        console); `from_version` skips rows already consumed, exactly like
+        the polling loop's version cursor.
+
+        At scale the file source checkpoints its processed-file log, so a
+        restarted tail resumes where it left off without re-reading the
+        table — pass `.option("checkpointLocation", ...)` on the writer."""
+        df = self._data()
+        if df is None:
+            raise FileNotFoundError(f"no data at {self.data_path}")
+        stream = (
+            self.spark.readStream.schema(df.schema)
+            .parquet(self._resolve_data_path())
+        )
+        return stream.filter(F.col("version") > from_version)
 
     # ---------------------------------------------------------- maintain
     def compact(self) -> None:

@@ -151,3 +151,30 @@ def test_json_nanos_exact_near_second_boundary(spark):
     df = mkbatch(spark, "/fix", [1_704_412_799_999_999_872])
     shaped = to_json_shape(df).collect()
     assert shaped[0]["log_time"] == "1704412799.999999872"
+
+
+def test_tail_stream_push_based(spark, table):
+    """Structured Streaming tail: appends arrive as micro-batches, and
+    the from_version cursor skips already-consumed rows (the readStream
+    upgrade of cli/cmd/tail.go polling)."""
+    v1 = table.append(mkbatch(spark, "/a", [10, 20]))
+    stream = table.tail_stream(from_version=v1)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tail_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from tail_sink").count() == 0  # all consumed
+        table.append(mkbatch(spark, "/a", [30, 40]))
+        table.append(mkbatch(spark, "/b", [50]))
+        q.processAllAvailable()
+        got = {
+            (r["topic"], r["log_time"])
+            for r in spark.sql("select topic, log_time from tail_sink").collect()
+        }
+        assert got == {("/a", 30), ("/a", 40), ("/b", 50)}
+    finally:
+        q.stop()
