@@ -997,6 +997,23 @@ def mm_decode_meta(spark, sf_dir):
     return MM.decode_metadata(MM.with_binary_payload(docs))
 
 
+@register(
+    "mm_frame_sample",
+    """
+    select doc_id,
+           generate_series(0, greatest(0, octet_length(encode(text)) - 1), 64)
+             as sample_offsets
+    from documents
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    """Keyframe-offset plan for each binary payload — pure built-ins
+    (sequence), no Python; the heavy decode consumes these offsets inside
+    mapInPandas (multimodal.frame_sample_plan)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return MM.frame_sample_plan(MM.with_binary_payload(docs))
+
+
 # =========================================================================
 # MCAP import + ROS1 payload decode, end to end against the SQL oracle:
 # events rows -> ros1msg-encoded MCAP files -> read_mcap -> compiled

@@ -85,7 +85,71 @@ def frame_sample_plan(df: DataFrame, *, every_n_bytes: int = 64) -> DataFrame:
     return df.select(
         "doc_id",
         F.expr(
-            f"transform(sequence(0, greatest(0, cast(octet_length(payload) as int) - 1), "
-            f"{every_n_bytes}), i -> i)"
+            f"sequence(cast(0 as bigint), "
+            f"greatest(cast(0 as bigint), octet_length(payload) - 1), "
+            f"cast({every_n_bytes} as bigint))"
         ).alias("sample_offsets"),
+    )
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, out_width int, out_height int, thumb binary, thumb_bytes long"
+)
+
+
+def resize_stub(df: DataFrame, *, width: int = 64, height: int = 64,
+                id_col: str = "doc_id") -> DataFrame:
+    """Resize plumbing: mapInPandas batch in -> fixed-dimension thumbnail
+    payloads out.  The pixel resample is STUBBED (no codec libs): the
+    'thumbnail' is the payload tiled/truncated to width*height//64 bytes,
+    deterministic so downstream stages have stable inputs.  A real
+    deployment swaps the inner loop for PIL/libvips `thumbnail()` on the
+    same Arrow batches — the schema, batch shape, and partitioning are
+    what this exercises."""
+    n_out = max(1, width * height // 64)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for p in pdf["payload"]:
+                b = bytes(p) or b"\x00"
+                reps = -(-n_out // len(b))  # ceil
+                thumbs.append((b * reps)[:n_out])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "out_width": width,
+                    "out_height": height,
+                    "thumb": thumbs,
+                    "thumb_bytes": [len(t) for t in thumbs],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(resize, RESIZED_SCHEMA)
+
+
+def extract_features(df: DataFrame, *, dim: int = 16,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Feature extraction plumbing: payload bytes -> L2-normalized float
+    vector (byte histogram folded to `dim` buckets), fully vectorized
+    numpy inside mapInPandas.  STUB for a real vision/audio encoder, but
+    the output is a genuine `array<float>` embedding column that composes
+    with the similarity operators (cosine_topk / LSH / IVF) — the
+    multimodal -> embedding -> dedup pipeline end to end."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
+                norm = float(np.sqrt((hist * hist).sum()))
+                out.append((hist / norm if norm else hist).astype(np.float32))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "features": out}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        feats, "doc_id long, features array<float>"
     )

@@ -335,3 +335,50 @@ def test_frame_sample_plan(spark):
     docs = spark.createDataFrame([(1, "x" * 200)], "doc_id long, text string")
     row = MM.frame_sample_plan(MM.with_binary_payload(docs), every_n_bytes=64).collect()[0]
     assert row["sample_offsets"] == [0, 64, 128, 192]
+
+
+def test_multimodal_resize_stub(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "z" * 500), (3, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in MM.resize_stub(
+            MM.with_binary_payload(docs), width=32, height=32
+        ).collect()
+    }
+    n_out = 32 * 32 // 64
+    for r in out.values():
+        assert r["out_width"] == 32 and r["out_height"] == 32
+        assert r["thumb_bytes"] == n_out and len(r["thumb"]) == n_out
+    assert bytes(out[1]["thumb"]) == (b"abc" * 6)[:n_out]  # deterministic tiling
+    assert bytes(out[3]["thumb"]) == b"\x00" * n_out  # empty payload
+
+
+def test_multimodal_features_compose_with_ann(spark):
+    """multimodal -> embedding -> similarity, end to end: extracted
+    feature vectors are unit-norm and feed cosine_topk unchanged."""
+    import math
+
+    from dp3_spark.operators import similarity as SIM
+
+    docs = spark.createDataFrame(
+        [(i, "doc %d " % i + "abcdefgh" * (i + 1)) for i in range(8)],
+        "doc_id long, text string",
+    )
+    feats = MM.extract_features(MM.with_binary_payload(docs), dim=8)
+    rows = feats.collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert len(r["features"]) == 8
+        assert math.isclose(
+            sum(x * x for x in r["features"]), 1.0, rel_tol=1e-5
+        )
+    corpus = feats.selectExpr("doc_id as vec_id", "features as embedding")
+    top = SIM.cosine_topk(corpus, corpus.filter("vec_id = 0"), k=3).collect()
+    assert len(top) == 3
+    assert all(r["query_id"] == 0 and r["neighbor_id"] != 0 for r in top)
+    ranked = sorted(top, key=lambda r: r["rank"])
+    assert [r["rank"] for r in ranked] == [1, 2, 3]
+    assert ranked[0]["cosine"] >= ranked[1]["cosine"] >= ranked[2]["cosine"]
+    assert all(-1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9 for r in top)
