@@ -211,6 +211,12 @@ class _RowGen:
         self.rel = None
 
     def emit_primitive(self, prim: str, var: str) -> None:
+        if prim == "wstring" and self.cdr:
+            # XCDR wstring is UTF-16 code units with implementation-varying
+            # length semantics; decoding it as utf-8 would be silently
+            # wrong, so refuse cleanly until a real fixture pins the wire
+            # format
+            raise RosDecodeError("wstring is not supported in CDR payloads")
         if prim in ("string", "wstring"):
             self.emit_string(var)
         elif prim in ("time", "duration"):
@@ -812,7 +818,9 @@ def cdr_encode(schema: MsgSchema, msg: dict) -> bytes:
     def enc(t: MsgType, v) -> None:
         if t.is_primitive:
             p = t.primitive
-            if p in ("string", "wstring"):
+            if p == "wstring":
+                raise RosDecodeError("wstring is not supported in CDR payloads")
+            if p == "string":
                 b = v.encode("utf-8") + b"\x00"
                 align(4)
                 out.extend(struct.pack("<I", len(b)))

@@ -604,3 +604,13 @@ def test_mcap_ros2_decode_tables(spark, tmp_path):
     assert rows[4]["header"]["frame_id"] == "imu"
     assert rows[4]["orientation"][3] == 5.0
     assert rows[4]["angular_velocity"][0] == pytest.approx(0.4)
+
+
+def test_cdr_wstring_refused():
+    """XCDR wstring wire format varies by implementation — refuse cleanly
+    rather than mis-decode as utf-8 (ROS1 wstring still decodes)."""
+    s = parse_ros2msg("test", "W", "wstring name\n")
+    with pytest.raises(RosDecodeError, match="wstring"):
+        compile_cdr_row_decoder(s)
+    with pytest.raises(RosDecodeError, match="wstring"):
+        cdr_encode(s, {"name": "x"})
