@@ -287,3 +287,132 @@ def scan_schemas(f: BinaryIO) -> list[McapSchema]:
         if op == OP_SCHEMA:
             out.append(_parse_schema(payload))
     return out
+
+
+# ----------------------------------------------- split (parallel) reading
+
+
+@dataclass(frozen=True)
+class McapLayout:
+    """Metadata-only view of a file: definition records plus the offsets of
+    Chunk records, gathered WITHOUT decompressing any chunk — the split
+    plan for parallel reads (the pure-python analog of what the reference
+    gets from the summary-section chunk index,
+    mcap/lazy_indexed_iterator.go:10-48)."""
+
+    schemas: dict[int, McapSchema]
+    channels: dict[int, McapChannel]
+    chunk_offsets: tuple[int, ...]
+    has_toplevel_messages: bool
+
+
+def _parse_channel(payload: bytes) -> McapChannel:
+    cid, sid = struct.unpack_from("<HH", payload, 0)
+    topic, off = _parse_s(payload, 4)
+    enc, off = _parse_s(payload, off)
+    return McapChannel(cid, sid, topic, enc)
+
+
+def scan_layout(f: BinaryIO) -> McapLayout:
+    """One seek-heavy header walk over top-level records: O(#records) tiny
+    reads, no chunk decompression, no message payload reads.  Continues
+    past DataEnd through the summary section (rosbag2-style files define
+    schemas/channels only inside chunks, repeating them in the summary —
+    this pass picks those up without touching chunk bytes)."""
+    if _read_exact(f, 8) != MAGIC:
+        raise McapFormatError("bad magic")
+    schemas: dict[int, McapSchema] = {}
+    channels: dict[int, McapChannel] = {}
+    chunks: list[int] = []
+    topmsg = False
+    while True:
+        pos = f.tell()
+        head = f.read(9)
+        if len(head) < 9:
+            raise McapFormatError("missing footer")
+        op, length = struct.unpack("<BQ", head)
+        if op == OP_FOOTER:
+            break
+        if op == OP_CHUNK:
+            chunks.append(pos)
+            f.seek(length, 1)
+        elif op == OP_SCHEMA:
+            sc = _parse_schema(_read_exact(f, length))
+            schemas[sc.id] = sc
+        elif op == OP_CHANNEL:
+            ch = _parse_channel(_read_exact(f, length))
+            channels[ch.id] = ch
+        elif op == OP_MESSAGE:
+            topmsg = True
+            f.seek(length, 1)
+        else:  # DataEnd, indexes, attachments, metadata, summary offsets
+            f.seek(length, 1)
+    return McapLayout(schemas, channels, tuple(chunks), topmsg)
+
+
+def _resolve_messages(
+    records: Iterator[tuple[int, bytes]],
+    schemas: dict[int, McapSchema],
+    channels: dict[int, McapChannel],
+) -> Iterator[tuple[McapSchema | None, McapChannel, McapMessage]]:
+    for op, payload in records:
+        if op == OP_SCHEMA:
+            sc = _parse_schema(payload)
+            schemas[sc.id] = sc
+        elif op == OP_CHANNEL:
+            ch = _parse_channel(payload)
+            channels[ch.id] = ch
+        elif op == OP_MESSAGE:
+            cid, seq, log_time, pub_time = struct.unpack_from("<HIQQ", payload, 0)
+            if cid not in channels:
+                raise McapFormatError(
+                    f"message references unknown channel {cid} (definition "
+                    "not visible to this split — read the file sequentially)"
+                )
+            ch = channels[cid]
+            yield schemas.get(ch.schema_id), ch, McapMessage(
+                cid, seq, log_time, pub_time, payload[22:]
+            )
+
+
+def iter_chunk_messages(
+    f: BinaryIO, offset: int, layout: McapLayout
+) -> Iterator[tuple[McapSchema | None, McapChannel, McapMessage]]:
+    """Decode exactly one Chunk record at `offset` (from a prior
+    scan_layout), resolving definitions from the layout plus any records
+    inside the chunk itself.  Independent of every other chunk — the unit
+    of parallel reading."""
+    f.seek(offset)
+    op, length = struct.unpack("<BQ", _read_exact(f, 9))
+    if op != OP_CHUNK:
+        raise McapFormatError(f"no chunk record at offset {offset}")
+    records = _iter_buffer_records(_unchunk(_read_exact(f, length)))
+    yield from _resolve_messages(
+        records, dict(layout.schemas), dict(layout.channels)
+    )
+
+
+def iter_toplevel_messages(
+    f: BinaryIO, layout: McapLayout
+) -> Iterator[tuple[McapSchema | None, McapChannel, McapMessage]]:
+    """Decode only the messages OUTSIDE chunks (files may mix both); chunk
+    payloads are seeked past without decompression."""
+    if _read_exact(f, 8) != MAGIC:
+        raise McapFormatError("bad magic")
+
+    def records() -> Iterator[tuple[int, bytes]]:
+        while True:
+            head = f.read(9)
+            if len(head) < 9:
+                raise McapFormatError("missing footer")
+            op, length = struct.unpack("<BQ", head)
+            if op == OP_DATA_END:
+                return
+            if op == OP_MESSAGE:
+                yield op, _read_exact(f, length)
+            else:
+                f.seek(length, 1)
+
+    yield from _resolve_messages(
+        records(), dict(layout.schemas), dict(layout.channels)
+    )
