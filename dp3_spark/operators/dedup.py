@@ -185,6 +185,23 @@ def minhash_signatures(
     )
 
 
+def _np_shared_counts(sh_a, sh_b):
+    """Exact |A ∩ B| per pair via searchsorted merge over sorted distinct
+    shingle arrays.  Spark's array_intersect is a CodegenFallback
+    (interpreted, boxed hash set): measured ~70µs per 143-element intersect
+    warm; the numpy merge is ~2µs with no JVM warmup cliff."""
+    import numpy as np
+
+    shared = np.zeros(len(sh_a), dtype=np.int64)
+    for i, (a, b) in enumerate(zip(sh_a, sh_b)):
+        if a.size > b.size:
+            a, b = b, a
+        idx = np.searchsorted(b, a)
+        idx[idx == b.size] = 0
+        shared[i] = int((b[idx] == a).sum())
+    return shared
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -194,6 +211,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 128,
     bands: int = 16,
     threshold: float = 0.6,
+    verify: str = "auto",
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with exact Jaccard.
 
@@ -206,41 +224,59 @@ def minhash_lsh_pairs(
     sharpness (band hit probability j^r).  The 128/16 default (r=8) is tuned
     for thresholds ~0.7: on a clustery corpus the shoulder of j≈0.5 pairs
     collides at j^8≈0.8% per band instead of j^4≈6% — an order of magnitude
-    fewer false candidates reaching the exact-verify join, which is where a
-    near-dup-heavy corpus spends its time."""
+    fewer false candidates reaching the exact-verify step, which is where a
+    near-dup-heavy corpus spends its time.
+
+    Band keys are xxhash64 of the band's minhash values — an 8-byte join
+    key instead of a ~50-char concat string, which halves the candidate
+    shuffle.  Hashing can only merge buckets (never split), so a collision
+    could only ADD candidates — and candidates are exact-verified, so a
+    collision adds a pair only if its true jaccard clears the threshold;
+    verified value-identical to the concat-key oracle on the fixture data.
+
+    verify='broadcast' ships the (id -> shingle set) table to workers ONCE
+    (sc.broadcast) and streams bare (id_a, id_b) pairs through the numpy
+    intersect — on a near-dup-heavy corpus the alternative per-pair array
+    join duplicates every shingle array per candidate (~5 GB through Arrow
+    for 1M pairs of 300-shingle docs).  verify='shuffle' does that join —
+    arrays flow through a shuffle once per pair side — for corpora whose
+    signature table exceeds broadcast range (the at-scale path; same numpy
+    kernel, different array transport).  'auto' picks by corpus size."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must divide into equal bands")
+    if verify not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown verify mode {verify!r}")
     rows = num_hashes // bands
     # a small parquet reads as few partitions; the signature work is
     # CPU-bound per row, so spread it across all cores first
     par = df.sparkSession.sparkContext.defaultParallelism
     # cache + eager materialization: the signature pass is CPU-heavy but
-    # byte-small, so AQE would coalesce any recomputation of it (e.g. inside
-    # the verify join's broadcast subtree) down to one task, and lazy cache
-    # timing makes runtimes vary run-to-run.  Materializing once keeps every
-    # consumer parallel and non-redundant.  At true cluster scale this
-    # becomes a persisted signatures table, which is how repeated dedup runs
-    # anyway.
+    # byte-small, so AQE would coalesce any recomputation of it down to one
+    # task, and lazy cache timing makes runtimes vary run-to-run.  At true
+    # cluster scale this becomes a persisted signatures table, which is how
+    # repeated dedup runs anyway.
     sigs = minhash_signatures(
         df.repartition(par), id_col, text_col, n=n, num_hashes=num_hashes
     ).cache()
-    sigs.count()
+    n_docs = sigs.count()
+    if verify == "auto":
+        # ~300 shingles/doc × 8 B ≈ 2.4 KB/doc: 200k docs ≈ 500 MB broadcast
+        verify = "broadcast" if n_docs <= 200_000 else "shuffle"
     # one banded row per (doc, band) via a single explode — not a
     # bands-way union, which would re-read the cache `bands` times
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.concat_ws(
-                    "_", *[F.col("mh").getItem(bi * rows + r).cast("string") for r in range(rows)]
+                F.xxhash64(
+                    *[F.col("mh").getItem(bi * rows + r) for r in range(rows)]
                 ).alias("band_key"),
             )
             for bi in range(bands)
         ]
     )
     banded = (
-        # null-text docs have null signatures; concat_ws would collapse
-        # them to empty band keys that all collide — drop them up front
+        # null-text docs have null signatures — drop them up front
         sigs.filter(F.col("mh").isNotNull())
         .select("id", F.explode(band_structs).alias("bk"))
         .select("id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
@@ -252,71 +288,78 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
         # AQE coalesces the post-distinct shuffle to few partitions (rows
-        # are tiny) but the next stage does heavy per-row array work —
-        # re-spread it or the intersect runs on 2-3 cores.  Cache: the
-        # verify job's broadcast subtrees must not re-derive the candidate
-        # pipeline (id-pair rows are 16 bytes — cheap to hold).
+        # are tiny) but the verify stage does per-pair numpy work — re-spread
+        # it or the intersect runs on 2-3 cores
         .repartition(2 * par)
-        .cache()
     )
-    cand.count()  # eager: the verify job must read candidates from cache
     import numpy as np
     import pandas as pd
 
     thr = threshold
 
-    def _verify(batches):
-        # exact |A ∩ B| via searchsorted merge over the sorted distinct
-        # shingle arrays.  Spark's array_intersect is a CodegenFallback
-        # (interpreted, boxed hash set): measured ~70µs per 143-element
-        # intersect warm and ~6× that before JIT; the numpy merge is ~2µs
-        # and has no JVM warmup cliff — on a near-dup-heavy corpus with
-        # ~1M candidate pairs that is the difference between ~2s and ~14s.
-        for pdf in batches:
-            m = len(pdf)
-            shared = np.zeros(m, dtype=np.int64)
-            for i, (a, b) in enumerate(zip(pdf["sh_a"].values, pdf["sh_b"].values)):
-                if a.size > b.size:
-                    a, b = b, a
-                idx = np.searchsorted(b, a)
-                idx[idx == b.size] = 0
-                shared[i] = int((b[idx] == a).sum())
-            denom = pdf["card_a"].values + pdf["card_b"].values - shared
-            jac = shared / denom
-            keep = jac >= thr
-            yield pd.DataFrame(
-                {"id_a": pdf["id_a"].values[keep], "id_b": pdf["id_b"].values[keep], "jaccard": jac[keep]}
+    if verify == "shuffle":
+        def _verify_cols(batches):
+            for pdf in batches:
+                shared = _np_shared_counts(pdf["sh_a"].values, pdf["sh_b"].values)
+                denom = pdf["card_a"].values + pdf["card_b"].values - shared
+                jac = shared / denom
+                keep = jac >= thr
+                yield pd.DataFrame(
+                    {
+                        "id_a": pdf["id_a"].values[keep],
+                        "id_b": pdf["id_b"].values[keep],
+                        "jaccard": jac[keep],
+                    }
+                )
+
+        sh_sets = sigs.select("id", "shingles", "card")
+        return (
+            cand.join(
+                sh_sets.withColumnsRenamed({"id": "id_a", "shingles": "sh_a", "card": "card_a"}),
+                "id_a",
             )
-    # verify candidates with exact jaccard over the shingle sets.  The
-    # shingle-set side is doc-count-sized (not pair-sized) — broadcast it so
-    # the pair stream never shuffles the big arrays.  At corpus sizes beyond
-    # broadcast range, bucket both sides by id range instead.
-    sh_sets = sigs.select("id", "shingles", "card")
-    verified = (
-        cand.join(
-            F.broadcast(
-                sh_sets.withColumnsRenamed({"id": "id_a", "shingles": "sh_a", "card": "card_a"})
-            ),
-            "id_a",
+            .join(
+                sh_sets.withColumnsRenamed({"id": "id_b", "shingles": "sh_b", "card": "card_b"}),
+                "id_b",
+            )
+            # exact pre-prune: jaccard <= min(card)/max(card), so pairs
+            # failing the cardinality ratio can't pass the threshold
+            .filter(
+                F.least("card_a", "card_b").cast("double")
+                >= F.lit(threshold) * F.greatest("card_a", "card_b").cast("double")
+            )
+            .select("id_a", "id_b", "card_a", "card_b", "sh_a", "sh_b")
+            .mapInPandas(_verify_cols, "id_a long, id_b long, jaccard double")
         )
-        .join(
-            F.broadcast(
-                sh_sets.withColumnsRenamed({"id": "id_b", "shingles": "sh_b", "card": "card_b"})
-            ),
-            "id_b",
-        )
-        # exact pre-prune: jaccard <= min(card)/max(card) (shared can't
-        # exceed the smaller set), so pairs failing the cardinality ratio
-        # can't pass the threshold — filter on two ints before the
-        # per-pair set intersection
-        .filter(
-            F.least("card_a", "card_b").cast("double")
-            >= F.lit(threshold) * F.greatest("card_a", "card_b").cast("double")
-        )
-        .select("id_a", "id_b", "card_a", "card_b", "sh_a", "sh_b")
-        .mapInPandas(_verify, "id_a long, id_b long, jaccard double")
+
+    # broadcast mode: one driver collect of the signature table (the
+    # local[32] stand-in for a persisted signature table read), then the
+    # pair stream carries only two longs per row
+    sh_rows = sigs.select("id", "shingles").filter(F.col("shingles").isNotNull()).collect()
+    bc = df.sparkSession.sparkContext.broadcast(
+        {int(r["id"]): np.asarray(r["shingles"], dtype=np.int64) for r in sh_rows}
     )
-    return verified
+
+    def _verify_bc(batches):
+        sets = bc.value
+        for pdf in batches:
+            ia = pdf["id_a"].values
+            ib = pdf["id_b"].values
+            sh_a = [sets[int(i)] for i in ia]
+            sh_b = [sets[int(i)] for i in ib]
+            card_a = np.array([a.size for a in sh_a], dtype=np.int64)
+            card_b = np.array([b.size for b in sh_b], dtype=np.int64)
+            # cardinality-ratio pre-prune before the per-pair intersect
+            ok = np.minimum(card_a, card_b) >= thr * np.maximum(card_a, card_b)
+            shared = np.zeros(len(pdf), dtype=np.int64)
+            shared[ok] = _np_shared_counts(
+                [a for a, k in zip(sh_a, ok) if k], [b for b, k in zip(sh_b, ok) if k]
+            )
+            jac = shared / (card_a + card_b - shared)
+            keep = ok & (jac >= thr)
+            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep], "jaccard": jac[keep]})
+
+    return cand.mapInPandas(_verify_bc, "id_a long, id_b long, jaccard double")
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32, n: int = 3) -> DataFrame:

@@ -147,12 +147,74 @@ def lsh_topk(
     )
 
 
+def _np_plane_weights(planes: int, dim: int):
+    """The hyperplane weight matrix (planes, dim) in float64 — exact integer
+    LCG arithmetic then /1000.0, identical values to the SQL formula."""
+    import numpy as np
+
+    p = np.arange(planes, dtype=np.int64)[:, None]
+    i = np.arange(dim, dtype=np.int64)[None, :]
+    x = (p * 65537 + i) % _LCG31_MOD
+    # _LCG31_MUL * x < 2^62: no int64 overflow
+    w = ((_LCG31_MUL * x + _LCG31_ADD) % _LCG31_MOD) % 2001 - 1000
+    return w.astype(np.float64) / 1000.0
+
+
+def _np_sig_batch(V, W):
+    """Signatures for a (n, dim) float array under weights (planes, dim).
+
+    Accumulates SEQUENTIALLY across dims (vectorized across rows), so every
+    projection double is bit-identical to the SQL fold in
+    hyperplane_lsh_signature / the DuckDB oracle — float addition is not
+    associative, and the sign bit of a projection decides band membership."""
+    import numpy as np
+
+    n, dim = V.shape
+    planes = W.shape[0]
+    acc = np.zeros((n, planes), dtype=np.float64)
+    for i in range(dim):
+        acc += V[:, i].astype(np.float64)[:, None] * W[:, i][None, :]
+    bits = np.int64(1) << np.arange(planes, dtype=np.int64)
+    return ((acc > 0) * bits).sum(axis=1, dtype=np.int64)
+
+
+def np_lsh_signatures(df: DataFrame, id_col: str, vec_col: str, *, planes: int = 16) -> DataFrame:
+    """(id, lsh_sig) via one Arrow-batched numpy pass — value-identical to
+    hyperplane_lsh_signature (pinned in tests) but a matrix op per batch
+    instead of `planes` interpreted SQL folds per vector (~100×)."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        cache: dict[int, object] = {}
+        for pdf in batches:
+            ids = pdf[id_col].values
+            vecs = pdf[vec_col].values
+            dims = np.array([len(v) for v in vecs])
+            sig = np.zeros(len(pdf), dtype=np.int64)
+            for d in np.unique(dims):
+                m = dims == d
+                W = cache.get(int(d))
+                if W is None:
+                    W = cache[int(d)] = _np_plane_weights(planes, int(d))
+                V = np.stack([np.asarray(v, dtype=np.float32) for v, k in zip(vecs, m) if k])
+                sig[m] = _np_sig_batch(V, W)
+            yield pd.DataFrame({"id": ids, "lsh_sig": sig})
+
+    return df.select(F.col(id_col).alias(id_col), F.col(vec_col)).mapInPandas(
+        gen, "id long, lsh_sig long"
+    )
+
+
 def _banded_signature(df: DataFrame, id_col: str, vec_col: str, *, planes: int, bands: int) -> DataFrame:
     """(id, band, key) rows: one per document per LSH band."""
     rows = planes // bands
     mask = (1 << rows) - 1
-    sig = hyperplane_lsh_signature(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec", planes=planes
+    sig = np_lsh_signatures(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        "id",
+        "vec",
+        planes=planes,
     )
     parts = F.array(
         *[
@@ -181,17 +243,25 @@ def embedding_dup_pairs_lsh(
     at least one band key, then exact cosine filter >= threshold.
 
     The 100 TB path: candidate generation is a hash-partitioned equi-join
-    on (band, key) — never all-pairs — and the exact-cosine join back to
-    the vectors is a plain equi-join on id (AQE broadcasts it when small).
+    on (band, key) — never all-pairs.  The exact-cosine verify broadcasts
+    the vector matrix to workers once (n_docs × dim doubles — MBs) and
+    streams bare (id_a, id_b) pairs through a numpy kernel; at corpora
+    beyond broadcast range, swap the transport for an equi-join on id (the
+    minhash verify='shuffle' pattern).  The kernel accumulates dot and
+    norm SEQUENTIALLY across dims, so every cosine double is bit-identical
+    to the SQL fold (functions/vectors.py) and the DuckDB oracle.
     Recall for the default 24 planes / 4 bands (6 rows per band) at
     cosine 0.9 is ~87% (per-plane agreement 1 - θ/π = 0.857, band hit
     0.857⁶, ≥1 of 4 bands), while random pairs collide at only
     (1/2)⁶ × 4 ≈ 6% — rows-per-band is the candidate-precision knob, same
     as in minhash LSH.  Brute (`embedding_dup_pairs(method='brute')`) is
     the exact reference."""
+    import numpy as np
+    import pandas as pd
+
     # materialize signatures once: the self-join would otherwise compute
-    # the `planes` interpreted projection folds twice per vector (signature
-    # rows are (id, band, key) — bytes per vector)
+    # the projection pass twice per vector (signature rows are
+    # (id, band, key) — bytes per vector)
     banded = _banded_signature(df, id_col, vec_col, planes=planes, bands=bands).cache()
     banded.count()
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -202,21 +272,45 @@ def embedding_dup_pairs_lsh(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
         # candidate rows are byte-tiny, so AQE coalesces the post-distinct
-        # shuffle to 1-2 partitions — but the next stage folds a 64-dim
-        # cosine per pair, which must stay spread across cores
+        # shuffle to 1-2 partitions — but the next stage computes a cosine
+        # per pair, which must stay spread across cores
         .repartition(2 * par)
     )
-    dot_s, _ = VEC.dot("vec_a", "vec_b")
-    base = _with_norm(df, vec_col).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.col("__norm__").alias("nrm")
-    )
-    return (
-        cand.join(base.selectExpr("id as id_a", "vec as vec_a", "nrm as nrm_a"), "id_a")
-        .join(base.selectExpr("id as id_b", "vec as vec_b", "nrm as nrm_b"), "id_b")
-        .withColumn("cosine", F.expr(dot_s) / F.nullif(F.col("nrm_a") * F.col("nrm_b"), F.lit(0.0)))
-        .filter(F.col("cosine") >= F.lit(threshold))
-        .select("id_a", "id_b", "cosine")
-    )
+    vec_rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).filter(
+        F.col("vec").isNotNull()
+    ).collect()
+    ids = np.array([r["id"] for r in vec_rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    M = np.stack([np.asarray(vec_rows[i]["vec"], dtype=np.float32) for i in order])
+    bc = df.sparkSession.sparkContext.broadcast((ids, M))
+    thr = threshold
+
+    def _verify(batches):
+        sids, mat = bc.value
+        dim = mat.shape[1]
+        # per-doc norms, sequential fold over dims — mirrors VEC.norm
+        nsq = np.zeros(mat.shape[0], dtype=np.float64)
+        for i in range(dim):
+            x = mat[:, i].astype(np.float64)
+            nsq += x * x
+        nrm = np.sqrt(nsq)
+        for pdf in batches:
+            ia = pdf["id_a"].values
+            ib = pdf["id_b"].values
+            ra = np.searchsorted(sids, ia)
+            rb = np.searchsorted(sids, ib)
+            dot = np.zeros(len(pdf), dtype=np.float64)
+            A, B = mat[ra], mat[rb]
+            for i in range(dim):
+                dot += A[:, i].astype(np.float64) * B[:, i].astype(np.float64)
+            denom = nrm[ra] * nrm[rb]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / denom
+            keep = (denom != 0.0) & (cos >= thr)
+            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep], "cosine": cos[keep]})
+
+    return cand.mapInPandas(_verify, "id_a long, id_b long, cosine double")
 
 
 # ---------------------------------------------------------------- IVF ANN

@@ -193,6 +193,39 @@ def test_cosine_topk_exact(spark):
     assert ranked == [(1, 1), (2, 2)]
 
 
+def test_np_lsh_signatures_bit_parity(spark):
+    """The numpy signature path must be BIT-identical to the SQL fold: it
+    accumulates projections sequentially across dims precisely so that
+    float non-associativity can't flip a sign bit vs the DuckDB oracle."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sql_sig = SIM.hyperplane_lsh_signature(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        "vec",
+        planes=24,
+    ).select("id", "lsh_sig")
+    np_sig = SIM.np_lsh_signatures(emb, "vec_id", "embedding", planes=24)
+    diff = (
+        sql_sig.alias("s")
+        .join(np_sig.alias("n"), "id")
+        .filter(F.col("s.lsh_sig") != F.col("n.lsh_sig"))
+        .count()
+    )
+    assert diff == 0
+    assert np_sig.count() == sql_sig.count()
+
+
+def test_minhash_verify_modes_agree(spark):
+    """broadcast (id pairs + broadcast shingle table) and shuffle (arrays
+    per pair) verify transports are the same operator — identical output."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kw = dict(n=3, num_hashes=64, bands=8, threshold=0.6)
+    a = DD.minhash_lsh_pairs(docs, "doc_id", "text", verify="broadcast", **kw)
+    b = DD.minhash_lsh_pairs(docs, "doc_id", "text", verify="shuffle", **kw)
+    ra = sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in a.collect())
+    rb = sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in b.collect())
+    assert ra == rb and len(ra) > 0
+
+
 def test_lsh_recall_vs_bruteforce(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
