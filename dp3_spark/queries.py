@@ -1128,3 +1128,141 @@ def mcap_roundtrip_agg(spark, sf_dir):
         F.countDistinct("props").alias("n_props"),
         F.sum("event_id").cast("bigint").alias("sum_event_id"),
     )
+
+
+# =========================================================================
+# Training-pipeline composition operators (beyond-reference):
+# pair graph -> dedup clusters, sequence packing, deterministic splits
+# =========================================================================
+
+_CC_ORACLE = f"""
+with recursive pairs as ({_minhash_oracle(128, 16, 0.7)}),
+edges as (select id_a as a, id_b as b from pairs
+          union all select id_b, id_a from pairs),
+reach(id, r) as (
+  select doc_id, doc_id from documents
+  union
+  select e.a, r.r from edges e join reach r on e.b = r.id
+),
+comp as (select id as doc_id, min(r) as component from reach group by id)
+select c.doc_id, c.component,
+       count(*) over (partition by c.component) as cluster_size,
+       c.doc_id = c.component as is_representative
+from comp c
+"""
+
+
+@register("dedup_clusters", _CC_ORACLE)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> connected components -> per-document cluster id +
+    keep/drop decision (operators/components.py).  The engine runs
+    iterative min-label propagation; the oracle re-derives reachability
+    with a recursive CTE — two independent formulations of the same
+    answer."""
+    from dp3_spark.operators import components as CC
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = DD.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=128, bands=16, threshold=0.7
+    )
+    return CC.dedup_clusters(docs, pairs)
+
+
+_TC_D = TXT.token_count("text")[1]
+_TC_S = TXT.token_count("text")[0]
+_PACK_BUDGET = 512
+
+_PACK_SPLIT_ORACLE = f"""
+with d as (
+  select doc_id, cast({_TC_D} as bigint) as n_tok from documents
+  where cast({_TC_D} as bigint) > 0
+),
+c as (
+  select doc_id, n_tok,
+         sum(n_tok) over (order by doc_id rows unbounded preceding) as e
+  from d
+),
+s as (select doc_id, cast(e - n_tok as bigint) as st, cast(e as bigint) as e from c),
+x as (
+  select doc_id, st, e,
+         unnest(range(cast(st // {_PACK_BUDGET} as bigint),
+                      cast((e - 1) // {_PACK_BUDGET} + 1 as bigint))) as bin
+  from s
+)
+select cast(0 as int) as shard, doc_id, bin,
+       greatest(st, bin * {_PACK_BUDGET}) - st as tok_start,
+       least(e, (bin + 1) * {_PACK_BUDGET}) - st as tok_end
+from x
+"""
+
+
+@register("pack_sequences", _PACK_SPLIT_ORACLE)
+def pack_sequences(spark, sf_dir):
+    """Concat-and-cut sequence packing (operators/packing.pack_split):
+    documents land in fixed 512-token windows, split across windows where
+    they straddle a boundary — the GPT-pretraining batch layout."""
+    from dp3_spark.operators import packing as PK
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "n_tokens", F.expr(_TC_S)
+    )
+    return PK.pack_split(docs, id_col="doc_id", tokens_col="n_tokens", budget=_PACK_BUDGET)
+
+
+_PACK_GREEDY_ORACLE = f"""
+with recursive d as (
+  select doc_id, cast({_TC_D} as bigint) as n_tok,
+         row_number() over (order by doc_id) as rn
+  from documents where cast({_TC_D} as bigint) > 0
+),
+g(rn, doc_id, bin, fill) as (
+  select rn, doc_id, cast(0 as bigint), n_tok from d where rn = 1
+  union all
+  select d.rn, d.doc_id,
+         case when g.fill + d.n_tok > {_PACK_BUDGET} then g.bin + 1 else g.bin end,
+         case when g.fill + d.n_tok > {_PACK_BUDGET} then d.n_tok else g.fill + d.n_tok end
+  from g join d on d.rn = g.rn + 1
+)
+select cast(0 as int) as shard, doc_id, bin, fill as bin_fill from g
+"""
+
+
+@register("pack_greedy_bins", _PACK_GREEDY_ORACLE)
+def pack_greedy_bins(spark, sf_dir):
+    """First-fit contiguous packing, no splitting (packing.pack_greedy):
+    sequential per-shard fold in applyInPandas; the oracle replays the
+    same fold as a linear recursive CTE."""
+    from dp3_spark.operators import packing as PK
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "n_tokens", F.expr(_TC_S)
+    )
+    return PK.pack_greedy(docs, id_col="doc_id", tokens_col="n_tokens", budget=_PACK_BUDGET)
+
+
+def _split_oracle() -> str:
+    from dp3_spark.operators.sampling import hash_split_oracle_case
+
+    case = hash_split_oracle_case("doc_id", test_pct=10, val_pct=5, salt="v1")
+    return f"""
+    select split, count(*) as n_docs, cast(min(doc_id) as bigint) as min_id,
+           cast(max(doc_id) as bigint) as max_id
+    from (select doc_id, {case} as split from documents)
+    group by split
+    """
+
+
+@register("split_train_test", _split_oracle())
+def split_train_test(spark, sf_dir):
+    """Deterministic id-hash train/val/test split (operators/sampling.py):
+    no RNG anywhere, so incremental corpus refreshes keep every document's
+    assignment stable."""
+    from dp3_spark.operators import sampling as SA
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = SA.hash_split(docs, "doc_id", test_pct=10, val_pct=5, salt="v1")
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+    )

@@ -1,0 +1,143 @@
+"""Training-pipeline composition operators: connected components,
+sequence packing, deterministic splits (operators/components.py,
+packing.py, sampling.py).  The registry oracle gate covers the fixture
+corpus; these pin the edge semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dp3_spark.operators import components as CC
+from dp3_spark.operators import packing as PK
+from dp3_spark.operators import sampling as SA
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs] or [(None, None)], "id_a long, id_b long"
+    ).filter(F.col("id_a").isNotNull())
+
+
+def test_cc_chain_converges_to_min(spark):
+    # a 6-node chain: diameter 5, needs multiple propagation rounds
+    out = CC.connected_components(
+        _nodes(spark, range(6)), _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)])
+    ).collect()
+    assert {(r["id"], r["component"]) for r in out} == {(i, 0) for i in range(6)}
+
+
+def test_cc_singletons_and_two_clusters(spark):
+    out = CC.connected_components(
+        _nodes(spark, range(7)), _edges(spark, [(1, 2), (5, 6), (2, 3)])
+    ).collect()
+    comp = {r["id"]: r["component"] for r in out}
+    assert comp == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_cc_empty_edges(spark):
+    out = CC.connected_components(_nodes(spark, [7, 9]), _edges(spark, [])).collect()
+    assert {(r["id"], r["component"]) for r in out} == {(7, 7), (9, 9)}
+
+
+def test_cc_max_iter_raises(spark):
+    with pytest.raises(RuntimeError, match="converge"):
+        CC.connected_components(
+            _nodes(spark, range(8)),
+            _edges(spark, [(i, i + 1) for i in range(7)]),
+            max_iter=2,
+        )
+
+
+def test_dedup_clusters_representatives(spark):
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    pairs = _edges(spark, [(3, 4), (0, 2)])
+    out = {r["doc_id"]: r for r in CC.dedup_clusters(docs, pairs).collect()}
+    assert out[0]["is_representative"] and out[0]["cluster_size"] == 2
+    assert not out[2]["is_representative"] and out[2]["component"] == 0
+    assert out[1]["is_representative"] and out[1]["cluster_size"] == 1
+    assert out[3]["is_representative"] and not out[4]["is_representative"]
+
+
+def _docs_tok(spark, toks):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, n_tokens long"
+    )
+
+
+def test_pack_split_straddles_boundary(spark):
+    # budget 10: docs 6, 7 -> doc1 straddles bins 0/1
+    out = PK.pack_split(_docs_tok(spark, [6, 7]), budget=10).collect()
+    rows = sorted((r["doc_id"], r["bin"], r["tok_start"], r["tok_end"]) for r in out)
+    assert rows == [(0, 0, 0, 6), (1, 0, 0, 4), (1, 1, 4, 7)]
+
+
+def test_pack_split_giant_doc_spans_many_bins(spark):
+    out = PK.pack_split(_docs_tok(spark, [25]), budget=10).collect()
+    rows = sorted((r["bin"], r["tok_start"], r["tok_end"]) for r in out)
+    assert rows == [(0, 0, 10), (1, 10, 20), (2, 20, 25)]
+    # zero-token docs emit nothing
+    assert PK.pack_split(_docs_tok(spark, [0]), budget=10).count() == 0
+
+
+def test_pack_greedy_first_fit(spark):
+    # budget 10: 6 opens bin0; 7 overflows -> bin1; 3 fits bin1; 12 -> own bin
+    out = PK.pack_greedy(_docs_tok(spark, [6, 7, 3, 12]), budget=10).collect()
+    rows = sorted((r["doc_id"], r["bin"], r["bin_fill"]) for r in out)
+    assert rows == [(0, 0, 6), (1, 1, 7), (2, 1, 10), (3, 2, 12)]
+
+
+def test_pack_sharded_independent(spark):
+    df = spark.createDataFrame(
+        [(0, "a", 6), (1, "a", 6), (2, "b", 6)], "doc_id long, sh string, n_tokens long"
+    )
+    out = PK.pack_greedy(df, budget=10, shard_col="sh").collect()
+    by_doc = {r["doc_id"]: (r["shard"], r["bin"]) for r in out}
+    assert by_doc[0][1] == 0 and by_doc[1][1] == 1  # shard a: 6+6 > 10
+    assert by_doc[2][1] == 0  # shard b independent
+
+
+def test_hash_split_deterministic_and_partitioned(spark):
+    docs = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = SA.hash_split(docs, "doc_id", test_pct=10, val_pct=5, salt="s")
+    b = SA.hash_split(docs, "doc_id", test_pct=10, val_pct=5, salt="s")
+    assert a.collect() == b.collect()
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["test"] > 0
+    # different salt reassigns
+    c = SA.hash_split(docs, "doc_id", test_pct=10, val_pct=5, salt="other")
+    assert c.filter(F.col("split") == "test").collect() != a.filter(F.col("split") == "test").collect()
+
+
+def test_hash_split_validates_pcts(spark):
+    docs = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        SA.hash_split(docs, "doc_id", test_pct=60, val_pct=50)
+
+
+def test_deterministic_sample_subset_and_stable(spark):
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s10 = SA.deterministic_sample(docs, "doc_id", fraction=0.1)
+    s30 = SA.deterministic_sample(docs, "doc_id", fraction=0.3)
+    ids10 = {r["doc_id"] for r in s10.collect()}
+    ids30 = {r["doc_id"] for r in s30.collect()}
+    assert ids10 and ids10 < ids30  # monotone: smaller sample nests in larger
+    assert 0.05 < len(ids10) / 2000 < 0.2
+
+
+def test_stratified_sample_rates(spark):
+    docs = (
+        spark.range(0, 3000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("de"))
+    )
+    out = SA.stratified_sample(docs, "doc_id", "lang", {"en": 1.0, "de": 0.1})
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["en"] == 1000  # keep-all stratum
+    assert 20 < counts.get("de", 0) < 400  # ~10% of 2000
+    # default_fraction=0 drops unlisted strata
+    out2 = SA.stratified_sample(docs, "doc_id", "lang", {"en": 0.5})
+    assert out2.filter(F.col("lang") == "de").count() == 0
