@@ -41,6 +41,8 @@ HEADLINE = [
                               # inherently quadratic on this shared-vocab corpus)
     "sim_cosine_topk",        # brute-force ANN baseline
     "sim_dup_pairs_lsh",      # banded near-dup pairs (the at-scale ANN path)
+    "dedup_clusters",         # pair graph -> connected components
+    "curate_corpus",          # end-to-end curation: score/filter/dedup/split
 ]
 
 

@@ -1266,3 +1266,67 @@ def split_train_test(spark, sf_dir):
         F.min("doc_id").cast("bigint").alias("min_id"),
         F.max("doc_id").cast("bigint").alias("max_id"),
     )
+
+
+_CURATE_Q_S, _CURATE_Q_D = TXT.quality_score("text")
+_CURATE_L_S, _CURATE_L_D = TXT.lang_id("text")
+_CURATE_FP_S, _CURATE_FP_D = TXT.fingerprint("text")
+
+
+def _curate_oracle() -> str:
+    from dp3_spark.operators.sampling import hash_split_oracle_case
+
+    case = hash_split_oracle_case("doc_id", test_pct=10, val_pct=5, salt="cur1")
+    return f"""
+    with scored as (
+      select doc_id, cast({_TC_D} as bigint) as n_tokens,
+             {_CURATE_Q_D} as quality, {_CURATE_L_D} as lang,
+             {_CURATE_FP_D} as fp
+      from documents
+    ),
+    kept as (select * from scored where quality >= 0.55 and lang = 'en'),
+    dedup as (
+      select * from (
+        select *, row_number() over (partition by fp order by doc_id) as rn
+        from kept
+      ) where rn = 1
+    ),
+    split as (select *, {case} as split from dedup)
+    select split, count(*) as n_docs,
+           cast(sum(n_tokens) as bigint) as total_tokens,
+           cast(min(doc_id) as bigint) as min_id,
+           cast(max(doc_id) as bigint) as max_id
+    from split group by split
+    """
+
+
+@register("curate_corpus", _curate_oracle())
+def curate_corpus(spark, sf_dir):
+    """The flagship end-to-end curation pipeline every component exists
+    for: quality-score + language-ID the raw corpus, drop low-quality and
+    non-English docs, keep one representative per exact-duplicate
+    fingerprint, assign deterministic train/val/test splits, and report
+    per-split token budgets.  Single-pass composition of functions/text.py
+    expressions + a fingerprint window + the md5 split bucket — everything
+    JVM-side, one shuffle per stage (score/filter is map-only; dedup is one
+    hash partition by fingerprint; the split is map-only arithmetic)."""
+    from dp3_spark.operators import sampling as SA
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "doc_id",
+        F.expr(_TC_S).cast("long").alias("n_tokens"),
+        F.expr(_CURATE_Q_S).alias("quality"),
+        F.expr(_CURATE_L_S).alias("lang"),
+        F.expr(_CURATE_FP_S).alias("fp"),
+    )
+    kept = scored.filter((F.col("quality") >= 0.55) & (F.col("lang") == "en"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    dedup = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    split = SA.hash_split(dedup, "doc_id", test_pct=10, val_pct=5, salt="cur1")
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+    )
