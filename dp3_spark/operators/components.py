@@ -47,9 +47,14 @@ def connected_components(
     edges: undirected pairs (each row connects src_col <-> dst_col).
     Output: (id, component).  Deterministic; raises if max_iter rounds
     don't converge (pathological chain longer than max_iter)."""
+    # materialize the (possibly expensive) edge frame ONCE before the
+    # union references it twice — otherwise e.g. a minhash pair pipeline
+    # upstream executes twice inside the sym materialization
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).localCheckpoint(eager=True)
     sym = (
-        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        e.union(e.select(F.col("d"), F.col("s")))
         .distinct()
         .localCheckpoint(eager=True)
     )
