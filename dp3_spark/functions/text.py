@@ -231,6 +231,32 @@ def shingles(col: str, n: int = 3, *, pre_normalized: bool = False) -> tuple[str
     return spark, duck
 
 
+def word_ngrams(col: str, n: int, *, pre_tokenized: bool = False) -> tuple[str, str]:
+    """Word (token) n-gram strings -> array<string>.  Texts with fewer than
+    n tokens yield a single n-gram (all tokens joined) so every doc has at
+    least one — the decontamination join stays defined for short docs.
+
+    pre_tokenized: `col` is already a token ARRAY column.  Required for the
+    fast path — inlining the split() inside the per-position lambda re-runs
+    tokenization once per n-gram position, O(len^2) per document (same trap
+    as normalize(); see that docstring)."""
+    if pre_tokenized:
+        s_tok = d_tok = col
+    else:
+        s_tok, d_tok = tokens(col)
+    spark = (
+        f"case when size({s_tok}) <= {n} then array(concat_ws(' ', {s_tok})) else "
+        f"transform(sequence(1, size({s_tok}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({s_tok}, i, {n}))) end"
+    )
+    duck = (
+        f"case when len({d_tok}) <= {n} then [array_to_string({d_tok}, ' ')] else "
+        f"list_transform(range(1, len({d_tok}) - {n - 2}), "
+        f"i -> array_to_string(list_slice({d_tok}, i, i + {n - 1}), ' ')) end"
+    )
+    return spark, duck
+
+
 def shingle_hashes(col: str, n: int = 3, *, pre_normalized: bool = False) -> tuple[str, str]:
     """Distinct polynomial hashes of the n-gram shingles -> array<bigint>.
     The minhash/jaccard primitives build on this."""

@@ -6,8 +6,9 @@ and incremental refreshes of a 100 TB corpus must assign every document
 to the same split forever, which `rand()` cannot do.  md5 rather than the
 polynomial fingerprint hash because short keys (small integer ids) leave
 the polynomial's low range badly non-uniform — a split would swallow
-every low id.  All expressions are per-row map-side arithmetic — no
-shuffle, no state.
+every low id.  The split/sample operators are per-row map-side
+arithmetic — no shuffle, no state; domain_mix adds one tiny per-domain
+rollup whose result is broadcast back (the corpus itself never shuffles).
 """
 
 from __future__ import annotations
@@ -76,6 +77,97 @@ def deterministic_sample(
 def deterministic_sample_oracle_pred(id_col: str, *, fraction: float, salt: str = "") -> str:
     _, b_d = _bucket_exprs(id_col, salt, 1_000_000)
     return f"({b_d}) < {int(fraction * 1_000_000)}"
+
+
+def _mix_threshold_exprs(
+    domain_col: str, weights: dict[str, float], total_tokens: int
+) -> tuple[str, str]:
+    """(spark_sql, duckdb_sql) CASE mapping domain -> target token count
+    (double).  Unlisted domains target 0 (dropped)."""
+    whens = " ".join(
+        f"when '{dom}' then cast({float(w) * total_tokens} as double)"
+        for dom, w in sorted(weights.items())
+    )
+    case = f"case {domain_col} {whens} else cast(0.0 as double) end"
+    return case, case
+
+
+def domain_mix(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    token_expr: str,
+    weights: dict[str, float],
+    total_tokens: int,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: downsample each domain so the
+    sampled corpus approximates `total_tokens * weights[domain]` tokens per
+    domain — the standard "target mixture" step of training-data assembly
+    (e.g. 50% web / 30% wiki / 20% code by token count).
+
+    Per-domain keep rate = min(1, target_tokens / available_tokens), then
+    the same stable md5 id-bucket as deterministic_sample decides each row.
+    Rates come from one tiny groupBy(domain) rollup joined back via
+    broadcast — at 100 TB the corpus never shuffles; the only wide work is
+    the map-side partial aggregation of token counts.  A domain with fewer
+    tokens than its target is kept whole (rate capped at 1) rather than
+    upsampled; epoch-weighting is a trainer concern, not a sampling one.
+
+    token_expr: Spark SQL expression for the per-row token count (e.g.
+    functions/text.token_count).  Deterministic: floor(rate * 1e6) compared
+    against the id bucket, all exact double ops, identical in DuckDB."""
+    tgt_s, _ = _mix_threshold_exprs(domain_col, weights, total_tokens)
+    b_s, _ = _bucket_exprs(id_col, salt, 1_000_000)
+    avail = (
+        df.select(F.col(domain_col), F.expr(token_expr).cast("double").alias("_nt"))
+        .groupBy(domain_col)
+        .agg(F.sum("_nt").alias("_avail"))
+    )
+    rates = avail.select(
+        F.col(domain_col),
+        F.floor(
+            F.least(F.lit(1.0), F.expr(tgt_s) / F.col("_avail")) * 1_000_000
+        )
+        .cast("long")
+        .alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(F.expr(b_s) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def domain_mix_oracle_cte(
+    table: str,
+    id_col: str,
+    domain_col: str,
+    token_expr_duck: str,
+    weights: dict[str, float],
+    total_tokens: int,
+    *,
+    salt: str = "",
+) -> str:
+    """DuckDB CTE mirroring domain_mix: `with {cte} select ... from mixed`."""
+    _, tgt_d = _mix_threshold_exprs(domain_col, weights, total_tokens)
+    _, b_d = _bucket_exprs(id_col, salt, 1_000_000)
+    return f"""
+    mix_avail as (
+      select {domain_col}, sum(cast({token_expr_duck} as double)) as _avail
+      from {table} group by {domain_col}
+    ),
+    mix_rates as (
+      select {domain_col},
+             cast(floor(least(1.0, ({tgt_d}) / _avail) * 1000000) as bigint) as _thr
+      from mix_avail
+    ),
+    mixed as (
+      select t.* from {table} t join mix_rates r using ({domain_col})
+      where ({b_d}) < r._thr
+    )
+    """
 
 
 def stratified_sample(

@@ -1330,3 +1330,97 @@ def curate_corpus(spark, sf_dir):
         F.min("doc_id").cast("bigint").alias("min_id"),
         F.max("doc_id").cast("bigint").alias("max_id"),
     )
+
+
+# =========================================================================
+# Decontamination + domain mixing (beyond-reference training-pipeline ops)
+# =========================================================================
+
+_DECON_N = 5
+
+
+def _decontam_oracle() -> str:
+    from dp3_spark.operators.sampling import hash_split_oracle_case
+
+    case = hash_split_oracle_case("doc_id", test_pct=10, val_pct=0, salt="dc1")
+    _, tok_d = TXT.tokens("text")
+    _, ng_d = TXT.word_ngrams("toks", _DECON_N, pre_tokenized=True)
+    return f"""
+    with s as (select doc_id, text, {case} as split from documents),
+    tr as (select doc_id, {tok_d} as toks from s where split = 'train'),
+    ev as (
+      select distinct g
+      from (select unnest({ng_d}) as g
+            from (select {tok_d} as toks from s where split = 'test'))
+    ),
+    tg as (select doc_id, unnest(list_distinct({ng_d})) as g from tr),
+    hits as (
+      select tg.doc_id, count(*) as n from tg join ev using (g) group by tg.doc_id
+    )
+    select t.doc_id, cast(coalesce(h.n, 0) as bigint) as n_contaminated_ngrams,
+           coalesce(h.n, 0) > 0 as contaminated
+    from tr t left join hits h using (doc_id)
+    """
+
+
+@register("decontam_check", _decontam_oracle())
+def decontam_check(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): flag training
+    documents sharing any 5-token n-gram with the held-out test split.
+    The eval side reduces to distinct broadcast n-grams, so the corpus-side
+    join is map-side; near-duplicate documents straddling the split
+    boundary are exactly what this catches."""
+    from dp3_spark.operators import decontam as DC
+    from dp3_spark.operators import sampling as SA
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = SA.hash_split(docs, "doc_id", test_pct=10, val_pct=0, salt="dc1")
+    train = split.filter(F.col("split") == "train")
+    evl = split.filter(F.col("split") == "test")
+    return DC.ngram_contamination(train, evl, "doc_id", "text", n=_DECON_N)
+
+
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_MIX_BUDGET = 2500
+
+
+def _mix_oracle() -> str:
+    from dp3_spark.operators.sampling import domain_mix_oracle_cte
+
+    cte = domain_mix_oracle_cte(
+        "documents", "doc_id", "source", _TC_D, _MIX_WEIGHTS, _MIX_BUDGET, salt="mx1"
+    )
+    return f"""
+    with {cte}
+    select source, count(*) as n_docs,
+           cast(sum(cast({_TC_D} as bigint)) as bigint) as n_tokens,
+           cast(min(doc_id) as bigint) as min_id,
+           cast(max(doc_id) as bigint) as max_id
+    from mixed group by source
+    """
+
+
+@register("mix_domains", _mix_oracle())
+def mix_domains(spark, sf_dir):
+    """Domain-mixture sampling (operators/sampling.domain_mix): downsample
+    each source so the sampled corpus hits a 40/30/20/10 token mixture over
+    four domains within a fixed token budget, deterministically (stable md5
+    id-buckets, rates from one broadcast rollup — the corpus never
+    shuffles).  Returns the per-domain audit the pipeline operator would
+    log."""
+    from dp3_spark.operators import sampling as SA
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mixed = SA.domain_mix(
+        docs, "doc_id", "source", _TC_S, _MIX_WEIGHTS, _MIX_BUDGET, salt="mx1"
+    )
+    return (
+        mixed.select("source", F.expr(_TC_S).cast("bigint").alias("_nt"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+            F.max("doc_id").cast("bigint").alias("max_id"),
+        )
+    )

@@ -141,3 +141,71 @@ def test_stratified_sample_rates(spark):
     # default_fraction=0 drops unlisted strata
     out2 = SA.stratified_sample(docs, "doc_id", "lang", {"en": 0.5})
     assert out2.filter(F.col("lang") == "de").count() == 0
+
+
+def test_ngram_contamination_flags_overlap(spark):
+    from dp3_spark.operators import decontam as DC
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words appear here only"),
+            (3, "quick brown fox jumps high"),  # shares a 3-gram with eval
+        ],
+        "doc_id long, text string",
+    )
+    evl = spark.createDataFrame(
+        [(100, "watch the quick brown fox jumps today")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in DC.ngram_contamination(train, evl, "doc_id", "text", n=3).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["n_contaminated_ngrams"] >= 2
+    assert not out[2]["contaminated"] and out[2]["n_contaminated_ngrams"] == 0
+    assert out[3]["contaminated"]  # "quick brown fox", "brown fox jumps"
+    assert out[3]["n_contaminated_ngrams"] == 2
+
+
+def test_ngram_contamination_short_doc_whole_text(spark):
+    from dp3_spark.operators import decontam as DC
+
+    # fewer tokens than n: the whole text is the single n-gram
+    train = spark.createDataFrame([(1, "tiny doc")], "doc_id long, text string")
+    ev_hit = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    ev_miss = spark.createDataFrame([(9, "other words")], "doc_id long, text string")
+    hit = DC.ngram_contamination(train, ev_hit, "doc_id", "text", n=5).collect()[0]
+    miss = DC.ngram_contamination(train, ev_miss, "doc_id", "text", n=5).collect()[0]
+    assert hit["contaminated"] and not miss["contaminated"]
+
+
+def test_domain_mix_rates_and_cap(spark):
+    docs = (
+        spark.range(0, 400)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("source", F.when(F.col("doc_id") < 200, "a").otherwise("b"))
+        .withColumn("text", F.lit("one two three four five"))  # 5 tokens each
+    )
+    # a: 1000 tokens avail, target 0.5*600=300 -> rate 0.3
+    # b: 1000 tokens avail, target 0.5*600*... weights b 0.5 -> 300 -> 0.3
+    out = SA.domain_mix(
+        docs, "doc_id", "source", "size(split(trim(text), '\\\\s+'))",
+        {"a": 0.5, "b": 0.5}, 600,
+    )
+    rows = out.collect()
+    counts = {}
+    for r in rows:
+        counts[r["source"]] = counts.get(r["source"], 0) + 1
+    # ~30% of 200 docs per domain, md5-bucket variance allowed
+    assert 30 <= counts["a"] <= 90 and 30 <= counts["b"] <= 90
+    # deterministic: same rows on rerun
+    again = {(r["doc_id"]) for r in out.collect()}
+    assert again == {r["doc_id"] for r in rows}
+    # rate capped at 1: huge budget keeps every doc of listed domains,
+    # unlisted domains are dropped entirely
+    out2 = SA.domain_mix(
+        docs, "doc_id", "source", "size(split(trim(text), '\\\\s+'))",
+        {"a": 1.0}, 10_000_000,
+    )
+    assert out2.filter(F.col("source") == "a").count() == 200
+    assert out2.filter(F.col("source") == "b").count() == 0
