@@ -43,6 +43,8 @@ HEADLINE = [
     "sim_dup_pairs_lsh",      # banded near-dup pairs (the at-scale ANN path)
     "dedup_clusters",         # pair graph -> connected components
     "curate_corpus",          # end-to-end curation: score/filter/dedup/split
+    "decontam_check",         # benchmark decontamination (broadcast n-grams)
+    "mix_domains",            # domain-mixture sampling (broadcast rates)
 ]
 
 
