@@ -45,6 +45,7 @@ HEADLINE = [
     "curate_corpus",          # end-to-end curation: score/filter/dedup/split
     "decontam_check",         # benchmark decontamination (broadcast n-grams)
     "mix_domains",            # domain-mixture sampling (broadcast rates)
+    "dedup_incremental",      # corpus-refresh dedup vs persisted sig index
 ]
 
 

@@ -185,6 +185,78 @@ def minhash_signatures(
     )
 
 
+def _banded_frame(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id [, extra cols], band, band_key) — one row per (doc, band) via a
+    single explode; band key = xxhash64 of the band's minhash values (8-byte
+    join key; hashing can only merge buckets, and candidates are
+    exact-verified, so a collision can only add a true-positive pair)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    *[F.col("mh").getItem(bi * rows + r) for r in range(rows)]
+                ).alias("band_key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    extra = [c for c in sigs.columns if c not in ("id", "shingles", "card", "mh")]
+    return (
+        sigs.filter(F.col("mh").isNotNull())
+        .select("id", *extra, F.explode(band_structs).alias("bk"))
+        .select(
+            "id",
+            *extra,
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+    )
+
+
+def _verify_shuffle(cand: DataFrame, sigs: DataFrame, threshold: float) -> DataFrame:
+    """Exact-jaccard verification with shingle arrays delivered by two
+    hash joins (the at-scale transport when the signature table exceeds
+    broadcast range).  cand: (id_a, id_b); sigs: minhash_signatures output."""
+    import pandas as pd
+
+    thr = threshold
+
+    def _verify_cols(batches):
+        for pdf in batches:
+            shared = _np_shared_counts(pdf["sh_a"].values, pdf["sh_b"].values)
+            denom = pdf["card_a"].values + pdf["card_b"].values - shared
+            jac = shared / denom
+            keep = jac >= thr
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].values[keep],
+                    "id_b": pdf["id_b"].values[keep],
+                    "jaccard": jac[keep],
+                }
+            )
+
+    sh_sets = sigs.select("id", "shingles", "card")
+    return (
+        cand.join(
+            sh_sets.withColumnsRenamed({"id": "id_a", "shingles": "sh_a", "card": "card_a"}),
+            "id_a",
+        )
+        .join(
+            sh_sets.withColumnsRenamed({"id": "id_b", "shingles": "sh_b", "card": "card_b"}),
+            "id_b",
+        )
+        # exact pre-prune: jaccard <= min(card)/max(card), so pairs
+        # failing the cardinality ratio can't pass the threshold
+        .filter(
+            F.least("card_a", "card_b").cast("double")
+            >= F.lit(threshold) * F.greatest("card_a", "card_b").cast("double")
+        )
+        .select("id_a", "id_b", "card_a", "card_b", "sh_a", "sh_b")
+        .mapInPandas(_verify_cols, "id_a long, id_b long, jaccard double")
+    )
+
+
 def _np_shared_counts(sh_a, sh_b):
     """Exact |A ∩ B| per pair via searchsorted merge over sorted distinct
     shingle arrays.  Spark's array_intersect is a CodegenFallback
@@ -263,24 +335,9 @@ def minhash_lsh_pairs(
         # ~300 shingles/doc × 8 B ≈ 2.4 KB/doc: 200k docs ≈ 500 MB broadcast
         verify = "broadcast" if n_docs <= 200_000 else "shuffle"
     # one banded row per (doc, band) via a single explode — not a
-    # bands-way union, which would re-read the cache `bands` times
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    *[F.col("mh").getItem(bi * rows + r) for r in range(rows)]
-                ).alias("band_key"),
-            )
-            for bi in range(bands)
-        ]
-    )
-    banded = (
-        # null-text docs have null signatures — drop them up front
-        sigs.filter(F.col("mh").isNotNull())
-        .select("id", F.explode(band_structs).alias("bk"))
-        .select("id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    )
+    # bands-way union, which would re-read the cache `bands` times;
+    # null-text docs have null signatures — dropped inside _banded_frame
+    banded = _banded_frame(sigs, bands, rows)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "band_key"])
@@ -298,39 +355,7 @@ def minhash_lsh_pairs(
     thr = threshold
 
     if verify == "shuffle":
-        def _verify_cols(batches):
-            for pdf in batches:
-                shared = _np_shared_counts(pdf["sh_a"].values, pdf["sh_b"].values)
-                denom = pdf["card_a"].values + pdf["card_b"].values - shared
-                jac = shared / denom
-                keep = jac >= thr
-                yield pd.DataFrame(
-                    {
-                        "id_a": pdf["id_a"].values[keep],
-                        "id_b": pdf["id_b"].values[keep],
-                        "jaccard": jac[keep],
-                    }
-                )
-
-        sh_sets = sigs.select("id", "shingles", "card")
-        return (
-            cand.join(
-                sh_sets.withColumnsRenamed({"id": "id_a", "shingles": "sh_a", "card": "card_a"}),
-                "id_a",
-            )
-            .join(
-                sh_sets.withColumnsRenamed({"id": "id_b", "shingles": "sh_b", "card": "card_b"}),
-                "id_b",
-            )
-            # exact pre-prune: jaccard <= min(card)/max(card), so pairs
-            # failing the cardinality ratio can't pass the threshold
-            .filter(
-                F.least("card_a", "card_b").cast("double")
-                >= F.lit(threshold) * F.greatest("card_a", "card_b").cast("double")
-            )
-            .select("id_a", "id_b", "card_a", "card_b", "sh_a", "sh_b")
-            .mapInPandas(_verify_cols, "id_a long, id_b long, jaccard double")
-        )
+        return _verify_shuffle(cand, sigs, thr)
 
     # broadcast mode: one driver collect of the signature table (the
     # local[32] stand-in for a persisted signature table read), then the
@@ -360,6 +385,64 @@ def minhash_lsh_pairs(
             yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep], "jaccard": jac[keep]})
 
     return cand.mapInPandas(_verify_bc, "id_a long, id_b long, jaccard double")
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Dedup a NEW batch against a persisted signature index — the
+    real-world shape of corpus refreshes: the 100 TB corpus was
+    signature-indexed once (minhash_signatures persisted as a table); each
+    incoming batch signatures only ITS documents and probes the index,
+    instead of re-running dedup over corpus + batch from scratch.
+
+    index_sigs: a previous minhash_signatures output (id, shingles, card,
+    mh), typically `spark.read.parquet(sig_table)`.  Must share n /
+    num_hashes with this call, and ids must be disjoint from the batch.
+
+    Returns every near-dup pair with >= 1 endpoint in the new batch —
+    batch-vs-index and batch-vs-batch, never index-vs-index (already
+    emitted when those docs were new).  Value-identical to running
+    minhash_lsh_pairs over index ∪ batch and keeping pairs touching the
+    batch, which is what the DuckDB oracle re-derives.
+
+    Scale shape: banding the index is a map-only pass over the signature
+    table (no text re-shingling); the candidate join hash-partitions on
+    (band, band_key) where only buckets containing a batch doc produce
+    candidates; verification is _verify_shuffle — the index never fits a
+    broadcast, so shingle arrays arrive via two hash joins on id."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must divide into equal bands")
+    rows = num_hashes // bands
+    par = new_df.sparkSession.sparkContext.defaultParallelism
+    sigs_new = minhash_signatures(
+        new_df.repartition(par), id_col, text_col, n=n, num_hashes=num_hashes
+    ).localCheckpoint(eager=True)
+
+    all_sigs = index_sigs.select("id", "shingles", "card", "mh").withColumn(
+        "is_new", F.lit(False)
+    ).unionByName(sigs_new.withColumn("is_new", F.lit(True)))
+    banded = _banded_frame(all_sigs, bands, rows)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "band_key"])
+        .filter(
+            (F.col("x.id") < F.col("y.id"))
+            & (F.col("x.is_new") | F.col("y.is_new"))
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+        .repartition(2 * par)
+    )
+    return _verify_shuffle(cand, all_sigs, threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32, n: int = 3) -> DataFrame:

@@ -844,6 +844,33 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_incremental",
+    f"""
+    select id_a, id_b, jaccard from ({_minhash_oracle(128, 16, 0.7)}) p
+    where id_a % 5 = 0 or id_b % 5 = 0
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Corpus-refresh dedup (operators/dedup.minhash_lsh_pairs_incremental):
+    80% of documents play the already-indexed corpus (their persisted
+    minhash_signatures table), the other 20% arrive as the new batch and
+    probe the index — emitting batch-vs-index and batch-vs-batch pairs
+    without re-shingling the corpus.  The oracle re-derives the same set by
+    running full-corpus dedup and keeping pairs touching the batch."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    par = spark.sparkContext.defaultParallelism
+    index_sigs = DD.minhash_signatures(
+        index_docs.repartition(par), "doc_id", "text", n=3, num_hashes=128
+    )
+    return DD.minhash_lsh_pairs_incremental(
+        new_docs, index_sigs, "doc_id", "text",
+        n=3, num_hashes=128, bands=16, threshold=0.7,
+    )
+
+
 def _simhash_oracle(bits: int) -> str:
     votes = ", ".join(
         f"list_reduce(list_prepend(cast(0 as bigint), "

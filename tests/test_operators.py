@@ -415,3 +415,33 @@ def test_multimodal_features_compose_with_ann(spark):
     assert [r["rank"] for r in ranked] == [1, 2, 3]
     assert ranked[0]["cosine"] >= ranked[1]["cosine"] >= ranked[2]["cosine"]
     assert all(-1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9 for r in top)
+
+
+def test_minhash_incremental_matches_full_run(spark, tmp_path):
+    """Incremental dedup against a PERSISTED signature index equals the
+    full-corpus run restricted to pairs touching the new batch — the
+    corpus-refresh contract (index round-trips through parquet)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kw = dict(n=3, num_hashes=64, bands=8, threshold=0.6)
+    index_docs = docs.filter(F.col("doc_id") % 4 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 4 == 0)
+
+    sig_path = str(tmp_path / "sig_index")
+    DD.minhash_signatures(
+        index_docs, "doc_id", "text", n=3, num_hashes=64
+    ).write.parquet(sig_path)
+    index_sigs = spark.read.parquet(sig_path)
+
+    inc = DD.minhash_lsh_pairs_incremental(
+        new_docs, index_sigs, "doc_id", "text", **kw
+    )
+    full = DD.minhash_lsh_pairs(docs, "doc_id", "text", **kw)
+    want = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in full.collect()
+        if r["id_a"] % 4 == 0 or r["id_b"] % 4 == 0
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in inc.collect()
+    )
+    assert got == want and len(got) > 0
