@@ -257,6 +257,57 @@ def word_ngrams(col: str, n: int, *, pre_tokenized: bool = False) -> tuple[str, 
     return spark, duck
 
 
+def dup_ngram_fraction(col: str, n: int, *, pre_tokenized: bool = False) -> tuple[str, str]:
+    """Within-document repetition: fraction of word n-gram occurrences that
+    are repeats of an earlier n-gram — `1 - distinct/total` (Gopher-style
+    repetition quality signal; docs above ~0.2 at n=3 are usually boilerplate
+    or spam).  Single-n-gram docs score 0.  Pure codegen arithmetic."""
+    s_ng, d_ng = word_ngrams(col, n, pre_tokenized=pre_tokenized)
+    spark = (
+        f"1.0 - cast(size(array_distinct({s_ng})) as double)"
+        f" / cast(size({s_ng}) as double)"
+    )
+    duck = (
+        f"1.0 - cast(len(list_distinct({d_ng})) as double)"
+        f" / cast(len({d_ng}) as double)"
+    )
+    return spark, duck
+
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround, ASCII classes only.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+_PII = (("<EMAIL>", PII_EMAIL), ("<IP>", PII_IPV4))
+
+
+def redact_pii(col: str) -> tuple[str, str]:
+    """Replace emails then IPv4 addresses with placeholder tokens — the
+    scrubbing step before text enters a training corpus.  Map-only
+    regexp_replace chain (Spark replaces all matches by default; DuckDB
+    needs the 'g' flag)."""
+    spark = duck = col
+    for token, pat in _PII:
+        # Spark SQL string literals are Java-style (backslash-processed);
+        # DuckDB literals are SQL-standard (no escape processing)
+        spark = f"regexp_replace({spark}, '{pat.replace(chr(92), chr(92) * 2)}', '{token}')"
+        duck = f"regexp_replace({duck}, '{pat}', '{token}', 'g')"
+    return spark, duck
+
+
+def pii_count(col: str) -> tuple[str, str]:
+    """Total email + IPv4 matches in the text."""
+    sparks, ducks = [], []
+    for _, pat in _PII:
+        sparks.append(f"regexp_count({col}, '{pat.replace(chr(92), chr(92) * 2)}')")
+        ducks.append(f"len(regexp_extract_all({col}, '{pat}'))")
+    return (
+        f"cast({' + '.join(sparks)} as bigint)",
+        f"cast({' + '.join(ducks)} as bigint)",
+    )
+
+
 def shingle_hashes(col: str, n: int = 3, *, pre_normalized: bool = False) -> tuple[str, str]:
     """Distinct polynomial hashes of the n-gram shingles -> array<bigint>.
     The minhash/jaccard primitives build on this."""

@@ -735,6 +735,26 @@ _REGISTRY["text_fingerprint"] = _text_pair(
     "text_fingerprint",
 )
 
+# Within-document repetition (Gopher-style boilerplate/spam signal):
+# tokenization materializes once in the CTE, then two n-gram sizes read it.
+_REP2_S, _REP2_D = TXT.dup_ngram_fraction("toks", 2, pre_tokenized=True)
+_REP3_S, _REP3_D = TXT.dup_ngram_fraction("toks", 3, pre_tokenized=True)
+_TOK_S, _TOK_D = TXT.tokens("text")
+
+_REP_SPARK = f"""
+with t as (select doc_id, {_TOK_S} as toks from documents)
+select doc_id, {_REP2_S} as dup_2gram_frac, {_REP3_S} as dup_3gram_frac,
+       ({_REP3_S}) > 0.2 as repetitive
+from t
+"""
+_REP_DUCK = f"""
+with t as (select doc_id, {_TOK_D} as toks from documents)
+select doc_id, {_REP2_D} as dup_2gram_frac, {_REP3_D} as dup_3gram_frac,
+       ({_REP3_D}) > 0.2 as repetitive
+from t
+"""
+_REGISTRY["text_repetition"] = _sql_pair(_REP_SPARK, _REP_DUCK)
+
 
 # =========================================================================
 # Deduplication family (beyond-reference; operators/dedup.py)

@@ -209,3 +209,61 @@ def test_domain_mix_rates_and_cap(spark):
     )
     assert out2.filter(F.col("source") == "a").count() == 200
     assert out2.filter(F.col("source") == "b").count() == 0
+
+
+def test_pii_redaction_cross_engine(spark):
+    """PII regexes must mean the same thing in Java regex (Spark) and RE2
+    (DuckDB) — the corpus fixtures contain no PII, so this synthetic frame
+    is the real cross-engine gate for the redaction primitives."""
+    import duckdb
+    from dp3_spark.functions import text as TXT
+
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk or 10.0.255.7 today"),
+        (2, "no pii here at all"),
+        (3, "a@b.io a@b.io 192.168.1.1"),  # repeats, multiple kinds
+        (4, "almost@an@email 999.999.999.999 1.2.3.4567"),
+        (5, ""),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    red_s, red_d = TXT.redact_pii("text")
+    cnt_s, cnt_d = TXT.pii_count("text")
+    got = {
+        r["doc_id"]: (r["red"], r["n"])
+        for r in sdf.selectExpr(
+            "doc_id", f"{red_s} as red", f"{cnt_s} as n"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("create table t (doc_id bigint, text varchar)")
+    con.executemany("insert into t values (?, ?)", rows)
+    want = {
+        int(i): (r, int(n))
+        for i, r, n in con.execute(
+            f"select doc_id, {red_d} as red, {cnt_d} as n from t"
+        ).fetchall()
+    }
+    assert got == want
+    assert got[1] == ("contact <EMAIL> or <IP> today", 2)
+    assert got[3][1] == 3
+    assert got[2][1] == 0
+
+
+def test_dup_ngram_fraction_values(spark):
+    from dp3_spark.functions import text as TXT
+
+    s, _ = TXT.dup_ngram_fraction("text", 2)
+    rows = {
+        r["doc_id"]: r["f"]
+        for r in spark.createDataFrame(
+            [
+                (1, "a b a b a b"),   # 2-grams: ab ba ab ba ab -> 2 distinct of 5
+                (2, "all words differ here"),
+                (3, "x"),             # fewer tokens than n -> single n-gram -> 0
+            ],
+            "doc_id long, text string",
+        ).selectExpr("doc_id", f"{s} as f").collect()
+    }
+    assert abs(rows[1] - (1 - 2 / 5)) < 1e-12
+    assert rows[2] == 0.0
+    assert rows[3] == 0.0
