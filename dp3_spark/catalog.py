@@ -34,9 +34,9 @@ TABLES = (
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    # events.ts is parquet TIMESTAMP(NANOS): Spark rejects it unless read as
-    # int64 nanos — which is dp3's native time representation anyway.
-    # Runtime-settable, so this also works on a driver-owned session.
+    # events.ts has shipped as parquet TIMESTAMP(NANOS) in some fixture
+    # generations — only readable as int64 nanos.  Harmless for µs-typed
+    # files.  Runtime-settable, so this also works on a driver-owned session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
@@ -115,15 +115,23 @@ class LogStore:
 def time_range_filter(df: DataFrame, start_ns: int, end_ns: int) -> DataFrame:
     """Half-open [start, end) filter on log_time, plus — when the store
     exposes a raw pushdown column — the implied raw-column range so the
-    predicate reaches parquet row-group stats.  log_time may lag the raw
-    time by < 1 µs (truncation), so the raw upper bound widens by 999 ns;
-    row-group pruning is unaffected by the slack."""
+    predicate reaches parquet row-group stats.
+
+    The raw column is either int64 ns (bounds widened 999 ns for µs
+    truncation slack) or a parquet timestamp (bounds converted to µs,
+    outward-rounded); either way the extra predicate is a superset of the
+    exact log_time filter, so results are unchanged and row-group pruning
+    still fires."""
     out = df.filter((F.col("log_time") >= start_ns) & (F.col("log_time") < end_ns))
     if LogStore.PUSHDOWN_COL in df.columns:
-        out = out.filter(
-            (F.col(LogStore.PUSHDOWN_COL) >= start_ns)
-            & (F.col(LogStore.PUSHDOWN_COL) < end_ns + 999)
-        )
+        dt = dict(df.dtypes)[LogStore.PUSHDOWN_COL]
+        p = F.col(LogStore.PUSHDOWN_COL)
+        if dt.startswith("timestamp"):
+            lo = F.timestamp_micros(F.lit(start_ns // 1000)).cast(dt)
+            hi = F.timestamp_micros(F.lit(-(-end_ns // 1000))).cast(dt)
+            out = out.filter((p >= lo) & (p < hi))
+        else:
+            out = out.filter((p >= start_ns) & (p < end_ns + 999))
     return out
 
 
@@ -134,16 +142,37 @@ def drop_internal(df: DataFrame) -> DataFrame:
 def events_log_store(spark: SparkSession, sf_dir: str, *, us_truncate: bool = False) -> LogStore:
     """The driver's `events` table viewed as a dp3 log store.
 
-    ts is parquet TIMESTAMP(NANOS), read as int64 nanoseconds via
-    nanosAsLong — dp3's native representation (SURVEY.md §1.2).
+    `ts` has shipped both as parquet TIMESTAMP(NANOS) (readable only as
+    int64 ns via nanosAsLong) and TIMESTAMP(MICROS) (read as a timestamp
+    type); both normalize here to dp3's native int64 nanoseconds
+    (SURVEY.md §1.2).
 
-    us_truncate: DuckDB's parquet reader truncates ns timestamps to µs, so
-    its `epoch_ns(ts)` ends in 000.  Oracle-compared queries therefore run
-    on `ts - ts % 1000` so both engines see the identical int64 — engine
-    semantics stay nanosecond-typed.
+    us_truncate: DuckDB's parquet reader serves µs precision, so its
+    `epoch_ns(ts)` ends in 000.  Oracle-compared queries therefore run on
+    µs-truncated nanos so both engines see the identical int64 — inherent
+    for µs-typed files, applied as `ts - ts % 1000` for ns-typed ones.
+    Engine semantics stay nanosecond-typed either way.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type.startswith("timestamp"):
+        # µs-typed file: derive int64 ns; the raw timestamp stays the
+        # parquet-pushdown column (timestamp predicates reach row-group
+        # stats, the derived long cannot).
+        ev = ev.withColumn(
+            "ts_ns", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+        return LogStore(
+            df=ev,
+            producer_col="user_id",
+            topic_col="event_type",
+            time_col="ts_ns",
+            sequence_col="event_id",
+            payload_cols=("value", "props"),
+            pushdown_time_col="ts",
+        )
     time_col = "ts"
     pushdown = None
     if us_truncate:

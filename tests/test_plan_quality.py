@@ -40,16 +40,23 @@ def test_scan_filters_pushed_to_parquet(spark):
 
 
 def test_us_truncated_store_still_pushes_time_bounds(spark):
-    """The oracle-parity µs-truncated time column is derived, which parquet
-    can't prune on — the implied raw-ts range must still reach the scan
+    """The engine's log_time is a derived column (int64 ns from a µs
+    timestamp, or µs-truncated nanos), which parquet can't prune on — the
+    implied raw-ts range must still reach the scan
     (catalog.time_range_filter)."""
     store = events_log_store(spark, SF, us_truncate=True)
     df = Compiler(store).compile(
         "from * between 1704412800000000000 and 1705708800000000000 purchase;"
     )
     pushed = [l for l in formatted(df).splitlines() if "PushedFilters:" in l][0]
-    assert "GreaterThanOrEqual(ts,1704412800000000000)" in pushed
-    assert "LessThan(ts,1705708800000000999)" in pushed
+    # bounds appear as ns longs (ns-typed fixture) or timestamp literals
+    # (µs-typed fixture); either way both range ends must be pushed.
+    assert "GreaterThanOrEqual(ts,1704412800000000000)" in pushed or (
+        "GreaterThanOrEqual(ts,2024-01-05" in pushed
+    )
+    assert "LessThan(ts,1705708800000000999)" in pushed or (
+        "LessThan(ts,2024-01-20" in pushed
+    )
     assert "__ptime__" not in df.columns  # internal column never leaks
 
 
