@@ -540,7 +540,7 @@ join lineitem l on l.l_orderkey = o.o_orderkey
 join supplier s on l.l_suppkey = s.s_suppkey
 join nation n on s.s_nationkey = n.n_nationkey
 join region r on n.n_regionkey = r.r_regionkey
-where r.r_name = 'REGION_0'
+where r.r_name = 'ASIA'
   and o.o_orderdate >= timestamp '1996-01-01 00:00:00'
   and o.o_orderdate < timestamp '1998-01-01 00:00:00'
 group by n.n_name
@@ -633,10 +633,276 @@ _REGISTRY["rel_set_except"] = _sql_pair(_SETOPS)
 _CORR_SUB = """
 select p_partkey, p_brand, p_retailprice
 from part p
-where p_retailprice > (select avg(p2.p_retailprice) * 1.2 from part p2
+where p_retailprice > (select avg(p2.p_retailprice) * 1.05 from part p2
                        where p2.p_brand = p.p_brand)
 """
 _REGISTRY["rel_correlated_subquery"] = _sql_pair(_CORR_SUB)
+
+# --- adapted TPC-H shapes q4..q22 over the reduced fixture schema --------
+# The fixtures lack partsupp and the commit/receipt-date and comment
+# columns, so these are *shape* ports: each keeps the original query's
+# operator structure (EXISTS, outer-join distribution, scalar subqueries,
+# disjunctive pushdown, HAVING-in-IN) with predicates adapted to the
+# columns that exist.  Money stays in int64 cents (see _Q1 note).
+
+# q4: priority count of orders with at least one late-shipping lineitem
+# (correlated EXISTS; reference q4 uses commitdate < receiptdate).
+_Q4 = """
+select o_orderpriority, count(*) as order_count
+from orders o
+where o.o_orderdate >= timestamp '1996-07-01 00:00:00'
+  and o.o_orderdate < timestamp '1996-10-01 00:00:00'
+  and exists (select 1 from lineitem l
+              where l.l_orderkey = o.o_orderkey
+                and l.l_shipdate > o.o_orderdate)
+group by o_orderpriority
+"""
+_REGISTRY["tpch_q4_priority"] = _sql_pair(_Q4)
+
+# q7: bilateral shipping volume between two nations by ship year.
+_Q7 = """
+select supp_nation, cust_nation, l_year,
+  cast(sum(price_c * (100 - disc_c)) as double) / 10000.0 as revenue
+from (
+  select n1.n_name as supp_nation, n2.n_name as cust_nation,
+    cast(year(l.l_shipdate) as int) as l_year,
+    cast(round(l.l_extendedprice * 100) as bigint) as price_c,
+    cast(round(l.l_discount * 100) as bigint) as disc_c
+  from supplier s
+  join lineitem l on s.s_suppkey = l.l_suppkey
+  join orders o on o.o_orderkey = l.l_orderkey
+  join customer c on c.c_custkey = o.o_custkey
+  join nation n1 on s.s_nationkey = n1.n_nationkey
+  join nation n2 on c.c_nationkey = n2.n_nationkey
+  where (n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2')
+     or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1')
+) shipping
+group by supp_nation, cust_nation, l_year
+"""
+_REGISTRY["tpch_q7_volume"] = _sql_pair(_Q7)
+
+# q8: national market share inside a region by order year.
+_Q8 = """
+select o_year,
+  cast(sum(case when nation = 'NATION_3' then volume_c else 0 end) as double)
+    / cast(sum(volume_c) as double) as mkt_share
+from (
+  select cast(year(o.o_orderdate) as int) as o_year,
+    cast(round(l.l_extendedprice * 100) as bigint)
+      * (100 - cast(round(l.l_discount * 100) as bigint)) as volume_c,
+    n2.n_name as nation
+  from part p
+  join lineitem l on p.p_partkey = l.l_partkey
+  join supplier s on s.s_suppkey = l.l_suppkey
+  join orders o on o.o_orderkey = l.l_orderkey
+  join customer c on c.c_custkey = o.o_custkey
+  join nation n1 on c.c_nationkey = n1.n_nationkey
+  join region r on n1.n_regionkey = r.r_regionkey
+  join nation n2 on s.s_nationkey = n2.n_nationkey
+  where r.r_name = 'ASIA' and p.p_type = 'PROMO'
+) all_nations
+group by o_year
+"""
+_REGISTRY["tpch_q8_market_share"] = _sql_pair(_Q8)
+
+# q9: profit (revenue-based: no partsupp/supplycost in fixtures) by
+# supplier nation and order year over a part-name pattern.
+_Q9 = """
+select nation, o_year,
+  cast(sum(amount_c) as double) / 10000.0 as sum_profit
+from (
+  select n.n_name as nation, cast(year(o.o_orderdate) as int) as o_year,
+    cast(round(l.l_extendedprice * 100) as bigint)
+      * (100 - cast(round(l.l_discount * 100) as bigint)) as amount_c
+  from part p
+  join lineitem l on p.p_partkey = l.l_partkey
+  join supplier s on s.s_suppkey = l.l_suppkey
+  join orders o on o.o_orderkey = l.l_orderkey
+  join nation n on s.s_nationkey = n.n_nationkey
+  where p.p_name like '%red%'
+) profit
+group by nation, o_year
+"""
+_REGISTRY["tpch_q9_profit"] = _sql_pair(_Q9)
+
+# q12: shipping-delay buckets x priority class (reference q12 buckets by
+# shipmode and commit/receipt lateness; fixtures have neither column).
+_Q12_SPARK = """
+select ship_speed,
+  cast(sum(case when o_orderpriority in ('1-URGENT', '2-HIGH') then 1 else 0 end) as bigint) as high_line_count,
+  cast(sum(case when o_orderpriority not in ('1-URGENT', '2-HIGH') then 1 else 0 end) as bigint) as low_line_count
+from (
+  select o.o_orderpriority,
+    case when cast(datediff(l.l_shipdate, o.o_orderdate) as int) >= 90 then 'LATE'
+         when cast(datediff(l.l_shipdate, o.o_orderdate) as int) >= 30 then 'SLOW'
+         else 'FAST' end as ship_speed
+  from orders o join lineitem l on l.l_orderkey = o.o_orderkey
+  where l.l_shipdate >= timestamp '1996-01-01 00:00:00'
+    and l.l_shipdate < timestamp '1997-01-01 00:00:00'
+)
+group by ship_speed
+"""
+_REGISTRY["tpch_q12_latency"] = _sql_pair(
+    _Q12_SPARK,
+    _Q12_SPARK.replace(
+        "datediff(l.l_shipdate, o.o_orderdate)",
+        "date_diff('day', o.o_orderdate, l.l_shipdate)",
+    ),
+)
+
+# q13: customer distribution by order count (outer join preserved rows
+# feed a second aggregation).
+_Q13 = """
+select c_count, count(*) as custdist
+from (
+  select c.c_custkey, count(o.o_orderkey) as c_count
+  from customer c left outer join orders o
+    on c.c_custkey = o.o_custkey and o.o_orderpriority <> '5-LOW'
+  group by c.c_custkey
+) c_orders
+group by c_count
+"""
+_REGISTRY["tpch_q13_custdist"] = _sql_pair(_Q13)
+
+# q14: promo revenue share in one month.
+_Q14 = """
+select 100.0 * cast(sum(case when p.p_type = 'PROMO'
+      then cast(round(l.l_extendedprice * 100) as bigint)
+           * (100 - cast(round(l.l_discount * 100) as bigint)) else 0 end) as double)
+  / cast(sum(cast(round(l.l_extendedprice * 100) as bigint)
+           * (100 - cast(round(l.l_discount * 100) as bigint))) as double) as promo_revenue
+from lineitem l join part p on l.l_partkey = p.p_partkey
+where l.l_shipdate >= timestamp '1996-06-01 00:00:00'
+  and l.l_shipdate < timestamp '1996-07-01 00:00:00'
+"""
+_REGISTRY["tpch_q14_promo"] = _sql_pair(_Q14)
+
+# q15: top supplier(s) by quarterly revenue — CTE reused by a scalar
+# max subquery (the reference's revenue view).
+_Q15 = """
+with revenue as (
+  select l_suppkey as supplier_no,
+    sum(cast(round(l_extendedprice * 100) as bigint)
+      * (100 - cast(round(l_discount * 100) as bigint))) as total_revenue_c
+  from lineitem
+  where l_shipdate >= timestamp '1996-01-01 00:00:00'
+    and l_shipdate < timestamp '1996-04-01 00:00:00'
+  group by l_suppkey
+)
+select s.s_suppkey, s.s_name,
+  cast(r.total_revenue_c as double) / 10000.0 as total_revenue
+from supplier s join revenue r on s.s_suppkey = r.supplier_no
+where r.total_revenue_c = (select max(total_revenue_c) from revenue)
+"""
+_REGISTRY["tpch_q15_top_supplier"] = _sql_pair(_Q15)
+
+# q17: small-quantity revenue for one brand, threshold from a correlated
+# per-part average.
+_Q17 = """
+select cast(sum(cast(round(l.l_extendedprice * 100) as bigint)) as double) / 100.0 / 7.0 as avg_yearly
+from lineitem l join part p on p.p_partkey = l.l_partkey
+where p.p_brand = 'Brand#1'
+  and l.l_quantity < (select 0.2 * avg(l2.l_quantity) from lineitem l2
+                      where l2.l_partkey = p.p_partkey)
+"""
+_REGISTRY["tpch_q17_small_qty"] = _sql_pair(_Q17)
+
+# q18: large-volume orders — HAVING aggregate inside an IN subquery.
+_Q18_SPARK = """
+select c.c_name, c.c_custkey, o.o_orderkey,
+  date_format(o.o_orderdate, 'yyyy-MM-dd') as orderdate, o.o_totalprice,
+  cast(sum(cast(round(l.l_quantity * 100) as bigint)) as double) / 100.0 as sum_qty
+from customer c
+join orders o on c.c_custkey = o.o_custkey
+join lineitem l on o.o_orderkey = l.l_orderkey
+where o.o_orderkey in (
+  select l_orderkey from lineitem group by l_orderkey
+  having sum(cast(round(l_quantity * 100) as bigint)) > 30000
+)
+group by c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+"""
+_REGISTRY["tpch_q18_large_orders"] = _sql_pair(
+    _Q18_SPARK,
+    _Q18_SPARK.replace(
+        "date_format(o.o_orderdate, 'yyyy-MM-dd')",
+        "strftime(o.o_orderdate, '%Y-%m-%d')",
+    ),
+)
+
+# q19: disjunctive brand/size/quantity predicates — Catalyst pushes the
+# whole OR-of-ANDs below the join.
+_Q19 = """
+select cast(sum(price_c * (100 - disc_c)) as double) / 10000.0 as revenue
+from (
+  select cast(round(l.l_extendedprice * 100) as bigint) as price_c,
+         cast(round(l.l_discount * 100) as bigint) as disc_c
+  from lineitem l join part p on p.p_partkey = l.l_partkey
+  where (p.p_brand = 'Brand#1' and p.p_size between 1 and 15
+         and l.l_quantity between 1 and 11)
+     or (p.p_brand = 'Brand#2' and p.p_size between 1 and 25
+         and l.l_quantity between 10 and 20)
+     or (p.p_brand = 'Brand#3' and p.p_size between 1 and 35
+         and l.l_quantity between 20 and 30)
+) matched
+"""
+_REGISTRY["tpch_q19_disjunctive"] = _sql_pair(_Q19)
+
+# q22: idle high-balance customers by nation (reference buckets by phone
+# country code; fixtures have no phone) — anti-join + uncorrelated scalar
+# average.  The average is taken over exact cents so both engines compare
+# against bit-identical thresholds.
+_Q22 = """
+select n.n_name as cntry, count(*) as numcust,
+  cast(sum(cast(round(c.c_acctbal * 100) as bigint)) as double) / 100.0 as totacctbal
+from customer c join nation n on c.c_nationkey = n.n_nationkey
+where cast(round(c.c_acctbal * 100) as bigint) >
+      (select avg(cast(round(c2.c_acctbal * 100) as bigint))
+       from customer c2 where c2.c_acctbal > 0.0)
+  and not exists (select 1 from orders o where o.o_custkey = c.c_custkey)
+group by n.n_name
+"""
+_REGISTRY["tpch_q22_idle_balance"] = _sql_pair(_Q22)
+
+# --- events analytics: funnel + retention (window/self-join shapes the
+# events stream exercises beyond the dp3 surface) ----------------------
+
+_FUNNEL_SPARK = """
+with per_user as (
+  select user_id,
+    min(case when event_type = 'view' then unix_micros(cast(ts as timestamp)) end) as t_view,
+    min(case when event_type = 'click' then unix_micros(cast(ts as timestamp)) end) as t_click,
+    min(case when event_type = 'purchase' then unix_micros(cast(ts as timestamp)) end) as t_purchase
+  from events group by user_id
+)
+select count(*) as n_users,
+  cast(sum(case when t_view is not null then 1 else 0 end) as bigint) as n_view,
+  cast(sum(case when t_view is not null and t_click > t_view
+                then 1 else 0 end) as bigint) as n_view_click,
+  cast(sum(case when t_view is not null and t_click > t_view and t_purchase > t_click
+                then 1 else 0 end) as bigint) as n_full_funnel
+from per_user
+"""
+_REGISTRY["events_funnel"] = _sql_pair(
+    _FUNNEL_SPARK,
+    _FUNNEL_SPARK.replace("unix_micros(cast(ts as timestamp))", "epoch_us(ts)"),
+)
+
+# day-over-day retention: users active on consecutive day buckets.
+_RETENTION_SPARK = """
+with days as (
+  select distinct user_id,
+    unix_micros(cast(ts as timestamp)) - unix_micros(cast(ts as timestamp)) % 86400000000 as day_us
+  from events
+)
+select d1.day_us as day_us, count(*) as retained
+from days d1 join days d2
+  on d1.user_id = d2.user_id and d2.day_us = d1.day_us + 86400000000
+group by d1.day_us
+"""
+_REGISTRY["events_retention"] = _sql_pair(
+    _RETENTION_SPARK,
+    _RETENTION_SPARK.replace("unix_micros(cast(ts as timestamp))", "epoch_us(ts)"),
+)
 
 
 # =========================================================================
