@@ -35,6 +35,9 @@ HEADLINE = [
     "tpch_q1_pricing",        # wide aggregation
     "tpch_q3_shipping",       # join + top-k
     "tpch_q5_region_revenue", # 6-way join
+    "tpch_q9_profit",         # 5-way join + like-filter + 2-key agg
+    "tpch_q18_large_orders",  # HAVING-in-IN semi join over lineitem
+    "events_retention",       # self-join on day buckets
     "text_metrics",           # text analysis over documents
     "dedup_minhash_lsh",      # minhash LSH dedup (the at-scale dedup path;
                               # exact all-pairs jaccard is oracle-only — it is
