@@ -284,6 +284,8 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.6,
     verify: str = "auto",
+    candidates: str = "all",
+    bucket_cap: int = 64,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with exact Jaccard.
 
@@ -306,6 +308,23 @@ def minhash_lsh_pairs(
     collision adds a pair only if its true jaccard clears the threshold;
     verified value-identical to the concat-key oracle on the fixture data.
 
+    candidates='all' emits every in-bucket pair — the complete pair list,
+    the mode the oracle checks pair-for-pair.  candidates='capped' emits
+    (x, y) only when x is among the first `bucket_cap` members of the
+    bucket (by id): identical to all-pairs for buckets <= bucket_cap, and
+    cap*k instead of k^2/2 candidates beyond.  On clustery corpora
+    (template families, boilerplate) bucket sizes grow WITH corpus size,
+    so all-pairs candidate volume grows quadratically — the fixture's
+    5000 docs already produce 1.03M candidates, and at 100x the corpus
+    that is the scale-killer; capped makes candidate volume linear
+    (bands * bucket_cap per doc, worst case).  The right input for
+    CONNECTIVITY consumers (connected-components clustering needs a
+    spanning subgraph, not every edge): a pair is lost only if BOTH
+    members sit beyond rank `bucket_cap` in EVERY bucket they share and
+    neither verifies against any of the first `bucket_cap` — measured on
+    the fixture corpus the derived components are identical to all-pairs
+    (pinned in tests).  Not for consumers that need the complete list.
+
     verify='broadcast' ships the (id -> shingle set) table to workers ONCE
     (sc.broadcast) and streams bare (id_a, id_b) pairs through the numpy
     intersect — on a near-dup-heavy corpus the alternative per-pair array
@@ -318,6 +337,8 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must divide into equal bands")
     if verify not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"unknown verify mode {verify!r}")
+    if candidates not in ("all", "capped"):
+        raise ValueError(f"unknown candidates mode {candidates!r}")
     rows = num_hashes // bands
     # a small parquet reads as few partitions; the signature work is
     # CPU-bound per row, so spread it across all cores first
@@ -338,8 +359,21 @@ def minhash_lsh_pairs(
     # bands-way union, which would re-read the cache `bands` times;
     # null-text docs have null signatures — dropped inside _banded_frame
     banded = _banded_frame(sigs, bands, rows)
+    if candidates == "capped":
+        # rank members within each bucket; only the first bucket_cap fan
+        # out as join LHS — candidate volume is bucket-linear
+        from pyspark.sql import Window
+
+        wo = Window.partitionBy("band", "band_key").orderBy("id")
+        lhs = (
+            banded.withColumn("rn", F.row_number().over(wo))
+            .filter(F.col("rn") <= bucket_cap)
+            .drop("rn")
+        )
+    else:
+        lhs = banded
     cand = (
-        banded.alias("x")
+        lhs.alias("x")
         .join(banded.alias("y"), ["band", "band_key"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))

@@ -863,6 +863,64 @@ group by n.n_name
 """
 _REGISTRY["tpch_q22_idle_balance"] = _sql_pair(_Q22)
 
+# window frame specs: running total (unbounded-preceding row frame) per
+# customer over order history.
+_RUNNING = """
+select o_custkey, o_orderkey,
+  cast(sum(price_c) over (partition by o_custkey
+       order by o_orderdate, o_orderkey
+       rows between unbounded preceding and current row) as double) / 100.0
+    as running_spend
+from (
+  select o_custkey, o_orderkey, o_orderdate,
+         cast(round(o_totalprice * 100) as bigint) as price_c
+  from orders
+) t
+"""
+_REGISTRY["window_running_total"] = _sql_pair(_RUNNING)
+
+# bounded row frame (7-day moving average) + lag delta over a daily
+# series.  avg/lag stay on exact bigint counts so both engines divide the
+# same integer sums — no float accumulation-order hazard.
+_MOVING_SPARK = """
+with daily as (
+  select day_us, count(*) as n
+  from (select unix_micros(cast(ts as timestamp))
+             - unix_micros(cast(ts as timestamp)) % 86400000000 as day_us
+        from events) t
+  group by day_us
+)
+select day_us, n,
+  avg(n) over (order by day_us rows between 6 preceding and current row) as ma7,
+  coalesce(n - lag(n) over (order by day_us), 0) as delta
+from daily
+"""
+_REGISTRY["window_moving_avg"] = _sql_pair(
+    _MOVING_SPARK,
+    _MOVING_SPARK.replace("unix_micros(cast(ts as timestamp))", "epoch_us(ts)"),
+)
+
+# set intersection (companion to rel_set_except).
+_SET_INTERSECT = """
+select c_custkey from customer where c_mktsegment = 'BUILDING'
+intersect
+select c.c_custkey from customer c join orders o on o.o_custkey = c.c_custkey
+where o.o_orderpriority = '1-URGENT'
+"""
+_REGISTRY["rel_set_intersect"] = _sql_pair(_SET_INTERSECT)
+
+# full cube (4 grouping sets; rel_rollup_agg covers the rollup lattice).
+_CUBE = """
+select coalesce(l_returnflag, 'ALL') as returnflag,
+       coalesce(l_linestatus, 'ALL') as linestatus,
+       count(*) as n,
+       cast(sum(cast(round(l_extendedprice * 100) as bigint)) as double) / 100.0 as sum_price
+from lineitem
+group by cube (l_returnflag, l_linestatus)
+"""
+_REGISTRY["rel_cube_agg"] = _sql_pair(_CUBE)
+
+
 # --- events analytics: funnel + retention (window/self-join shapes the
 # events stream exercises beyond the dp3 surface) ----------------------
 
@@ -1077,7 +1135,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.75)
 
 
-def _minhash_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+def _minhash_oracle(
+    num_hashes: int, bands: int, threshold: float, *, bucket_cap: int | None = None
+) -> str:
     # relational formulation (unnest + cross-join coefficients + group-min):
     # DuckDB executes this vectorized, unlike `num_hashes` inline list-lambda
     # folds which evaluate interpreted per element.  Band keys via
@@ -1087,6 +1147,23 @@ def _minhash_oracle(num_hashes: int, bands: int, threshold: float) -> str:
     coeffs = DD.minhash_coeffs(num_hashes)
     p = DD.MINHASH_P
     coe_values = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(coeffs))
+    if bucket_cap is not None:
+        # capped candidates: LHS restricted to the first bucket_cap bucket
+        # members by id (mirrors dedup.minhash_lsh_pairs candidates='capped')
+        cand_cte = f"""
+      select distinct x.doc_id as id_a, y.doc_id as id_b
+      from (select * from (select banded.*, row_number() over
+              (partition by band, band_key order by doc_id) as rn from banded)
+            where rn <= {bucket_cap}) x
+      join banded y using (band, band_key)
+      where x.doc_id < y.doc_id
+    """
+    else:
+        cand_cte = """
+      select distinct x.doc_id as id_a, y.doc_id as id_b
+      from banded x join banded y using (band, band_key)
+      where x.doc_id < y.doc_id
+    """
     return f"""
     with {_SH_CTE},
     sh as (select doc_id, hs from sh_base),
@@ -1105,11 +1182,7 @@ def _minhash_oracle(num_hashes: int, bands: int, threshold: float) -> str:
                as band_key
       from sigs cross join bandt
     ),
-    cand as (
-      select distinct x.doc_id as id_a, y.doc_id as id_b
-      from banded x join banded y using (band, band_key)
-      where x.doc_id < y.doc_id
-    ),
+    cand as ({cand_cte}),
     verified as (
       select c.id_a, c.id_b,
         cast(len(list_intersect(a.hs, b.hs)) as double)
@@ -1449,7 +1522,7 @@ def mcap_roundtrip_agg(spark, sf_dir):
 # =========================================================================
 
 _CC_ORACLE = f"""
-with recursive pairs as ({_minhash_oracle(128, 16, 0.7)}),
+with recursive pairs as ({_minhash_oracle(128, 16, 0.7, bucket_cap=64)}),
 edges as (select id_a as a, id_b as b from pairs
           union all select id_b, id_a from pairs),
 reach(id, r) as (
@@ -1471,12 +1544,15 @@ def dedup_clusters(spark, sf_dir):
     keep/drop decision (operators/components.py).  The engine runs
     iterative min-label propagation; the oracle re-derives reachability
     with a recursive CTE — two independent formulations of the same
-    answer."""
+    answer.  Edges come from capped candidates (bucket-linear volume, the
+    connectivity consumer's scale path — see minhash_lsh_pairs docstring);
+    the oracle mirrors the capped candidate rule exactly."""
     from dp3_spark.operators import components as CC
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = DD.minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=128, bands=16, threshold=0.7
+        docs, "doc_id", "text", n=3, num_hashes=128, bands=16, threshold=0.7,
+        candidates="capped", bucket_cap=64,
     )
     return CC.dedup_clusters(docs, pairs)
 

@@ -226,6 +226,44 @@ def test_minhash_verify_modes_agree(spark):
     assert ra == rb and len(ra) > 0
 
 
+def test_minhash_capped_candidates_subset_and_connective(spark):
+    """candidates='capped' (bucket-linear candidate volume for connectivity
+    consumers) must emit a subset of the all-pairs verified output, keep
+    id_a < id_b, and — on the fixture corpus, at both a loose and the
+    registry's sharp parameterization — derive IDENTICAL connected
+    components (every bucket is either fully paired (<= cap) or every
+    member still verifies against one of its first `cap` ids)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from dp3_spark.operators import components as CC
+
+    for kw in (
+        dict(n=3, num_hashes=64, bands=8, threshold=0.6),
+        dict(n=3, num_hashes=128, bands=16, threshold=0.7),
+    ):
+        allp = DD.minhash_lsh_pairs(docs, "doc_id", "text", candidates="all", **kw)
+        capped = DD.minhash_lsh_pairs(
+            docs, "doc_id", "text", candidates="capped", bucket_cap=64, **kw
+        )
+        sa = {(r["id_a"], r["id_b"]) for r in allp.collect()}
+        sc = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        assert len(sc) > 0 and sc <= sa
+        assert all(a < b for a, b in sc)
+        nodes = docs.select(F.col("doc_id").alias("id"))
+        comp_a = {
+            (r["id"], r["component"])
+            for r in CC.connected_components(
+                nodes, spark.createDataFrame(list(sa), "id_a long, id_b long")
+            ).collect()
+        }
+        comp_c = {
+            (r["id"], r["component"])
+            for r in CC.connected_components(
+                nodes, spark.createDataFrame(list(sc), "id_a long, id_b long")
+            ).collect()
+        }
+        assert comp_a == comp_c, f"components diverge at {kw}"
+
+
 def test_lsh_recall_vs_bruteforce(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
