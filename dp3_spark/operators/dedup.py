@@ -383,19 +383,20 @@ def minhash_lsh_pairs(
         # it or the intersect runs on 2-3 cores
         .repartition(2 * par)
     )
+    if verify == "shuffle":
+        return _verify_shuffle(cand, sigs, threshold)
+    return _verify_broadcast(cand, sigs, threshold)
+
+
+def _verify_broadcast(cand: DataFrame, sigs: DataFrame, thr: float) -> DataFrame:
+    """Exact-jaccard verify with the (id -> shingle set) table shipped to
+    workers once via sc.broadcast (the local[32] stand-in for a persisted
+    signature table read); the pair stream carries only two longs per row."""
     import numpy as np
     import pandas as pd
 
-    thr = threshold
-
-    if verify == "shuffle":
-        return _verify_shuffle(cand, sigs, thr)
-
-    # broadcast mode: one driver collect of the signature table (the
-    # local[32] stand-in for a persisted signature table read), then the
-    # pair stream carries only two longs per row
     sh_rows = sigs.select("id", "shingles").filter(F.col("shingles").isNotNull()).collect()
-    bc = df.sparkSession.sparkContext.broadcast(
+    bc = cand.sparkSession.sparkContext.broadcast(
         {int(r["id"]): np.asarray(r["shingles"], dtype=np.int64) for r in sh_rows}
     )
 
@@ -431,6 +432,7 @@ def minhash_lsh_pairs_incremental(
     num_hashes: int = 128,
     bands: int = 16,
     threshold: float = 0.6,
+    verify: str = "auto",
 ) -> DataFrame:
     """Dedup a NEW batch against a persisted signature index — the
     real-world shape of corpus refreshes: the 100 TB corpus was
@@ -451,10 +453,14 @@ def minhash_lsh_pairs_incremental(
     Scale shape: banding the index is a map-only pass over the signature
     table (no text re-shingling); the candidate join hash-partitions on
     (band, band_key) where only buckets containing a batch doc produce
-    candidates; verification is _verify_shuffle — the index never fits a
-    broadcast, so shingle arrays arrive via two hash joins on id."""
+    candidates.  Verify transport follows minhash_lsh_pairs: 'auto' picks
+    broadcast while index+batch fit the broadcast budget and falls back
+    to _verify_shuffle (shingle arrays via two hash joins on id) beyond —
+    the at-scale path, since a 100 TB corpus index never broadcasts."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must divide into equal bands")
+    if verify not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown verify mode {verify!r}")
     rows = num_hashes // bands
     par = new_df.sparkSession.sparkContext.defaultParallelism
     sigs_new = minhash_signatures(
@@ -476,7 +482,15 @@ def minhash_lsh_pairs_incremental(
         .distinct()
         .repartition(2 * par)
     )
-    return _verify_shuffle(cand, all_sigs, threshold)
+    if verify == "auto":
+        # same budget as minhash_lsh_pairs (~2.4 KB of shingles per doc);
+        # counted per side — a parquet-backed index answers count() from
+        # footer stats without materializing anything
+        n_all = index_sigs.count() + sigs_new.count()
+        verify = "broadcast" if n_all <= 200_000 else "shuffle"
+    if verify == "shuffle":
+        return _verify_shuffle(cand, all_sigs, threshold)
+    return _verify_broadcast(cand, all_sigs, threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32, n: int = 3) -> DataFrame:
