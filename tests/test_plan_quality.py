@@ -98,6 +98,28 @@ def test_small_dims_broadcast(spark):
     assert "BroadcastHashJoin" in txt
 
 
+def test_tpch_q9_broadcasts_dims_no_cartesian(spark):
+    """The 5-way q9 join must broadcast the small sides and never fall
+    back to a cartesian/broadcast-nested-loop plan."""
+    from dp3_spark import queries as Q
+
+    df = Q.queries()["tpch_q9_profit"](spark, SF)
+    txt = plan_of(df)
+    assert txt.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_tpch_q18_in_subquery_is_semi_join(spark):
+    """q18's HAVING-inside-IN must plan as a LeftSemi join, not a
+    distinct+inner-join rewrite that would duplicate rows."""
+    from dp3_spark import queries as Q
+
+    df = Q.queries()["tpch_q18_large_orders"](spark, SF)
+    txt = plan_of(df)
+    assert "LeftSemi" in txt
+
+
 def test_asof_single_sort_per_window_chain(spark):
     """The as-of join's windows share partitioning+ordering, so the plan
     should not re-sort between the two window operators."""
