@@ -1079,6 +1079,27 @@ from t
 """
 _REGISTRY["text_repetition"] = _sql_pair(_REP_SPARK, _REP_DUCK)
 
+# Corpus vocabulary: top-k tokens by DOCUMENT frequency (the corpus-stats
+# pass a tokenizer-training or stopword-inference pipeline starts with).
+# array_distinct before explode keeps the count a doc-frequency; the
+# groupBy is map-side-combinable so at 100 TB only (token, partial-count)
+# rows shuffle — never the corpus.  Deterministic tie-break on the token.
+_VOCAB_SPARK = f"""
+with t as (select doc_id, array_distinct({_TOK_S}) as toks from documents),
+ex as (select explode(toks) as tok from t)
+select tok, count(*) as doc_freq
+from ex group by tok
+order by doc_freq desc, tok limit 100
+"""
+_VOCAB_DUCK = f"""
+with t as (select doc_id, list_distinct({_TOK_D}) as toks from documents),
+ex as (select unnest(toks) as tok from t)
+select tok, count(*) as doc_freq
+from ex group by tok
+order by doc_freq desc, tok limit 100
+"""
+_REGISTRY["text_vocab_topk"] = _sql_pair(_VOCAB_SPARK, _VOCAB_DUCK)
+
 
 # =========================================================================
 # Deduplication family (beyond-reference; operators/dedup.py)
