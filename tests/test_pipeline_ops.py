@@ -21,24 +21,35 @@ def _edges(spark, pairs):
     ).filter(F.col("id_a").isNotNull())
 
 
-def test_cc_chain_converges_to_min(spark):
+# threshold=0 forces the distributed min-label-propagation loop; the
+# default exercises the driver union-find path — both must agree
+@pytest.mark.parametrize("thr", [0, 2_000_000])
+def test_cc_chain_converges_to_min(spark, thr):
     # a 6-node chain: diameter 5, needs multiple propagation rounds
     out = CC.connected_components(
-        _nodes(spark, range(6)), _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)])
+        _nodes(spark, range(6)),
+        _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]),
+        driver_edge_threshold=thr,
     ).collect()
     assert {(r["id"], r["component"]) for r in out} == {(i, 0) for i in range(6)}
 
 
-def test_cc_singletons_and_two_clusters(spark):
+@pytest.mark.parametrize("thr", [0, 2_000_000])
+def test_cc_singletons_and_two_clusters(spark, thr):
     out = CC.connected_components(
-        _nodes(spark, range(7)), _edges(spark, [(1, 2), (5, 6), (2, 3)])
+        _nodes(spark, range(7)),
+        _edges(spark, [(1, 2), (5, 6), (2, 3)]),
+        driver_edge_threshold=thr,
     ).collect()
     comp = {r["id"]: r["component"] for r in out}
     assert comp == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
 
 
-def test_cc_empty_edges(spark):
-    out = CC.connected_components(_nodes(spark, [7, 9]), _edges(spark, [])).collect()
+@pytest.mark.parametrize("thr", [0, 2_000_000])
+def test_cc_empty_edges(spark, thr):
+    out = CC.connected_components(
+        _nodes(spark, [7, 9]), _edges(spark, []), driver_edge_threshold=thr
+    ).collect()
     assert {(r["id"], r["component"]) for r in out} == {(7, 7), (9, 9)}
 
 
@@ -48,6 +59,7 @@ def test_cc_max_iter_raises(spark):
             _nodes(spark, range(8)),
             _edges(spark, [(i, i + 1) for i in range(7)]),
             max_iter=2,
+            driver_edge_threshold=0,  # the driver path has no iteration cap
         )
 
 
