@@ -82,8 +82,8 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for r in e.collect():
-            a, b = r["s"], r["d"]
+        pdf = e.toPandas()  # Arrow transfer: ~16 B/edge, not row-at-a-time
+        for a, b in zip(pdf["s"].tolist(), pdf["d"].tolist()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -91,10 +91,19 @@ def connected_components(
                 # always hang the larger root under the smaller so the
                 # final root IS the component minimum
                 parent[max(ra, rb)] = min(ra, rb)
-        mapping = [(n, find(n)) for n in parent]
+        import pandas as pd
+
         spark = nodes.sparkSession
-        mdf = spark.createDataFrame(mapping or [(-1, -1)], "id long, component long")
-        if not mapping:
+        mapping = pd.DataFrame(
+            {"id": list(parent), "component": [find(n) for n in parent]},
+            dtype="int64",
+        )
+        # Arrow upload; sentinel keeps createDataFrame happy on empty input
+        mdf = spark.createDataFrame(
+            mapping if len(mapping) else pd.DataFrame({"id": [-1], "component": [-1]}),
+            "id long, component long",
+        )
+        if not len(mapping):
             mdf = mdf.filter(F.lit(False))
         return (
             nodes.select(F.col(id_col).alias("id"))
