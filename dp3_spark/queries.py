@@ -796,6 +796,18 @@ where r.total_revenue_c = (select max(total_revenue_c) from revenue)
 """
 _REGISTRY["tpch_q15_top_supplier"] = _sql_pair(_Q15)
 
+# q16: supplier-count distribution per part attribute (reference q16
+# counts partsupp suppliers; the fixtures link suppliers to parts through
+# lineitem).  count(distinct) over a join with a negated predicate.
+_Q16 = """
+select p.p_brand, p.p_type, p.p_size,
+       count(distinct l.l_suppkey) as supplier_cnt
+from part p join lineitem l on l.l_partkey = p.p_partkey
+where p.p_brand <> 'Brand#1' and p.p_size in (1, 4, 9, 16, 25, 36, 49)
+group by p.p_brand, p.p_type, p.p_size
+"""
+_REGISTRY["tpch_q16_supplier_cnt"] = _sql_pair(_Q16)
+
 # q17: small-quantity revenue for one brand, threshold from a correlated
 # per-part average.
 _Q17 = """
@@ -846,6 +858,24 @@ from (
 ) matched
 """
 _REGISTRY["tpch_q19_disjunctive"] = _sql_pair(_Q19)
+
+# q20: suppliers who shipped a large volume of a part family in a year —
+# nested IN whose subquery groups by TWO keys with a HAVING (reference
+# q20 checks partsupp availability; same operator shape).
+_Q20 = """
+select s.s_suppkey, s.s_name
+from supplier s
+where s.s_suppkey in (
+  select l.l_suppkey
+  from lineitem l join part p on p.p_partkey = l.l_partkey
+  where p.p_name like '%red%'
+    and l.l_shipdate >= timestamp '1996-01-01 00:00:00'
+    and l.l_shipdate < timestamp '1997-01-01 00:00:00'
+  group by l.l_suppkey, l.l_partkey
+  having sum(cast(round(l.l_quantity * 100) as bigint)) > 5000
+)
+"""
+_REGISTRY["tpch_q20_volume_suppliers"] = _sql_pair(_Q20)
 
 # q22: idle high-balance customers by nation (reference buckets by phone
 # country code; fixtures have no phone) — anti-join + uncorrelated scalar
