@@ -65,13 +65,33 @@ def connected_components(
     untouched nodes keep their own id via coalesce.  Larger edge sets
     take the iterative min-label-propagation path below.  Both paths
     produce the identical labeling (min reachable id; parity pinned in
-    tests)."""
+    tests).
+
+    Edge hygiene: edges with a null endpoint, or an endpoint outside the
+    node set, are IGNORED on both paths.  The distributed loop gets this
+    for free (labels exist only for node ids, so the neighbor join drops
+    foreign endpoints); the driver union-find must filter explicitly or
+    the two paths diverge — e.g. nodes={1,3}, edges={(1,2),(2,3)} must
+    yield {1:1, 3:3}, not merge 1 and 3 through the phantom node 2, and
+    a component label must always be a member of the node set (callers
+    key is_representative on id == component)."""
+    node_ids = (
+        nodes.select(F.col(id_col).alias("id")).distinct().localCheckpoint(eager=True)
+    )
     # materialize the (possibly expensive) edge frame ONCE before anything
     # references it twice — otherwise e.g. a minhash pair pipeline
-    # upstream executes twice inside the sym materialization
-    e = edges.select(
-        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
-    ).localCheckpoint(eager=True)
+    # upstream executes twice inside the sym materialization.  Both
+    # semi-joins key on the same ids the rest of the algorithm shuffles
+    # on; the edge list is the small side throughout, and AQE picks the
+    # physical strategy (broadcast under threshold, shuffle-hash above).
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .join(node_ids.select(F.col("id").alias("s")), "s", "leftsemi")
+        .join(node_ids.select(F.col("id").alias("d")), "d", "leftsemi")
+        .select("s", "d")
+        .localCheckpoint(eager=True)
+    )
     n_edges = e.count()  # free: counts the checkpointed blocks
     if n_edges <= driver_edge_threshold:
         parent: dict[int, int] = {}
@@ -105,23 +125,15 @@ def connected_components(
         )
         if not len(mapping):
             mdf = mdf.filter(F.lit(False))
-        return (
-            nodes.select(F.col(id_col).alias("id"))
-            .distinct()
-            .join(F.broadcast(mdf.withColumnRenamed("component", "c")), "id", "left")
-            .select("id", F.coalesce("c", F.col("id")).alias("component"))
-        )
+        return node_ids.join(
+            F.broadcast(mdf.withColumnRenamed("component", "c")), "id", "left"
+        ).select("id", F.coalesce("c", F.col("id")).alias("component"))
     sym = (
         e.union(e.select(F.col("d"), F.col("s")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        nodes.select(F.col(id_col).alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
+    labels = node_ids.withColumn("component", F.col("id"))
     for _ in range(max_iter):
         # neighbor minimum: for each node d, the smallest component label
         # among its neighbors s

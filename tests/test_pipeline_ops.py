@@ -53,6 +53,32 @@ def test_cc_empty_edges(spark, thr):
     assert {(r["id"], r["component"]) for r in out} == {(7, 7), (9, 9)}
 
 
+@pytest.mark.parametrize("thr", [0, 2_000_000])
+def test_cc_foreign_and_null_endpoints_ignored(spark, thr):
+    # Edges touching ids outside the node set must NOT bridge components
+    # (nodes={1,3}, edges through phantom node 2), and null endpoints are
+    # dropped — identical on the driver union-find and distributed paths,
+    # and every component label stays a member of the node set.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (None, 1), (3, None)], "id_a long, id_b long"
+    )
+    out = CC.connected_components(
+        _nodes(spark, [1, 3]), edges, driver_edge_threshold=thr
+    ).collect()
+    assert {(r["id"], r["component"]) for r in out} == {(1, 1), (3, 3)}
+
+
+@pytest.mark.parametrize("thr", [0, 2_000_000])
+def test_cc_foreign_endpoint_mixed_with_real_edge(spark, thr):
+    # one real edge (1,3) plus foreign-endpoint noise: labels come only
+    # from in-set connectivity
+    edges = _edges(spark, [(1, 3), (3, 99), (98, 1)])
+    out = CC.connected_components(
+        _nodes(spark, [1, 3, 5]), edges, driver_edge_threshold=thr
+    ).collect()
+    assert {(r["id"], r["component"]) for r in out} == {(1, 1), (3, 1), (5, 5)}
+
+
 def test_cc_max_iter_raises(spark):
     with pytest.raises(RuntimeError, match="converge"):
         CC.connected_components(
