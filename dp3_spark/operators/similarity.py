@@ -230,6 +230,95 @@ def _banded_signature(df: DataFrame, id_col: str, vec_col: str, *, planes: int, 
     )
 
 
+# vector table sizes beyond this switch the exact-cosine verify from a
+# driver-collected broadcast to the shuffle (equi-join) transport: at a
+# typical 768-dim float32 embedding, 200k rows ≈ 600 MB — the edge of
+# sane broadcast range (mirrors dedup.py's minhash verify switch)
+BROADCAST_VERIFY_MAX_ROWS = 200_000
+
+
+def _np_cosine_batch(A, B, thr):
+    """(keep_mask, cosines) for row-aligned float32 matrices A, B.  Dot and
+    norms accumulate float64 SEQUENTIALLY across dims so every cosine is
+    bit-identical to the SQL fold (functions/vectors.py) and the DuckDB
+    oracle, regardless of which transport delivered the vectors."""
+    import numpy as np
+
+    dim = A.shape[1]
+    dot = np.zeros(A.shape[0], dtype=np.float64)
+    na = np.zeros(A.shape[0], dtype=np.float64)
+    nb = np.zeros(A.shape[0], dtype=np.float64)
+    for i in range(dim):
+        x = A[:, i].astype(np.float64)
+        y = B[:, i].astype(np.float64)
+        dot += x * y
+        na += x * x
+        nb += y * y
+    denom = np.sqrt(na) * np.sqrt(nb)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = dot / denom
+    return (denom != 0.0) & (cos >= thr), cos
+
+
+def _verify_cosine_broadcast(cand: DataFrame, vecs: DataFrame, thr: float) -> DataFrame:
+    """Exact-cosine verify with the (id -> vector) matrix shipped to workers
+    once via sc.broadcast; the pair stream carries only two longs per row.
+    Driver-memory-bounded: callers must gate on corpus size
+    (BROADCAST_VERIFY_MAX_ROWS) — a 100 TB vector corpus never broadcasts."""
+    import numpy as np
+    import pandas as pd
+
+    vec_rows = vecs.collect()
+    ids = np.array([r["id"] for r in vec_rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    M = np.stack([np.asarray(vec_rows[i]["vec"], dtype=np.float32) for i in order])
+    bc = cand.sparkSession.sparkContext.broadcast((ids, M))
+
+    def _verify(batches):
+        sids, mat = bc.value
+        for pdf in batches:
+            ia = pdf["id_a"].values
+            ib = pdf["id_b"].values
+            ra = np.searchsorted(sids, ia)
+            rb = np.searchsorted(sids, ib)
+            keep, cos = _np_cosine_batch(mat[ra], mat[rb], thr)
+            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep], "cosine": cos[keep]})
+
+    return cand.mapInPandas(_verify, "id_a long, id_b long, cosine double")
+
+
+def _verify_cosine_shuffle(cand: DataFrame, vecs: DataFrame, thr: float) -> DataFrame:
+    """Exact-cosine verify with vectors delivered by two hash joins on id —
+    the at-scale transport (minhash _verify_shuffle pattern, dedup.py):
+    arrays flow through a shuffle once per pair side, nothing ever
+    collects to the driver.  Same numpy kernel as the broadcast path, so
+    the cosines are bit-identical (transport equivalence pinned in
+    tests)."""
+    import numpy as np
+    import pandas as pd
+
+    def _verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float32) for v in pdf["vec_a"]])
+            B = np.stack([np.asarray(v, dtype=np.float32) for v in pdf["vec_b"]])
+            ia = pdf["id_a"].values
+            ib = pdf["id_b"].values
+            keep, cos = _np_cosine_batch(A, B, thr)
+            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep], "cosine": cos[keep]})
+
+    return (
+        cand.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a"
+        )
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .mapInPandas(_verify, "id_a long, id_b long, cosine double")
+    )
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     *,
@@ -238,27 +327,28 @@ def embedding_dup_pairs_lsh(
     threshold: float = 0.9,
     planes: int = 24,
     bands: int = 4,
+    verify: str = "auto",
 ) -> DataFrame:
     """Near-dup pairs via hyperplane-LSH banding: candidates = pairs sharing
     at least one band key, then exact cosine filter >= threshold.
 
     The 100 TB path: candidate generation is a hash-partitioned equi-join
-    on (band, key) — never all-pairs.  The exact-cosine verify broadcasts
-    the vector matrix to workers once (n_docs × dim doubles — MBs) and
-    streams bare (id_a, id_b) pairs through a numpy kernel; at corpora
-    beyond broadcast range, swap the transport for an equi-join on id (the
-    minhash verify='shuffle' pattern).  The kernel accumulates dot and
-    norm SEQUENTIALLY across dims, so every cosine double is bit-identical
-    to the SQL fold (functions/vectors.py) and the DuckDB oracle.
+    on (band, key) — never all-pairs.  The exact-cosine verify has two
+    transports with bit-identical output (same sequential-fold numpy
+    kernel): verify='broadcast' ships the (id, vector) matrix to workers
+    once and streams bare (id_a, id_b) pairs — right while the matrix is
+    MBs; verify='shuffle' delivers vectors by two hash joins on id — the
+    at-scale path when the corpus exceeds broadcast range.  'auto'
+    (default) picks by corpus row count (BROADCAST_VERIFY_MAX_ROWS),
+    exactly like the minhash verify dispatch (dedup.py).
     Recall for the default 24 planes / 4 bands (6 rows per band) at
     cosine 0.9 is ~87% (per-plane agreement 1 - θ/π = 0.857, band hit
     0.857⁶, ≥1 of 4 bands), while random pairs collide at only
     (1/2)⁶ × 4 ≈ 6% — rows-per-band is the candidate-precision knob, same
     as in minhash LSH.  Brute (`embedding_dup_pairs(method='brute')`) is
     the exact reference."""
-    import numpy as np
-    import pandas as pd
-
+    if verify not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown verify mode {verify!r}")
     # materialize signatures once: the self-join would otherwise compute
     # the projection pass twice per vector (signature rows are
     # (id, band, key) — bytes per vector)
@@ -276,41 +366,14 @@ def embedding_dup_pairs_lsh(
         # per pair, which must stay spread across cores
         .repartition(2 * par)
     )
-    vec_rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).filter(
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).filter(
         F.col("vec").isNotNull()
-    ).collect()
-    ids = np.array([r["id"] for r in vec_rows], dtype=np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    M = np.stack([np.asarray(vec_rows[i]["vec"], dtype=np.float32) for i in order])
-    bc = df.sparkSession.sparkContext.broadcast((ids, M))
-    thr = threshold
-
-    def _verify(batches):
-        sids, mat = bc.value
-        dim = mat.shape[1]
-        # per-doc norms, sequential fold over dims — mirrors VEC.norm
-        nsq = np.zeros(mat.shape[0], dtype=np.float64)
-        for i in range(dim):
-            x = mat[:, i].astype(np.float64)
-            nsq += x * x
-        nrm = np.sqrt(nsq)
-        for pdf in batches:
-            ia = pdf["id_a"].values
-            ib = pdf["id_b"].values
-            ra = np.searchsorted(sids, ia)
-            rb = np.searchsorted(sids, ib)
-            dot = np.zeros(len(pdf), dtype=np.float64)
-            A, B = mat[ra], mat[rb]
-            for i in range(dim):
-                dot += A[:, i].astype(np.float64) * B[:, i].astype(np.float64)
-            denom = nrm[ra] * nrm[rb]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = dot / denom
-            keep = (denom != 0.0) & (cos >= thr)
-            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep], "cosine": cos[keep]})
-
-    return cand.mapInPandas(_verify, "id_a long, id_b long, cosine double")
+    )
+    if verify == "auto":
+        verify = "broadcast" if df.count() <= BROADCAST_VERIFY_MAX_ROWS else "shuffle"
+    if verify == "shuffle":
+        return _verify_cosine_shuffle(cand, vecs, threshold)
+    return _verify_cosine_broadcast(cand, vecs, threshold)
 
 
 # ---------------------------------------------------------------- IVF ANN

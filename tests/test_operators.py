@@ -128,6 +128,55 @@ def test_embedding_dup_pairs_lsh_recall_vs_brute(spark):
     assert recall >= 0.8, f"LSH recall {recall:.2f} vs brute ({len(brute)} true pairs)"
 
 
+def test_embedding_lsh_verify_transport_equivalence(spark):
+    # broadcast and shuffle verify transports must produce bit-identical
+    # (id_a, id_b, cosine) — same numpy kernel, different vector delivery —
+    # and 'auto' must route a small corpus to broadcast, a large one (by
+    # the BROADCAST_VERIFY_MAX_ROWS gate) to shuffle without a collect
+    import math
+
+    rows = [
+        (i, [math.sin(0.3 * (i % 9 + 1) * (d + 1)) for d in range(12)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bc = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in SIM.embedding_dup_pairs_lsh(emb, threshold=0.8, verify="broadcast").collect()
+    }
+    sh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in SIM.embedding_dup_pairs_lsh(emb, threshold=0.8, verify="shuffle").collect()
+    }
+    assert bc.keys() == sh.keys() and len(bc) > 0
+    for k in bc:
+        assert bc[k] == sh[k], f"cosine differs for {k}: {bc[k]} != {sh[k]}"
+    with pytest.raises(ValueError):
+        SIM.embedding_dup_pairs_lsh(emb, verify="nope")
+
+
+def test_embedding_lsh_auto_switches_to_shuffle(spark, monkeypatch):
+    # shrink the broadcast budget so auto takes the shuffle path, and pin
+    # that it still matches the broadcast result
+    import math
+
+    rows = [
+        (i, [math.sin(0.3 * (i % 9 + 1) * (d + 1)) for d in range(12)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    want = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in SIM.embedding_dup_pairs_lsh(emb, threshold=0.8, verify="broadcast").collect()
+    }
+    monkeypatch.setattr(SIM, "BROADCAST_VERIFY_MAX_ROWS", 10)
+    got = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in SIM.embedding_dup_pairs_lsh(emb, threshold=0.8, verify="auto").collect()
+    }
+    assert got == want
+
+
 def test_embedding_dup_pairs_auto_dispatch(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     # tiny corpus -> auto picks brute (exact)
