@@ -185,11 +185,20 @@ def minhash_signatures(
     )
 
 
-def _banded_frame(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+def _banded_frame(
+    sigs: DataFrame, bands: int, rows: int, *, exact_vals: bool = False
+) -> DataFrame:
     """(id [, extra cols], band, band_key) — one row per (doc, band) via a
     single explode; band key = xxhash64 of the band's minhash values (8-byte
     join key; hashing can only merge buckets, and candidates are
-    exact-verified, so a collision can only add a true-positive pair)."""
+    exact-verified, so a collision can only add a true-positive pair).
+
+    exact_vals=True adds `band_vals` (the band's raw minhash array): the
+    capped-candidate rank must partition by the EXACT band tuple, not the
+    hashed key — a hash collision merging two buckets would change member
+    ranks and thus the capped set, diverging from any oracle that ranks by
+    exact keys (collisions can then only ADD verified pairs, never change
+    which pairs the cap keeps)."""
     band_structs = F.array(
         *[
             F.struct(
@@ -197,11 +206,21 @@ def _banded_frame(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
                 F.xxhash64(
                     *[F.col("mh").getItem(bi * rows + r) for r in range(rows)]
                 ).alias("band_key"),
+                *(
+                    [
+                        F.array(
+                            *[F.col("mh").getItem(bi * rows + r) for r in range(rows)]
+                        ).alias("band_vals")
+                    ]
+                    if exact_vals
+                    else []
+                ),
             )
             for bi in range(bands)
         ]
     )
     extra = [c for c in sigs.columns if c not in ("id", "shingles", "card", "mh")]
+    val_cols = [F.col("bk.band_vals").alias("band_vals")] if exact_vals else []
     return (
         sigs.filter(F.col("mh").isNotNull())
         .select("id", *extra, F.explode(band_structs).alias("bk"))
@@ -210,6 +229,7 @@ def _banded_frame(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
             *extra,
             F.col("bk.band").alias("band"),
             F.col("bk.band_key").alias("band_key"),
+            *val_cols,
         )
     )
 
@@ -361,14 +381,18 @@ def minhash_lsh_pairs(
     banded = _banded_frame(sigs, bands, rows)
     if candidates == "capped":
         # rank members within each bucket; only the first bucket_cap fan
-        # out as join LHS — candidate volume is bucket-linear
+        # out as join LHS — candidate volume is bucket-linear.  The rank
+        # window partitions by the EXACT band tuple (band_vals), not the
+        # xxhash64 key: see _banded_frame — a key collision must not be
+        # able to change which members the cap keeps.
         from pyspark.sql import Window
 
-        wo = Window.partitionBy("band", "band_key").orderBy("id")
+        wo = Window.partitionBy("band", "band_vals").orderBy("id")
         lhs = (
-            banded.withColumn("rn", F.row_number().over(wo))
+            _banded_frame(sigs, bands, rows, exact_vals=True)
+            .withColumn("rn", F.row_number().over(wo))
             .filter(F.col("rn") <= bucket_cap)
-            .drop("rn")
+            .drop("rn", "band_vals")
         )
     else:
         lhs = banded

@@ -481,6 +481,29 @@ def _sql_pair(spark_sql: str, duck_sql: str | None = None):
     return fn, (duck_sql or spark_sql)
 
 
+def _events_us_sql_pair(template: str):
+    """Like _sql_pair, but the Spark text's __TS_US__ placeholder (the
+    events-ts -> epoch-microseconds expression) is dispatched on the ACTUAL
+    ts dtype at run time: TIMESTAMP(NANOS) fixture parquet reads as bigint
+    under spark.sql.legacy.parquet.nanosAsLong, and Spark's bigint ->
+    timestamp cast uses seconds-since-epoch semantics — hard-coding
+    cast(ts as timestamp) would silently bucket nanosecond longs into
+    absurd days.  The DuckDB oracle always uses epoch_us(ts): DuckDB reads
+    both NANOS and MICROS parquet as native timestamps."""
+
+    def fn(spark, sf_dir, _t=template):
+        register_views(spark, sf_dir)
+        ts_type = dict(spark.table("events").dtypes)["ts"]
+        us = (
+            "(ts div 1000)"
+            if ts_type in ("bigint", "long")
+            else "unix_micros(cast(ts as timestamp))"
+        )
+        return spark.sql(_t.replace("__TS_US__", us))
+
+    return fn, template.replace("__TS_US__", "epoch_us(ts)")
+
+
 # money math in fixed-point int64 (cents): exact and order-independent like
 # decimal (the hash gate needs bit-identical sums vs DuckDB) but ~4x
 # cheaper — decimal sum/multiply measured 1.18s vs 0.32s for the same
@@ -915,8 +938,8 @@ _REGISTRY["window_running_total"] = _sql_pair(_RUNNING)
 _MOVING_SPARK = """
 with daily as (
   select day_us, count(*) as n
-  from (select unix_micros(cast(ts as timestamp))
-             - unix_micros(cast(ts as timestamp)) % 86400000000 as day_us
+  from (select __TS_US__
+             - __TS_US__ % 86400000000 as day_us
         from events) t
   group by day_us
 )
@@ -925,10 +948,7 @@ select day_us, n,
   coalesce(n - lag(n) over (order by day_us), 0) as delta
 from daily
 """
-_REGISTRY["window_moving_avg"] = _sql_pair(
-    _MOVING_SPARK,
-    _MOVING_SPARK.replace("unix_micros(cast(ts as timestamp))", "epoch_us(ts)"),
-)
+_REGISTRY["window_moving_avg"] = _events_us_sql_pair(_MOVING_SPARK)
 
 # set intersection (companion to rel_set_except).
 _SET_INTERSECT = """
@@ -957,9 +977,9 @@ _REGISTRY["rel_cube_agg"] = _sql_pair(_CUBE)
 _FUNNEL_SPARK = """
 with per_user as (
   select user_id,
-    min(case when event_type = 'view' then unix_micros(cast(ts as timestamp)) end) as t_view,
-    min(case when event_type = 'click' then unix_micros(cast(ts as timestamp)) end) as t_click,
-    min(case when event_type = 'purchase' then unix_micros(cast(ts as timestamp)) end) as t_purchase
+    min(case when event_type = 'view' then __TS_US__ end) as t_view,
+    min(case when event_type = 'click' then __TS_US__ end) as t_click,
+    min(case when event_type = 'purchase' then __TS_US__ end) as t_purchase
   from events group by user_id
 )
 select count(*) as n_users,
@@ -970,16 +990,13 @@ select count(*) as n_users,
                 then 1 else 0 end) as bigint) as n_full_funnel
 from per_user
 """
-_REGISTRY["events_funnel"] = _sql_pair(
-    _FUNNEL_SPARK,
-    _FUNNEL_SPARK.replace("unix_micros(cast(ts as timestamp))", "epoch_us(ts)"),
-)
+_REGISTRY["events_funnel"] = _events_us_sql_pair(_FUNNEL_SPARK)
 
 # day-over-day retention: users active on consecutive day buckets.
 _RETENTION_SPARK = """
 with days as (
   select distinct user_id,
-    unix_micros(cast(ts as timestamp)) - unix_micros(cast(ts as timestamp)) % 86400000000 as day_us
+    __TS_US__ - __TS_US__ % 86400000000 as day_us
   from events
 )
 select d1.day_us as day_us, count(*) as retained
@@ -987,10 +1004,7 @@ from days d1 join days d2
   on d1.user_id = d2.user_id and d2.day_us = d1.day_us + 86400000000
 group by d1.day_us
 """
-_REGISTRY["events_retention"] = _sql_pair(
-    _RETENTION_SPARK,
-    _RETENTION_SPARK.replace("unix_micros(cast(ts as timestamp))", "epoch_us(ts)"),
-)
+_REGISTRY["events_retention"] = _events_us_sql_pair(_RETENTION_SPARK)
 
 
 # =========================================================================
