@@ -53,15 +53,25 @@ def summarize(
     numeric_fields: Sequence[str] = (),
     text_fields: Sequence[str] = (),
     group_by_producer: bool = True,
+    schema_hash_col: str | None = None,
 ) -> DataFrame:
-    """Base summary table: one row per (producer?, topic, bucket) with
-    associative stats per field.
+    """Base summary table: one row per (producer?, topic[, schema_hash],
+    bucket) with associative stats per field.
 
     bucket_start = floor(log_time / granularity) * granularity (int64 ns).
     One shuffle, partial aggregation map-side; at 100 TB this is the table
-    you'd maintain incrementally with Structured Streaming foreachBatch."""
+    you'd maintain incrementally with Structured Streaming foreachBatch.
+
+    schema_hash_col: group additionally by the row's schema generation —
+    the reference keys every statistics map by schema hash
+    (nodestore/statistics.go:304-313, inner_node.go:32-46), so a
+    mixed-schema topic (legal: treemgr_test.go:394-456) never merges stats
+    across generations whose fields differ."""
     df = store.normalized()
-    keys = ["topic", (F.col("log_time") - F.col("log_time") % granularity_ns).alias("bucket_start")]
+    keys = ["topic"]
+    if schema_hash_col is not None:
+        keys.append(F.col(schema_hash_col).alias("schema_hash"))
+    keys.append((F.col("log_time") - F.col("log_time") % granularity_ns).alias("bucket_start"))
     if group_by_producer:
         keys.insert(0, "producer")
     aggs = [
@@ -94,7 +104,7 @@ def rollup_summary(
     never touches raw data.  `to` must be a multiple of `from`."""
     if to_granularity_ns % from_granularity_ns != 0:
         raise ValueError("target granularity must be a multiple of the base")
-    keys = [c for c in ("producer", "topic") if c in summary.columns]
+    keys = [c for c in ("producer", "topic", "schema_hash") if c in summary.columns]
     bucket = (F.col("bucket_start") - F.col("bucket_start") % to_granularity_ns).alias(
         "bucket_start"
     )

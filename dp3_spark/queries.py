@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dp3_spark.catalog import events_log_store, register_views
+from dp3_spark.catalog import LogStore, events_log_store, register_views
 from dp3_spark.functions import text as TXT
 from dp3_spark.functions import vectors as VEC
 from dp3_spark.operators import dedup as DD
@@ -1578,6 +1578,148 @@ def mcap_roundtrip_agg(spark, sf_dir):
         F.max("log_time").alias("max_t"),
         F.countDistinct("props").alias("n_props"),
         F.sum("event_id").cast("bigint").alias("sum_event_id"),
+    )
+
+
+# schema evolution generation 2: same message plus a new int32 field —
+# the treemgr_test.go:394-456 shape (one topic, two schema generations)
+EVENT_MSGDEF_V2 = "int64 event_id\nfloat64 value\nstring props\nint32 rev\n"
+
+
+def _mcap_mixed_fixture_files(spark, sf_dir: str) -> list[tuple[str, str]]:
+    """Write (once per sf_dir) per-producer MCAP files whose event stream is
+    split across TWO schema generations of dp3/Event: even sequences encode
+    as v1, odd as v2 (v2 adds `rev` = sequence % 7).  Channels carry one
+    schema each, so one topic has two channels — the mixed-schema-topic
+    layout the reference treats as legal."""
+    import hashlib
+    import os
+    import tempfile
+
+    from dp3_spark.sources.mcap_codec import (
+        McapChannel,
+        McapMessage,
+        McapSchema,
+        write_mcap,
+    )
+    from dp3_spark.sources.msgdef import parse_ros1msg
+    from dp3_spark.sources.rosdecode import ros1_encode
+
+    store = events_log_store(spark, sf_dir, us_truncate=True)
+    norm = store.normalized()
+    producers = [
+        r[0]
+        for r in norm.select("producer").distinct().orderBy("producer").limit(3).collect()
+    ]
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"dp3_mcap_mixed_{key}")
+    files = [(os.path.join(root, f"p{p}.mcap"), p) for p in producers]
+    if os.path.isdir(root) and all(os.path.exists(f) for f, _ in files):
+        return files
+    os.makedirs(root, exist_ok=True)
+    s1 = parse_ros1msg("dp3", "Event", EVENT_MSGDEF)
+    s2 = parse_ros1msg("dp3", "Event", EVENT_MSGDEF_V2)
+    rows = (
+        norm.filter(F.col("producer").isin(producers))
+        .select("producer", "topic", "log_time", "sequence", "value", "props")
+        .collect()
+    )
+    by_producer: dict[str, list] = {p: [] for p in producers}
+    for r in rows:
+        by_producer[r["producer"]].append(r)
+    for path, p in files:
+        topics = sorted({r["topic"] for r in by_producer[p]})
+        channels, cid = [], {}
+        for i, topic in enumerate(topics):
+            cid[(topic, 1)] = 2 * i + 1
+            cid[(topic, 2)] = 2 * i + 2
+            channels.append(McapChannel(2 * i + 1, 1, topic, "ros1"))
+            channels.append(McapChannel(2 * i + 2, 2, topic, "ros1"))
+        messages = []
+        for r in sorted(by_producer[p], key=lambda r: (r["log_time"], r["sequence"])):
+            v2 = r["sequence"] % 2 == 1
+            msg = {"event_id": r["sequence"], "value": r["value"], "props": r["props"]}
+            if v2:
+                msg["rev"] = r["sequence"] % 7
+            messages.append(
+                McapMessage(
+                    cid[(r["topic"], 2 if v2 else 1)],
+                    r["sequence"],
+                    r["log_time"],
+                    r["log_time"],
+                    ros1_encode(s2 if v2 else s1, msg),
+                )
+            )
+        with open(path + ".tmp", "wb") as f:
+            write_mcap(
+                f,
+                [
+                    McapSchema(1, "dp3/Event", "ros1msg", EVENT_MSGDEF.encode()),
+                    McapSchema(2, "dp3/Event", "ros1msg", EVENT_MSGDEF_V2.encode()),
+                ],
+                channels,
+                messages,
+            )
+        os.replace(path + ".tmp", path)
+    return files
+
+
+def _stat_by_schema_oracle() -> str:
+    from dp3_spark.sources.mcap import schema_hash as _sh
+
+    h1, h2 = _sh(EVENT_MSGDEF.encode()), _sh(EVENT_MSGDEF_V2.encode())
+    return f"""
+    with base as ({EV_BASE}),
+    sel as (select distinct producer from base order by producer limit 3),
+    m as (select * from base where producer in (select producer from sel))
+    select topic, schema_hash, bucket_start, message_count,
+           min_observed_time, max_observed_time,
+           value_count, value_sum, value_min, value_max,
+           value_sum / value_count as value_mean
+    from (
+      select topic,
+             case when sequence % 2 = 0 then '{h1}' else '{h2}' end as schema_hash,
+             (log_time - log_time % {DAY_NS}) as bucket_start,
+             count(*) as message_count,
+             min(log_time) as min_observed_time,
+             max(log_time) as max_observed_time,
+             count(value) as value_count,
+             cast(sum(cast(value as decimal(25,6))) as double) as value_sum,
+             min(value) as value_min,
+             max(value) as value_max
+      from m group by 1, 2, 3
+    )
+    """
+
+
+@register("stat_by_schema", _stat_by_schema_oracle())
+def stat_by_schema(spark, sf_dir):
+    """Per-schema-hash statistics over a mixed-schema imported topic — the
+    reference keys every statistics map by schema hash
+    (nodestore/statistics.go:304-313, inner_node.go:32-46), so stats never
+    merge across generations.  Pipeline: events -> two-generation ros1msg
+    MCAP (v1, and v2 with an extra field) -> mixed-schema import
+    (sources/mcap.decode_evolving: per-generation compiled decode,
+    union-by-name, schema_hash kept) -> daily summary grouped by
+    (topic, schema_hash)."""
+    from dp3_spark.sources import mcap as MCAP
+
+    files = _mcap_mixed_fixture_files(spark, sf_dir)
+    df = MCAP.decode_evolving(spark, files, "dp3/Event")
+    store = LogStore(
+        df=df,
+        producer_col="producer",
+        topic_col="topic",
+        time_col="log_time",
+        sequence_col="sequence",
+        payload_cols=("value", "schema_hash"),
+    )
+    return ST.summarize(
+        store,
+        granularity_ns=DAY_NS,
+        numeric_fields=["value"],
+        group_by_producer=False,
+        schema_hash_col="schema_hash",
     )
 
 

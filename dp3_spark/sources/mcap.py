@@ -286,3 +286,47 @@ def decode_tables(
             continue
         out[row.schema_name] = decode(subset, schema)
     return out
+
+
+def decode_evolving(
+    spark: SparkSession,
+    files: list[tuple[str, str]],
+    schema_name: str,
+    decoder: Callable[[str, str], Iterator[dict]] | None = None,
+) -> DataFrame:
+    """Mixed-schema import scan for one EVOLVING schema name: every
+    generation is decoded with its own compiled decoder, then the
+    generations union by field name — fields absent from an older
+    generation read as null — and every row keeps its `schema_hash`.
+
+    This is the import-side realization of the reference's mixed-schema
+    topics (legal per treemgr_test.go:394-456; statistics are keyed per
+    schema hash, nodestore/statistics.go:304-313): downstream stats can
+    group by schema_hash so generations never merge (operators/stats.py
+    summarize(schema_hash_col=...)).  The message scan happens once; each
+    generation's slice is a schema_hash filter over it."""
+    from dp3_spark.sources.msgdef import parse_schema
+    from dp3_spark.sources.rosdecode import META_COLS, decode_ros1, decode_ros2
+
+    decoders = {"ros1msg": decode_ros1, "ros2msg": decode_ros2}
+    raw = read_mcap(spark, files, decoder)
+    registry = [
+        r
+        for r in read_mcap_schemas(spark, files).collect()
+        if r.schema_name == schema_name
+    ]
+    if not registry:
+        raise SchemaNotFoundError(schema_name)
+    meta = tuple(META_COLS) + ("schema_hash",)
+    out: DataFrame | None = None
+    for row in sorted(registry, key=lambda r: r.schema_hash):
+        decode = decoders.get(row.encoding)
+        if decode is None:
+            raise ValueError(
+                f"schema {schema_name} generation {row.schema_hash} has "
+                f"undecodable encoding {row.encoding!r}"
+            )
+        schema = parse_schema(row.schema_name, row.encoding, bytes(row.schema_data))
+        gen = decode(raw.filter(raw.schema_hash == row.schema_hash), schema, meta_cols=meta)
+        out = gen if out is None else out.unionByName(gen, allowMissingColumns=True)
+    return out

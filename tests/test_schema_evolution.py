@@ -57,6 +57,39 @@ def test_per_schema_statistics(evolving_store):
     assert sorted(r["n"] for r in per_schema) == [100, 100]
 
 
+def test_summarize_groups_by_schema_hash(evolving_store):
+    """summarize(schema_hash_col=...) keys stats per generation and
+    rollup_summary preserves the schema_hash key when re-bucketing."""
+    from dp3_spark.operators import stats as ST
+
+    hourly = ST.summarize(
+        evolving_store,
+        granularity_ns=60 * 10**9,
+        numeric_fields=["value"],
+        group_by_producer=False,
+        schema_hash_col="schema_hash",
+    )
+    assert "schema_hash" in hourly.columns
+    per = (
+        hourly.groupBy("schema_hash")
+        .agg(F.sum("message_count").alias("n"), F.sum("value_count").alias("vc"))
+        .collect()
+    )
+    assert sorted(r["n"] for r in per) == [100, 100]
+    daily = ST.rollup_summary(
+        hourly,
+        from_granularity_ns=60 * 10**9,
+        to_granularity_ns=3600 * 10**9,
+        numeric_fields=["value"],
+    )
+    assert "schema_hash" in daily.columns
+    assert daily.groupBy("schema_hash").count().count() == 2
+    # merged totals survive the rollup per generation
+    tot = {r["schema_hash"]: r["n"] for r in daily.groupBy("schema_hash")
+           .agg(F.sum("message_count").alias("n")).collect()}
+    assert sorted(tot.values()) == [100, 100]
+
+
 def test_merge_with_other_topic_mixed_schema(spark, evolving_store):
     df = Compiler(evolving_store).compile("from dev /evolving where /evolving.value < 3.0;")
     # both generations contribute value<3: v1 seq 0,1,2 and v2 seq 100,101,102
