@@ -1723,6 +1723,84 @@ def stat_by_schema(spark, sf_dir):
     )
 
 
+def _lifecycle_fixture(spark, sf_dir: str):
+    """Build (once per sf_dir) a VersionedLogTable from events with a
+    three-step history: append all sequence%3!=2 rows (v1), range-delete
+    the lexicographically-first producer's 'click' rows in the BETWEEN
+    window (v2), append the sequence%3==2 rows (v3) — so the v3 batch
+    includes rows INSIDE the deleted range that must stay visible (the
+    tombstone pins version, sqlrootmap.go:372-402)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from dp3_spark.streaming.lifecycle import VersionedLogTable
+
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"dp3_lifecycle_{key}")
+    vt = VersionedLogTable(spark, root)
+    marker = os.path.join(root, "_meta", "fixture_done")
+    if os.path.exists(marker):
+        return vt
+    shutil.rmtree(root, ignore_errors=True)
+    store = events_log_store(spark, sf_dir, us_truncate=True)
+    norm = store.normalized().select("producer", "topic", "log_time", "sequence")
+    vt.append(norm.filter(F.col("sequence") % 3 != 2))  # v1
+    p0 = norm.agg(F.min("producer")).collect()[0][0]
+    vt.delete_range(p0, "click", BETWEEN_START, BETWEEN_END)  # v2
+    vt.append(norm.filter(F.col("sequence") % 3 == 2))  # v3
+    with open(marker, "w") as f:
+        f.write("ok")
+    return vt
+
+
+_LC_MASK = (
+    "producer = (select min(producer) from base) and topic = 'click' "
+    f"and log_time >= {BETWEEN_START} and log_time < {BETWEEN_END}"
+)
+
+_LC_AGG = (
+    "count(*) as n_msgs, min(log_time) as min_t, max(log_time) as max_t, "
+    "cast(sum(sequence) as bigint) as sum_seq"
+)
+
+
+@register(
+    "lifecycle_delete_versions",
+    f"""
+    with base as ({EV_BASE}),
+    b1 as (select * from base where sequence % 3 <> 2),
+    b2 as (select * from base where sequence % 3 = 2),
+    surv as (select * from b1 where not ({_LC_MASK}))
+    select 'current' as snapshot, topic, {_LC_AGG}
+    from (select * from surv union all select * from b2) group by 1, 2
+    union all
+    select 'as_of_v2' as snapshot, topic, {_LC_AGG}
+    from surv group by 1, 2
+    """,
+)
+def lifecycle_delete_versions(spark, sf_dir):
+    """Versioned lifecycle read path, oracle-gated: append (v1) ->
+    range-delete tombstone (v2) -> append (v3), then aggregate BOTH the
+    current read (tombstone masks only v<=2 rows; the v3 batch inside the
+    deleted range stays visible) and the as-of-version-2 time-travel read
+    (v3 absent, delete applied).  Tombstones apply as a broadcast
+    anti-join at scan time — the data side never shuffles
+    (tree/tree.go:118-207, rootmap versioned reads sqlrootmap.go)."""
+    vt = _lifecycle_fixture(spark, sf_dir)
+
+    def agg(df, tag):
+        return df.groupBy("topic").agg(
+            F.count("*").alias("n_msgs"),
+            F.min("log_time").alias("min_t"),
+            F.max("log_time").alias("max_t"),
+            F.sum("sequence").cast("bigint").alias("sum_seq"),
+        ).select(F.lit(tag).alias("snapshot"), "*")
+
+    return agg(vt.read(), "current").unionByName(agg(vt.read(as_of_version=2), "as_of_v2"))
+
+
 # =========================================================================
 # Training-pipeline composition operators (beyond-reference):
 # pair graph -> dedup clusters, sequence packing, deterministic splits
