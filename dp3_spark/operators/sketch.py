@@ -95,23 +95,35 @@ def sketch_quantiles(
     keys: Sequence[str],
     quantiles: Sequence[float],
     accuracy: float = DEFAULT_ACCURACY,
+    values: bool = True,
 ) -> DataFrame:
     """Extract quantiles from sketch rows: per key, walk bins in order and
     take the first bin whose cumulative count covers q * n (the DDSketch
     GetValueAtQuantile walk, relative error <= accuracy).
 
-    Output: keys + p{N} columns (value of the covering bin)."""
+    Output: keys + p{N} columns (value of the covering bin), or the raw
+    covering bin indices as p{N}_bin longs when values=False.  Bin
+    INDICES are bit-exact across engines (ceil(ln/ln) agreed on every
+    fixture value Spark-vs-DuckDB), while the representative value's
+    exp() differs in the last ulp between JVM Math.exp and libm — so
+    cross-engine comparisons (the registry oracle) use bins, and callers
+    wanting floats apply bin_value to them."""
     exploded = df.select(*keys, "sketch_n", F.explode("sketch").alias("bin", "cnt"))
     w = Window.partitionBy(*keys).orderBy("bin")
     cum = exploded.withColumn("cum", F.sum("cnt").over(w))
     out = None
     for q in quantiles:
         rank = (F.lit(q) * F.col("sketch_n")).cast("double")
+        col = (
+            bin_value(accuracy).alias(f"p{int(q * 100)}")
+            if values
+            else F.col("bin").alias(f"p{int(q * 100)}_bin")
+        )
         hit = (
             cum.filter(F.col("cum") >= rank)
             .withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") == 1)
-            .select(*keys, bin_value(accuracy).alias(f"p{int(q * 100)}"))
+            .select(*keys, col)
         )
         out = hit if out is None else out.join(hit, list(keys))
     assert out is not None

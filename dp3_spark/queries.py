@@ -388,12 +388,47 @@ def stat_range_by_producer(spark, sf_dir):
     )
 
 
-@register("stat_sketch_daily", None)  # rows-only: log-binned sketch, libm-dependent
+def _sketch_oracle() -> str:
+    """DuckDB re-derivation of the daily sketch quantile BINS.  ln()-based
+    bin assignment is bit-identical across engines (verified on every
+    distinct fixture value at sf0.01/sf0.1); the covering bin per quantile
+    is min(bin | cum >= q*n) since the cumulative count is monotone in
+    bin.  Representative VALUES are excluded from the compare surface:
+    JVM Math.exp and libm exp differ in the last ulp."""
+    import math as _m
+
+    lg = repr(_m.log((1 + 0.01) / (1 - 0.01)))
+    return f"""
+    with base as ({EV_BASE}),
+    ev as (select (log_time - log_time % {DAY_NS}) as bucket_start, value
+           from base where topic = 'view' and value is not null
+             and not isnan(value) and not isinf(value)),
+    binned as (select bucket_start,
+      case when value = 0 then 0
+           when value > 0 then cast(ceil(ln(abs(value))/{lg}) as bigint) + 1000000
+           else -(cast(ceil(ln(abs(value))/{lg}) as bigint) + 1000000) end as bin
+      from ev),
+    counts as (select bucket_start, bin, count(*) as cnt from binned group by 1, 2),
+    tot as (select bucket_start, sum(cnt) as n from counts group by 1),
+    cum as (select c.bucket_start, c.bin,
+            sum(c.cnt) over (partition by c.bucket_start order by c.bin) as cum, t.n
+            from counts c join tot t using (bucket_start))
+    select bucket_start,
+      min(case when cum >= 0.5 * n then bin end) as p50_bin,
+      min(case when cum >= 0.9 * n then bin end) as p90_bin,
+      min(case when cum >= 0.99 * n then bin end) as p99_bin
+    from cum group by 1
+    """
+
+
+@register("stat_sketch_daily", _sketch_oracle())
 def stat_sketch_daily(spark, sf_dir):
     """Mergeable DDSketch-style quantile summary (operators/sketch.py):
-    per-day sketches over `value`, quantiles extracted from the sketch —
-    the storable/incremental analog of nodestore/statistics.go:129-155.
-    Accuracy (0.01) and merge associativity pinned in tests/test_sketch.py."""
+    per-day sketches over `value`, quantile covering-bins extracted from
+    the sketch — the storable/incremental analog of
+    nodestore/statistics.go:129-155.  Oracle-compared on BIN indices
+    (bit-exact across engines); float accuracy (0.01) and merge
+    associativity pinned in tests/test_sketch.py."""
     from dp3_spark.operators import sketch as SK
 
     store = events_log_store(spark, sf_dir, us_truncate=True)
@@ -401,7 +436,9 @@ def stat_sketch_daily(spark, sf_dir):
         "bucket_start", F.col("log_time") - F.col("log_time") % DAY_NS
     )
     sk = SK.sketch_summarize(ev, keys=["bucket_start"], field="value")
-    return SK.sketch_quantiles(sk, keys=["bucket_start"], quantiles=[0.5, 0.9, 0.99])
+    return SK.sketch_quantiles(
+        sk, keys=["bucket_start"], quantiles=[0.5, 0.9, 0.99], values=False
+    )
 
 
 @register(
