@@ -1471,16 +1471,18 @@ def sim_ivf_topk(spark, sf_dir):
              {TXT.poly_hash("text")[1]} as h
       from documents
     )
-    select doc_id, n_bytes, h as content_hash,
-           cast(1 + h % 1024 as int) as fake_width,
-           cast(1 + (h // 1024) % 1024 as int) as fake_height
+    select doc_id, n_bytes, h as content_hash, 'raw' as format,
+           cast(1 + h % 1024 as int) as width,
+           cast(1 + (h // 1024) % 1024 as int) as height
     from ph
     """,
 )
 def mm_decode_meta(spark, sf_dir):
-    """Binary payload -> mapInPandas decode stub -> typed metadata.  ASCII
-    fixture text makes the byte-hash equal the codepoint-hash the oracle
-    computes (multimodal.decode_image_stub)."""
+    """Binary payload -> mapInPandas decode -> typed metadata.  Real
+    PNG/JPEG/GIF header parsing (multimodal.parse_image_dims, pinned in
+    tests); the fixture's text-as-binary payloads take the deterministic
+    'raw' fallback the oracle replicates (ASCII makes the byte-hash equal
+    the codepoint-hash)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return MM.decode_metadata(MM.with_binary_payload(docs))
 

@@ -26,7 +26,8 @@ POLY_MOD = 1_000_000_007
 POLY_BASE = 31
 
 DECODED_SCHEMA = (
-    "doc_id long, n_bytes long, content_hash long, fake_width int, fake_height int"
+    "doc_id long, n_bytes long, content_hash long, format string, "
+    "width int, height int"
 )
 
 
@@ -38,13 +39,49 @@ def poly_hash_bytes(data: bytes) -> int:
     return h
 
 
-def decode_image_stub(data: bytes) -> tuple[int, int, int]:
-    """STUB for image decoding (no codec libs in this container).
+def parse_image_dims(data: bytes) -> tuple[str, int, int] | None:
+    """REAL image dimensions from container headers, pure Python — no codec
+    libraries: PNG IHDR (spec: the first chunk, width/height big-endian
+    uint32 at offsets 16/20), JPEG SOFn segment walk (height/width
+    big-endian uint16 at marker payload offsets 3/5), GIF logical screen
+    descriptor (width/height little-endian uint16 at offset 6).  Returns
+    (format, width, height), or None for anything unrecognized."""
+    if len(data) >= 24 and data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+        w = int.from_bytes(data[16:20], "big")
+        h = int.from_bytes(data[20:24], "big")
+        return "png", w, h
+    if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(data[6:8], "little")
+        h = int.from_bytes(data[8:10], "little")
+        return "gif", w, h
+    if len(data) >= 4 and data[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(data):
+            if data[i] != 0xFF:
+                return None
+            marker = data[i + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                i += 2  # standalone markers: no length field
+                continue
+            seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+            # SOF0-15 except DHT(C4)/JPG(C8)/DAC(CC) carry dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > len(data):
+                    return None
+                h = int.from_bytes(data[i + 5 : i + 7], "big")
+                w = int.from_bytes(data[i + 7 : i + 9], "big")
+                return "jpeg", w, h
+            i += 2 + seg_len
+    return None
 
-    Returns (content_hash, width, height) deterministically derived from
-    the payload so tests and oracles are stable.  A real deployment swaps
-    this for PIL/libvips inside the same mapInPandas batch loop.
-    """
+
+def decode_image_stub(data: bytes) -> tuple[int, int, int]:
+    """Fallback pseudo-decode for payloads with no parseable image header
+    (e.g. the fixture's text-as-binary payloads): (content_hash, width,
+    height) deterministically derived from the bytes so tests and oracles
+    are stable.  A real deployment swaps this for PIL/libvips inside the
+    same mapInPandas batch loop; real PNG/JPEG/GIF headers never reach it
+    (parse_image_dims handles those)."""
     h = poly_hash_bytes(data)
     return h, 1 + h % 1024, 1 + (h // 1024) % 1024
 
@@ -57,6 +94,9 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def decode_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """mapInPandas decode: one Arrow batch in, one metadata batch out.
+    PNG/JPEG/GIF payloads get REAL header-parsed dimensions
+    (parse_image_dims); unrecognized payloads fall back to the
+    deterministic pseudo-decode with format='raw'.
 
     Note ASCII payloads make poly_hash_bytes equal functions.text.poly_hash
     of the text — which is what the DuckDB oracle computes.
@@ -64,14 +104,29 @@ def decode_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = [decode_image_stub(bytes(p)) for p in pdf["payload"]]
+            fmts, widths, heights, hashes, sizes = [], [], [], [], []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                hv = poly_hash_bytes(b)
+                sizes.append(len(b))
+                hashes.append(hv)
+                parsed = parse_image_dims(b)
+                if parsed is None:
+                    fmts.append("raw")
+                    w, h = 1 + hv % 1024, 1 + (hv // 1024) % 1024
+                else:
+                    fmt, w, h = parsed
+                    fmts.append(fmt)
+                widths.append(w)
+                heights.append(h)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
-                    "content_hash": [m[0] for m in meta],
-                    "fake_width": [m[1] for m in meta],
-                    "fake_height": [m[2] for m in meta],
+                    "n_bytes": sizes,
+                    "content_hash": hashes,
+                    "format": fmts,
+                    "width": widths,
+                    "height": heights,
                 }
             )
 

@@ -447,8 +447,67 @@ def test_multimodal_decode_stub(spark):
     out = {r["doc_id"]: r for r in MM.decode_metadata(MM.with_binary_payload(docs)).collect()}
     assert out[1]["n_bytes"] == 5
     assert out[1]["content_hash"] == MM.poly_hash_bytes(b"hello")
-    assert 1 <= out[1]["fake_width"] <= 1024
+    assert out[1]["format"] == "raw" and 1 <= out[1]["width"] <= 1024
     assert out[2]["n_bytes"] == 0 and out[2]["content_hash"] == 0
+
+
+def _png_bytes(w, h):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def _jpeg_bytes(w, h):
+    import struct
+
+    # SOI, APP0 (JFIF stub), DQT stub, SOF0 with dims, EOI
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof = struct.pack(">BHH B", 8, h, w, 3) + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xdb" + struct.pack(">H", 67) + bytes(65)
+        + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        + b"\xff\xd9"
+    )
+
+
+def _gif_bytes(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + bytes(3)
+
+
+def test_multimodal_real_header_dims(spark):
+    """PNG IHDR / JPEG SOF0 / GIF descriptor dimensions are parsed for
+    real (pure-Python header walk, no codec libs), with the deterministic
+    fallback only for unrecognized payloads."""
+    assert MM.parse_image_dims(_png_bytes(640, 480)) == ("png", 640, 480)
+    assert MM.parse_image_dims(_jpeg_bytes(1280, 720)) == ("jpeg", 1280, 720)
+    assert MM.parse_image_dims(_gif_bytes(31, 17)) == ("gif", 31, 17)
+    assert MM.parse_image_dims(b"not an image") is None
+    assert MM.parse_image_dims(b"") is None
+    payloads = [
+        (1, _png_bytes(640, 480)),
+        (2, _jpeg_bytes(1280, 720)),
+        (3, _gif_bytes(31, 17)),
+        (4, b"plain bytes"),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in MM.decode_metadata(df).collect()}
+    assert (out[1]["format"], out[1]["width"], out[1]["height"]) == ("png", 640, 480)
+    assert (out[2]["format"], out[2]["width"], out[2]["height"]) == ("jpeg", 1280, 720)
+    assert (out[3]["format"], out[3]["width"], out[3]["height"]) == ("gif", 31, 17)
+    assert out[4]["format"] == "raw"
+    assert out[1]["content_hash"] == MM.poly_hash_bytes(_png_bytes(640, 480))
 
 
 def test_frame_sample_plan(spark):
