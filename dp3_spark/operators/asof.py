@@ -20,9 +20,13 @@ Scale: all windows partition by the producer columns — dp3 compiles one asof
 plan per producer (plan/plan.go:401-443), so matching never crosses
 producers and Spark parallelizes across them.  Within one producer the
 window is a single sorted run, which matches the reference's inherently
-sequential single-node merge; for a pathological single-producer 100 TB
-stream the upgrade path is range-partitioning by time with one-left-row
-overlap per boundary.
+sequential single-node merge; for a pathological single-producer stream,
+``time_slices=K`` range-partitions each producer's run into K time slices
+processed in parallel, with the one left row preceding each slice boundary
+replicated into the next slice so every right still sees its as-of left.
+Cross-slice bookkeeping keeps the semantics exact: a left emits once, from
+its home slice, if ANY slice matched it (in-slice or via its carried copy),
+and ``immediate`` keeps only the globally-first matched right per left.
 """
 
 from __future__ import annotations
@@ -39,6 +43,10 @@ _LEFT_TIME = "__left_time__"
 _MATCHED = "__matched__"
 
 
+_SLICE = "__slice__"
+_CARRIED = "__carried__"
+
+
 def dp3_asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -49,6 +57,7 @@ def dp3_asof_join(
     seq_col: str = "sequence",
     partition_cols: Sequence[str] = ("producer",),
     child_col: str = "__child__",
+    time_slices: int | None = None,
 ) -> DataFrame:
     """dp3 `precedes` join.  For `succeeds`, call with the inputs swapped.
 
@@ -57,6 +66,11 @@ def dp3_asof_join(
     contains the emitted left and right rows with `child_col` rewritten to
     (side, original child) ordering so a final sort on
     (time, child, seq) reproduces the reference's emission order.
+
+    time_slices: when one producer dominates (a single partition would
+    serialize the whole stream onto one task), split each producer's run
+    into this many equal-width time slices processed in parallel; output
+    is identical to the default path (parity pinned in tests).
     """
     has_child = child_col in left.columns or child_col in right.columns
     lhs = left if child_col in left.columns else left.withColumn(child_col, F.lit(0))
@@ -65,6 +79,19 @@ def dp3_asof_join(
     rhs = rhs.withColumn(_SIDE, F.lit(1))
 
     u = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    if time_slices is not None and time_slices > 1:
+        return _asof_time_sliced(
+            u,
+            n_slices=time_slices,
+            immediate=immediate,
+            threshold_ns=threshold_ns,
+            time_col=time_col,
+            seq_col=seq_col,
+            partition_cols=partition_cols,
+            child_col=child_col,
+            has_child=has_child,
+        )
 
     parts = [F.col(c) for c in partition_cols]
     order = [F.col(time_col), F.col(_SIDE), F.col(child_col), F.col(seq_col)]
@@ -119,6 +146,198 @@ def dp3_asof_join(
     width = F.lit(1 << 32)
     out = out.withColumn(child_col, F.col(_SIDE) * width + F.col(child_col))
     drop = [_SIDE, _RN, _LEFT_RN, _LEFT_TIME, _MATCHED, "__match_rank__", "__group_matches__"]
+    if not has_child:
+        drop.append(child_col)
+    return out.drop(*drop)
+
+
+def _asof_time_sliced(
+    u: DataFrame,
+    *,
+    n_slices: int,
+    immediate: bool,
+    threshold_ns: int,
+    time_col: str,
+    seq_col: str,
+    partition_cols: Sequence[str],
+    child_col: str,
+    has_child: bool,
+) -> DataFrame:
+    """Single-producer-skew path: the merged stream is range-partitioned
+    into `n_slices` equal-width time slices per producer, each processed
+    by the same window machinery in parallel.
+
+    Exactness across slice boundaries:
+    - the one left row preceding each slice's start is REPLICATED into it
+      (flagged carried), so every right resolves its as-of left locally;
+      only the last left of a slice can ever be the as-of left of a later
+      slice's rights, and the carry propagates through left-free slices;
+    - a left emits once, from its HOME slice, iff any slice matched it —
+      in-slice (group match) or via a carried copy (the matched-carried
+      key set, at most producers x slices rows, broadcast back);
+    - `immediate` ranks matched rights GLOBALLY per as-of-left identity
+      (time, child, seq), not per slice, so exactly the first match
+      survives.
+
+    Costs vs the default path: one extra min/max scan for slice bounds,
+    two windows over the left side for carry computation, and (immediate
+    only) one output-sized ranking shuffle — the price of turning one
+    serialized task into n_slices parallel ones."""
+    tmin, tmax = u.agg(F.min(time_col), F.max(time_col)).collect()[0]
+    if tmin is None:
+        slice_width = 1
+    else:
+        slice_width = max(1, (int(tmax) - int(tmin)) // n_slices + 1)
+    u = u.withColumn(
+        _SLICE,
+        ((F.col(time_col) - F.lit(tmin if tmin is not None else 0)) / F.lit(slice_width))
+        .cast("long"),
+    ).withColumn(_CARRIED, F.lit(0))
+    u_cols = u.columns
+
+    parts = [F.col(c) for c in partition_cols]
+    order = [F.col(time_col), F.col(_SIDE), F.col(child_col), F.col(seq_col)]
+    is_left = F.col(_SIDE) == 0
+
+    # ---- carried lefts: last left of each slice, propagated forward ----
+    lefts = u.filter(is_left)
+    w_last = Window.partitionBy(*parts, F.col(_SLICE)).orderBy(
+        *[o.desc() for o in order]
+    )
+    last_per_slice = (
+        lefts.withColumn(_RN, F.row_number().over(w_last))
+        .filter(F.col(_RN) == 1)
+        .drop(_RN)
+        .withColumn("__ls__", F.struct(*[F.col(c) for c in u_cols]))
+        .select(*partition_cols, _SLICE, "__ls__")
+    )
+    slices = u.select(*partition_cols, _SLICE).distinct()
+    w_prev = (
+        Window.partitionBy(*parts)
+        .orderBy(F.col(_SLICE))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = (
+        slices.join(last_per_slice, [*partition_cols, _SLICE], "left")
+        .withColumn("__cs__", F.last("__ls__", ignorenulls=True).over(w_prev))
+        .filter(F.col("__cs__").isNotNull())
+    )
+    carried_rows = carried.select(
+        *[
+            F.col(_SLICE) if c == _SLICE else F.col(f"__cs__.{c}").alias(c)
+            for c in u_cols
+        ]
+    ).withColumn(_CARRIED, F.lit(1))
+    u2 = u.unionByName(carried_rows)
+
+    # ---- per-slice window pass (carried row sorts first: its time is
+    # strictly below the slice's start) ----
+    w_ord = Window.partitionBy(*parts, F.col(_SLICE)).orderBy(*order)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u2 = (
+        u2.withColumn(_RN, F.row_number().over(w_ord))
+        .withColumn(
+            _LEFT_RN, F.last(F.when(is_left, F.col(_RN)), ignorenulls=True).over(w_run)
+        )
+        .withColumn(
+            _LEFT_TIME,
+            F.last(F.when(is_left, F.col(time_col)), ignorenulls=True).over(w_run),
+        )
+        .withColumn(
+            "__left_child__",
+            F.last(F.when(is_left, F.col(child_col)), ignorenulls=True).over(w_run),
+        )
+        .withColumn(
+            "__left_seq__",
+            F.last(F.when(is_left, F.col(seq_col)), ignorenulls=True).over(w_run),
+        )
+    )
+    in_threshold: Column = (
+        F.lit(True)
+        if threshold_ns == 0
+        else (F.col(_LEFT_TIME) + F.lit(threshold_ns)) > F.col(time_col)
+    )
+    u2 = u2.withColumn(
+        _MATCHED, (~is_left) & F.col(_LEFT_RN).isNotNull() & in_threshold
+    )
+    w_group = Window.partitionBy(*parts, F.col(_SLICE), F.col(_LEFT_RN)).orderBy(*order)
+    u2 = u2.withColumn(
+        "__group_matches__",
+        F.max(F.col(_MATCHED).cast("int")).over(
+            w_group.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+
+    # ---- cross-slice left emission: home copies of lefts whose only
+    # matches came through a carried copy ----
+    mc = (
+        u2.filter(is_left & (F.col(_CARRIED) == 1) & (F.col("__group_matches__") == 1))
+        .select(
+            *partition_cols,
+            F.col(time_col).alias("__mt__"),
+            F.col(child_col).alias("__mc__"),
+            F.col(seq_col).alias("__ms__"),
+        )
+        .distinct()
+    )
+    cond = (F.col(time_col) == F.col("__mt__")) & (
+        F.col(child_col) == F.col("__mc__")
+    ) & (F.col(seq_col) == F.col("__ms__"))
+    for c in partition_cols:
+        cond = cond & (F.col(c) == F.col(f"__mp_{c}__"))
+    mc_renamed = mc.select(
+        *[F.col(c).alias(f"__mp_{c}__") for c in partition_cols],
+        "__mt__",
+        "__mc__",
+        "__ms__",
+    )
+    u2 = u2.join(F.broadcast(mc_renamed), cond, "left").withColumn(
+        "__carried_matched__", F.col("__mt__").isNotNull()
+    )
+
+    keep_left = (
+        is_left
+        & (F.col(_CARRIED) == 0)
+        & ((F.col("__group_matches__") == 1) | F.col("__carried_matched__"))
+    )
+    keep_right = F.col(_MATCHED)
+    out = u2.filter(keep_left | keep_right)
+
+    if immediate:
+        # globally-first matched right per as-of-left identity: a running
+        # count of RIGHT rows (the left's own home copy shares the
+        # partition and must not consume rank 1)
+        w_first = Window.partitionBy(
+            *parts, F.col(_LEFT_TIME), F.col("__left_child__"), F.col("__left_seq__")
+        ).orderBy(*order)
+        out = out.withColumn(
+            "__gmr__",
+            F.sum((~is_left).cast("int")).over(
+                w_first.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ).filter(is_left | (F.col("__gmr__") == 1))
+
+    width = F.lit(1 << 32)
+    out = out.withColumn(child_col, F.col(_SIDE) * width + F.col(child_col))
+    drop = [
+        _SIDE,
+        _RN,
+        _SLICE,
+        _CARRIED,
+        _LEFT_RN,
+        _LEFT_TIME,
+        _MATCHED,
+        "__left_child__",
+        "__left_seq__",
+        "__group_matches__",
+        "__carried_matched__",
+        "__mt__",
+        "__mc__",
+        "__ms__",
+        *[f"__mp_{c}__" for c in partition_cols],
+    ]
+    if immediate:
+        drop.append("__gmr__")
     if not has_child:
         drop.append(child_col)
     return out.drop(*drop)
