@@ -49,6 +49,11 @@ class VersionedLogTable:
 
     spark: SparkSession
     root: str
+    # payload string columns to write parquet bloom filters for on every
+    # append/compact — the trigram-signature pruning analog (see
+    # streaming/ingest.bloom_options): string-equality probes skip row
+    # groups whose bloom filter excludes the value.
+    bloom_cols: tuple[str, ...] = ()
 
     @property
     def data_path(self) -> str:
@@ -109,12 +114,16 @@ class VersionedLogTable:
             df.dropDuplicates(["producer", "topic", "log_time", "sequence"])
             .withColumn("version", F.lit(version))
         )
-        (
-            out.write.mode("append")
-            .partitionBy("producer", "topic")
-            .parquet(self._resolve_data_path())
-        )
+        w = out.write.mode("append")
+        for k, v in self._bloom_opts().items():
+            w = w.option(k, v)
+        w.partitionBy("producer", "topic").parquet(self._resolve_data_path())
         return version
+
+    def _bloom_opts(self) -> dict[str, str]:
+        from dp3_spark.streaming.ingest import bloom_options
+
+        return bloom_options(self.bloom_cols)
 
     def delete_range(self, producer: str, topic: str, start_ns: int, end_ns: int) -> int:
         """Range delete [start, end) as a tombstone (routes/delete.go;
@@ -252,7 +261,10 @@ class VersionedLogTable:
             gen = int(base[len("data_gen"):])
         new_name = f"data_gen{gen + 1}"
         new_path = os.path.join(self.root, new_name)
-        resolved.write.mode("overwrite").partitionBy("producer", "topic").parquet(new_path)
+        w = resolved.write.mode("overwrite")
+        for k, v in self._bloom_opts().items():
+            w = w.option(k, v)
+        w.partitionBy("producer", "topic").parquet(new_path)
         os.makedirs(self.meta_path, exist_ok=True)
         tmp = os.path.join(self.meta_path, "data_ptr.tmp")
         with open(tmp, "w") as f:

@@ -151,3 +151,73 @@ def test_text_pipeline_no_python_udf(spark):
     txt = plan_of(df)
     assert "BatchEvalPython" not in txt
     assert "ArrowEvalPython" not in txt
+
+
+def test_bloom_filter_skips_string_miss_row_groups(spark, tmp_path):
+    """Trigram-pruning analog (statfilter.go:112): a string-equality probe
+    for a value the table does not contain must skip row groups via the
+    parquet bloom filter — the probe sits lexically INSIDE min/max (so
+    zone maps can't skip) and dictionary encoding is disabled (so only
+    the bloom can).  Asserted via the scan's numOutputRows: 0 with
+    blooms, every row without."""
+    from dp3_spark.streaming.ingest import bloom_options
+
+    df = spark.range(50_000).select(
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(F.lit("aaa_"), F.col("id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("zzz_"), F.col("id").cast("string")))
+        .alias("s"),
+        F.col("id"),
+    )
+
+    def scan_rows(path):
+        d = spark.read.parquet(path).filter(F.col("s") == "mmm_absent")
+        d.collect()
+        leaf = d._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        return leaf.metrics().apply("numOutputRows").value()
+
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    base = df.coalesce(1).write.mode("overwrite").option(
+        "parquet.enable.dictionary", "false"
+    )
+    base.parquet(plain)
+    w = df.coalesce(1).write.mode("overwrite").option(
+        "parquet.enable.dictionary", "false"
+    )
+    for k, v in bloom_options(["s"], ndv=100_000).items():
+        w = w.option(k, v)
+    w.parquet(bloomed)
+    assert scan_rows(plain) == 50_000  # in-range miss: zone maps can't help
+    assert scan_rows(bloomed) == 0  # bloom skips every row group
+
+
+def test_versioned_table_appends_bloom_filters(spark, tmp_path):
+    """VersionedLogTable(bloom_cols=...) writes blooms through append:
+    an in-range string miss on the payload column reads 0 rows."""
+    from dp3_spark.streaming.lifecycle import VersionedLogTable
+
+    vt = VersionedLogTable(spark, str(tmp_path / "vt"), bloom_cols=("props",))
+    rows = spark.range(20_000).select(
+        F.lit("p").alias("producer"),
+        F.lit("t").alias("topic"),
+        (F.col("id") * 1000).alias("log_time"),
+        F.col("id").alias("sequence"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(F.lit("aaa_"), F.col("id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("zzz_"), F.col("id").cast("string")))
+        .alias("props"),
+    )
+    vt.append(rows)
+    d = vt.read().filter(F.col("props") == "mmm_absent")
+    assert d.count() == 0
+    d2 = spark.read.parquet(vt._resolve_data_path()).filter(
+        F.col("props") == "mmm_absent"
+    )
+    d2.collect()
+    leaf = d2._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    # parquet dictionary encoding may also prune here; bloom guarantees it
+    assert leaf.metrics().apply("numOutputRows").value() == 0
