@@ -1305,6 +1305,22 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+@register("dedup_minhash_capped", _minhash_oracle(128, 16, 0.7, bucket_cap=64))
+def dedup_minhash_capped(spark, sf_dir):
+    """candidates='capped' variant of dedup_minhash_lsh — the 100x-scale
+    path: candidate volume is bucket-LINEAR (bands x bucket_cap per doc
+    worst case) instead of quadratic on clustery corpora, at the cost of
+    completeness (capped is a connectivity-preserving subset, the right
+    input for cluster-based dedup; see dedup.py candidates docs).  In the
+    headline bench alongside 'all' so the number being tracked is the one
+    that survives scale."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=128, bands=16, threshold=0.7,
+        candidates="capped", bucket_cap=64,
+    )
+
+
 @register(
     "dedup_incremental",
     f"""
