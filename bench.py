@@ -12,6 +12,15 @@ second, steady-state run is timed.  That is the signal that scales: at the
 target 100 TB deployment the JVM is warm for all but the first seconds of
 a job, so plan quality — shuffles, pushdown, broadcast choices — is what
 the number must reflect.
+
+Isolation: every headline runs in its OWN fresh-session subprocess.
+Measured in-session, the dedup family's timings swung up to 2x run-to-run:
+each dedup query leaves ~100 MB-scale broadcasts and cached signature
+tables whose asynchronous ContextCleaner teardown (triggered by the next
+query's allocation pressure or an explicit GC) lands in the middle of
+whatever runs next.  A fresh JVM per query makes every number
+order-independent and reproducible by construction; the child still does
+the warmup+timed pair, so what's measured stays the steady state.
 """
 
 from __future__ import annotations
@@ -62,38 +71,51 @@ def materialize(df) -> int:
     return 0
 
 
-def isolate(spark) -> None:
-    """Per-query isolation: the dedup family intentionally leaves cached
-    signature tables + broadcasts in the session (their persisted-index
-    deployment story), which GC-taxes whatever runs next — measured
-    run-order variance up to ~40% on dedup_clusters.  Drop cached tables
-    and nudge the JVM to release freed broadcast blocks so each headline
-    starts from the same session state.  (Within one headline, the
-    warmup run's cache persists into the timed run — that warm cache IS
-    the steady state being measured.)"""
-    spark.catalog.clearCache()
-    spark.sparkContext._jvm.System.gc()
+def run_one(name: str, sf_dir: str) -> float:
+    """Child-process body: fresh session, session-level warm (a trivial
+    query boots codegen + Python workers), then TWO untimed runs of the
+    query before the timed one.  A fresh JVM needs the second warmup:
+    measured, run2 of a heavy query is still ~40% over run3's steady
+    state (C2 compiles the hot loops during run2), and the in-session
+    numbers this replaces were implicitly that warm from the preceding
+    queries."""
+    spark = get_spark("dp3_spark_bench")
+    qs = Q.queries()
+    materialize(qs["stat_catalog_tables"](spark, sf_dir))
+    materialize(qs[name](spark, sf_dir))  # untimed: codegen + cache warmup
+    materialize(qs[name](spark, sf_dir))  # untimed: C2/JIT steady-state warmup
+    t0 = time.perf_counter()
+    materialize(qs[name](spark, sf_dir))
+    return time.perf_counter() - t0
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("dp3_spark_bench")
 
-    qs = Q.queries()
-    materialize(qs["stat_catalog_tables"](spark, sf_dir))
+    if len(sys.argv) == 3 and sys.argv[1] == "--one":
+        print(json.dumps({"sec": round(run_one(sys.argv[2], sf_dir), 3)}))
+        return
+
+    import subprocess
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        isolate(spark)
-        materialize(qs[name](spark, sf_dir))  # untimed: codegen/JIT warmup
-        t0 = time.perf_counter()
-        materialize(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True,
+            text=True,
+            env=os.environ,
+        )
+        if r.returncode != 0:
+            print(r.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError(f"bench child failed for {name}")
+        timings[name] = json.loads(r.stdout.strip().splitlines()[-1])["sec"]
         print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     out = {
-        "metric": "headline query steady-state wall-clock (noop-materialized, 2nd run), local[%s]"
+        "metric": "headline query steady-state wall-clock "
+        "(noop-materialized, 3rd run, fresh session per query), local[%s]"
         % os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",

@@ -387,7 +387,10 @@ def minhash_lsh_pairs(
         # able to change which members the cap keeps.
         from pyspark.sql import Window
 
-        wo = Window.partitionBy("band", "band_vals").orderBy("id")
+        # band_key leads the partition spec so the window sort resolves
+        # almost every comparison on the 8-byte hash; band_vals only
+        # disambiguates actual collisions (the exactness requirement)
+        wo = Window.partitionBy("band", "band_key", "band_vals").orderBy("id")
         lhs = (
             _banded_frame(sigs, bands, rows, exact_vals=True)
             .withColumn("rn", F.row_number().over(wo))

@@ -265,27 +265,47 @@ def decode_tables(
     The message scan happens ONCE; each schema's slice is filtered from it
     by schema_hash (a pushable predicate) and decoded with the compiled
     decoder for that schema (sources/rosdecode.py).  Schemas that are not
-    ros1msg/ros2msg-decodable are returned raw (data stays binary)."""
+    ros1msg/ros2msg-decodable are returned raw (data stays binary).
+
+    A schema name carrying MULTIPLE generations (mixed-schema topic,
+    legal per treemgr_test.go:394-456) routes through decode_evolving:
+    the generations union by field name (nulls for absent fields) and
+    rows keep their schema_hash — never a silent last-generation-wins."""
     from dp3_spark.sources.msgdef import MsgDefError, parse_schema
     from dp3_spark.sources.rosdecode import decode_ros1, decode_ros2
 
     decoders = {"ros1msg": decode_ros1, "ros2msg": decode_ros2}
     raw = read_mcap(spark, files, decoder)
     registry = read_mcap_schemas(spark, files).collect()
-    out: dict[str, DataFrame] = {}
+    by_name: dict[str, list] = {}
     for row in registry:
-        subset = raw.filter(raw.schema_hash == row.schema_hash)
-        decode = decoders.get(row.encoding)
-        if decode is None:
-            out[row.schema_name] = subset
+        by_name.setdefault(row.schema_name, []).append(row)
+    out: dict[str, DataFrame] = {}
+    for name, rows in by_name.items():
+        decodable = all(
+            r.encoding in decoders and _parses(parse_schema, MsgDefError, r)
+            for r in rows
+        )
+        if len(rows) > 1 and decodable:
+            out[name] = decode_evolving(spark, files, name, decoder)
             continue
-        try:
+        for row in rows:
+            subset = raw.filter(raw.schema_hash == row.schema_hash)
+            decode = decoders.get(row.encoding)
+            if decode is None or not _parses(parse_schema, MsgDefError, row):
+                out[name] = subset
+                continue
             schema = parse_schema(row.schema_name, row.encoding, bytes(row.schema_data))
-        except MsgDefError:
-            out[row.schema_name] = subset
-            continue
-        out[row.schema_name] = decode(subset, schema)
+            out[name] = decode(subset, schema)
     return out
+
+
+def _parses(parse_schema, MsgDefError, row) -> bool:
+    try:
+        parse_schema(row.schema_name, row.encoding, bytes(row.schema_data))
+        return True
+    except MsgDefError:
+        return False
 
 
 def decode_evolving(

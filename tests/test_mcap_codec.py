@@ -142,6 +142,52 @@ def test_chunked_ros1_decode_tables(spark, tmp_path):
     assert rows[7]["lat"] == 47.0 and rows[7]["header"]["seq"] == 7
 
 
+def test_decode_tables_mixed_schema_unions_generations(spark, tmp_path):
+    """A schema name with TWO generations in one file must not silently
+    keep only the last: decode_tables routes it through decode_evolving —
+    union-by-name, nulls for absent fields, schema_hash per row."""
+    from dp3_spark.sources.mcap import schema_hash
+    from dp3_spark.sources.msgdef import parse_ros1msg
+    from dp3_spark.sources.rosdecode import ros1_encode
+
+    v1 = "int64 n\nfloat64 x\n"
+    v2 = "int64 n\nfloat64 x\nstring tag\n"
+    s1 = parse_ros1msg("dp3", "Evolving", v1)
+    s2 = parse_ros1msg("dp3", "Evolving", v2)
+    msgs = []
+    for i in range(10):
+        if i % 2 == 0:
+            msgs.append(
+                McapMessage(1, i, 1000 + i, 1000 + i, ros1_encode(s1, {"n": i, "x": i * 0.5}))
+            )
+        else:
+            msgs.append(
+                McapMessage(
+                    2, i, 1000 + i, 1000 + i,
+                    ros1_encode(s2, {"n": i, "x": i * 0.5, "tag": f"t{i}"}),
+                )
+            )
+    p = str(tmp_path / "evolving.mcap")
+    with open(p, "wb") as f:
+        write_mcap(
+            f,
+            [
+                McapSchema(1, "dp3/Evolving", "ros1msg", v1.encode()),
+                McapSchema(2, "dp3/Evolving", "ros1msg", v2.encode()),
+            ],
+            [McapChannel(1, 1, "/e", "ros1"), McapChannel(2, 2, "/e", "ros1")],
+            msgs,
+        )
+    out = MCAP.decode_tables(spark, [(p, "bot")])
+    df = out["dp3/Evolving"]
+    rows = {r["sequence"]: r for r in df.collect()}
+    assert len(rows) == 10
+    assert rows[3]["tag"] == "t3" and rows[2]["tag"] is None
+    assert rows[2]["schema_hash"] == schema_hash(v1.encode())
+    assert rows[3]["schema_hash"] == schema_hash(v2.encode())
+    assert rows[4]["x"] == 2.0
+
+
 def test_bad_magic_rejected():
     with pytest.raises(McapFormatError, match="magic"):
         list(iter_mcap(io.BytesIO(b"not an mcap file....")))
