@@ -2202,6 +2202,7 @@ _PRIORITY_ORDER = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_minhash_capped",
     "dedup_incremental",
     "dedup_simhash",
     "dedup_simhash_pairs",
@@ -2227,9 +2228,9 @@ _PRIORITY_ORDER = [
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q6_forecast",
-    "tpch_q18_large_orders",
     # ---- position 51+: everything below is pinned by the local oracle
-    # suite (tests/test_correctness.py) and was driver-green in r02 ----
+    # suite and was driver-green in r02 (q18 first, then the rest in
+    # source order) ----
 ]
 
 
