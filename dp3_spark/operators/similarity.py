@@ -548,3 +548,109 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ------------------------------------------------------- semantic dedup
+# SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication", arXiv:2303.09540): k-means cluster the
+# embedding space, then deduplicate ONLY within clusters — the coarse
+# quantizer turns the corpus-quadratic near-dup problem into a
+# cluster-quadratic one, and k_clusters scales with corpus size to keep
+# cluster populations bounded (the paper's operating point).  At 100 TB:
+# assignment is one broadcast-centroid map pass (persistable alongside the
+# corpus like the minhash signature table), candidate generation is an
+# equi-join on cluster id, and the exact-cosine verify reuses the two
+# dup-pair transports (broadcast matrix under BROADCAST_VERIFY_MAX_ROWS,
+# two hash joins beyond — nothing corpus-sized ever reaches the driver).
+
+
+def _assign_clusters_sql(
+    df: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str
+) -> DataFrame:
+    """Cluster assignment as a pure codegen expression: per-centroid
+    squared-L2 distance is a sequential zip_with/aggregate double fold over
+    inlined centroid literals, argmin by array_sort of (d2, cluster)
+    structs.  Bit-identical to a DuckDB list_reduce fold over the same
+    centroids (tie on d2 breaks toward the lower cluster id in both), which
+    is what makes the seeded sem_dedup registry query exactly oracle-able —
+    the numpy path (_assign_clusters) computes d2 via BLAS matmul whose
+    non-sequential summation can flip near-ties."""
+    structs = []
+    for ci, c in enumerate(centroids):
+        arr = "array({})".format(
+            ", ".join(f"cast({float(v)!r} as double)" for v in c)
+        )
+        d2 = (
+            f"aggregate(zip_with({vec_col}, {arr}, "
+            f"(x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), "
+            f"cast(0.0 as double), (a, b) -> a + b)"
+        )
+        structs.append(f"struct({d2} as d2, {ci} as cluster)")
+    expr = f"array_sort(array({', '.join(structs)}))[0].cluster"
+    return df.select(
+        F.col(id_col).alias("id"), F.expr(expr).cast("int").alias("cluster")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int = 16,
+    iters: int = 3,
+    threshold: float = 0.95,
+    verify: str = "auto",
+    assign: str = "numpy",
+) -> DataFrame:
+    """SemDeDup: one row per corpus document — (id, cluster, kept).
+
+    kept=false iff some LOWER-id document in the same k-means cluster has
+    exact cosine >= threshold (the paper's keep-one-per-epsilon-ball rule
+    with the deterministic lowest-id representative; the screen is against
+    every lower-id cluster member, kept or not, so the output is
+    order-independent and reproducible).
+
+    iters=0 seeds centroids with the k lowest-id vectors and skips Lloyd
+    refinement — closed-form, hence SQL-oracle-able when paired with
+    assign='sql'.  iters>0 runs the deterministic Lloyd loop
+    (ivf_fit_centroids); assignment then uses the fast numpy matmul path.
+    """
+    if assign not in ("numpy", "sql"):
+        raise ValueError(f"unknown assign mode {assign!r}")
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).filter(
+        F.col("vec").isNotNull()
+    )
+    cents = ivf_fit_centroids(
+        base, id_col="id", vec_col="vec", k_clusters=k_clusters, iters=iters
+    )
+    if assign == "sql":
+        assigned = _assign_clusters_sql(base, cents, "id", "vec")
+    else:
+        assigned = _assign_clusters(base, cents, "id", "vec")
+    assigned = assigned.cache()
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        assigned.alias("x")
+        .join(assigned.alias("y"), "cluster")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .repartition(2 * par)
+    )
+    if verify == "auto":
+        verify = "broadcast" if base.count() <= BROADCAST_VERIFY_MAX_ROWS else "shuffle"
+    if verify == "shuffle":
+        pairs = _verify_cosine_shuffle(cand, base, threshold)
+    elif verify == "broadcast":
+        pairs = _verify_cosine_broadcast(cand, base, threshold)
+    else:
+        raise ValueError(f"unknown verify mode {verify!r}")
+    dropped = pairs.select(F.col("id_b").alias("id")).distinct()
+    return (
+        assigned.join(dropped.withColumn("__drop__", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            "cluster",
+            F.coalesce(~F.col("__drop__"), F.lit(True)).alias("kept"),
+        )
+    )

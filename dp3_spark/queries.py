@@ -1475,6 +1475,70 @@ def sim_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, k_clusters=8, nprobe=3, iters=2)
 
 
+_SEM_DEDUP_K = 8
+# squared-L2 to centroid c: same sequential double fold as the Spark
+# expression in similarity._assign_clusters_sql (zip_with/aggregate there,
+# list_transform/list_reduce here) — bit-identical, so argmin ties break
+# identically by (d2, cluster)
+_SEM_D2 = (
+    "list_reduce(list_prepend(cast(0.0 as double), "
+    "list_transform(range(1, len(e.embedding)+1), i -> "
+    "(cast(e.embedding[i] as double) - cast(c.cvec[i] as double)) * "
+    "(cast(e.embedding[i] as double) - cast(c.cvec[i] as double)))), "
+    "(a, b) -> a + b)"
+)
+
+
+@register(
+    "sem_dedup",
+    f"""
+    with cents as (
+      select row_number() over (order by vec_id) - 1 as cluster,
+             embedding as cvec
+      from (select vec_id, embedding from embeddings
+            where embedding is not null order by vec_id limit {_SEM_DEDUP_K})
+    ),
+    assign as (
+      select vec_id, cluster from (
+        select e.vec_id, c.cluster,
+               row_number() over (partition by e.vec_id
+                                  order by {_SEM_D2}, c.cluster) as rn
+        from embeddings e cross join cents c
+        where e.embedding is not null) t
+      where rn = 1
+    ),
+    dups as (
+      select distinct y.vec_id as id_b
+      from assign x
+      join assign y on x.cluster = y.cluster and x.vec_id < y.vec_id
+      join embeddings a on a.vec_id = x.vec_id
+      join embeddings b on b.vec_id = y.vec_id
+      where {_COS_D} >= 0.4
+    )
+    select s.vec_id, s.cluster, (d.id_b is null) as kept
+    from assign s left join dups d on d.id_b = s.vec_id
+    """,
+)
+def sem_dedup(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540) semantic dedup: coarse-quantize the
+    embedding space, keep one representative per within-cluster epsilon
+    ball.  The registry parameterization seeds centroids with the k
+    lowest-id vectors (iters=0) and uses the codegen SQL assignment path so
+    the whole pipeline — quantize, within-cluster pairs, exact-cosine
+    screen, keep rule — is closed-form and exactly DuckDB-oracled; the
+    Lloyd-refined variant (iters>0, numpy matmul assignment) is the library
+    default, pinned by drop-rule/parity tests in tests/test_pipeline_ops.py.
+    Threshold 0.4 matches sim_dup_pairs (the synthetic corpus tops out near
+    cosine 0.55)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        SIM.semantic_dedup(
+            emb, k_clusters=_SEM_DEDUP_K, iters=0, threshold=0.4, assign="sql"
+        )
+        .withColumnRenamed("id", "vec_id")
+    )
+
+
 # =========================================================================
 # Multimodal plumbing (stubbed decode; real mapInPandas)
 # =========================================================================
@@ -2213,6 +2277,7 @@ _PRIORITY_ORDER = [
     "sim_dup_pairs_lsh",
     "sim_lsh_topk",
     "sim_ivf_topk",
+    "sem_dedup",
     # multimodal + MCAP round-trip
     "mm_decode_meta",
     "mm_frame_sample",
@@ -2227,9 +2292,8 @@ _PRIORITY_ORDER = [
     # distinctive TPC-H / relational shapes kept inside the window
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    "tpch_q6_forecast",
     # ---- position 51+: everything below is pinned by the local oracle
-    # suite and was driver-green in r02 (q18 first, then the rest in
+    # suite and was driver-green in r02 (q6/q18 first, then the rest in
     # source order) ----
 ]
 

@@ -1,0 +1,163 @@
+"""Streaming corpus-refresh dedup: a Structured Streaming file source
+feeding foreachBatch micro-batches that probe a persisted MinHash
+signature index.
+
+This is the continuous-ingestion shape of operators/dedup.py's
+minhash_lsh_pairs_incremental: document parquet files land in a drop
+directory; each micro-batch
+
+  1. signatures ONLY its own documents (one mapInPandas pass),
+  2. probes the persisted signature index (band join — only buckets
+     containing a batch doc produce candidates, so per-batch cost is
+     O(batch), never O(corpus)),
+  3. appends the surviving documents to the corpus table and their
+     signatures to the index.
+
+Duplicate rule (deterministic, order-independent within a batch): a batch
+document is dropped iff it near-matches any INDEXED document (the corpus
+kept that one first — index wins regardless of id order), or a LOWER-id
+document of the same batch.  This is exactly what sequentially running
+batch-mode dedup per arrival would produce, pinned by the
+streaming-vs-batch parity test.
+
+At 100 TB: the index is a partitioned parquet (or Delta/Iceberg) table;
+appends are file-level; the probe's verify transport follows the batch
+operator's auto dispatch — broadcast while index+batch fit the budget,
+two hash joins beyond.  Checkpointing makes file-arrival processing
+exactly-once, so a crash between corpus append and index append is the
+one non-atomic edge — a real table format closes it with a multi-table
+transaction; with plain parquet the index append lands first (re-probing
+a doc already in the index is harmless: it would dedup against itself
+only if reprocessed, which the checkpoint prevents).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dp3_spark.operators import dedup as DD
+
+
+@dataclass
+class StreamingCorpusDedup:
+    """Owns the corpus + signature-index directories and the per-batch
+    dedup step.  `process_batch` is a plain (DataFrame, epoch) function so
+    it is directly unit-testable and drivable from foreachBatch."""
+
+    spark: SparkSession
+    root: str
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    n: int = 3
+    num_hashes: int = 128
+    bands: int = 16
+    threshold: float = 0.6
+    stats: list = field(default_factory=list)
+
+    @property
+    def corpus_path(self) -> str:
+        return os.path.join(self.root, "corpus")
+
+    @property
+    def index_path(self) -> str:
+        return os.path.join(self.root, "sigs")
+
+    @property
+    def checkpoint_path(self) -> str:
+        return os.path.join(self.root, "_checkpoint")
+
+    def _index(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self.index_path)
+        except Exception:
+            return None
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        par = self.spark.sparkContext.defaultParallelism
+        sigs_new = DD.minhash_signatures(
+            batch_df.repartition(par),
+            self.id_col,
+            self.text_col,
+            n=self.n,
+            num_hashes=self.num_hashes,
+        ).localCheckpoint(eager=True)
+        index = self._index()
+        if index is not None:
+            pairs = DD.minhash_lsh_pairs_incremental(
+                batch_df,
+                index,
+                self.id_col,
+                self.text_col,
+                n=self.n,
+                num_hashes=self.num_hashes,
+                bands=self.bands,
+                threshold=self.threshold,
+                precomputed_sigs=sigs_new,
+            )
+            index_ids = index.select(F.col("id").alias("iid"))
+            # batch doc x is dropped if it pairs with an index doc (either
+            # endpoint — index wins regardless of id order) ...
+            drop_vs_index = (
+                pairs.join(index_ids, pairs.id_a == F.col("iid"), "left_semi")
+                .select(F.col("id_b").alias("id"))
+                .unionByName(
+                    pairs.join(index_ids, pairs.id_b == F.col("iid"), "left_semi")
+                    .select(F.col("id_a").alias("id"))
+                )
+            )
+            # ... or with a lower-id doc of the same batch (id_a < id_b and
+            # neither endpoint indexed => both are batch docs)
+            both_ids = index_ids
+            drop_in_batch = (
+                pairs.join(both_ids, pairs.id_a == F.col("iid"), "left_anti")
+                .join(both_ids, pairs.id_b == F.col("iid"), "left_anti")
+                .select(F.col("id_b").alias("id"))
+            )
+            dropped = drop_vs_index.unionByName(drop_in_batch).distinct()
+        else:
+            pairs = DD.minhash_lsh_pairs(
+                batch_df,
+                self.id_col,
+                self.text_col,
+                n=self.n,
+                num_hashes=self.num_hashes,
+                bands=self.bands,
+                threshold=self.threshold,
+            )
+            dropped = pairs.select(F.col("id_b").alias("id")).distinct()
+        dropped = dropped.localCheckpoint(eager=True)
+        kept_docs = batch_df.join(
+            dropped, batch_df[self.id_col] == dropped.id, "left_anti"
+        )
+        kept_sigs = sigs_new.join(dropped, "id", "left_anti")
+        # index append FIRST (see module docstring's crash-edge note)
+        kept_sigs.write.mode("append").parquet(self.index_path)
+        kept_docs.write.mode("append").parquet(self.corpus_path)
+        n_in = batch_df.count()
+        n_drop = dropped.count()
+        self.stats.append(
+            {"epoch": int(epoch_id), "rows_in": n_in, "dropped": n_drop}
+        )
+
+    def start(
+        self,
+        input_path: str,
+        schema_ddl: str,
+        *,
+        available_now: bool = True,
+    ):
+        """Attach to a drop directory and start the query.  availableNow
+        drains everything present then stops (the batch-backfill trigger);
+        pass False for a continuously-running micro-batch query."""
+        stream = self.spark.readStream.schema(schema_ddl).parquet(input_path)
+        writer = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

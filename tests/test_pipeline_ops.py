@@ -305,3 +305,102 @@ def test_dup_ngram_fraction_values(spark):
     assert abs(rows[1] - (1 - 2 / 5)) < 1e-12
     assert rows[2] == 0.0
     assert rows[3] == 0.0
+
+
+# ------------------------------------------------------- semantic dedup
+
+def _emb_corpus(spark):
+    """Three tight clusters (near-dup members) + two isolated vectors."""
+    import numpy as np
+
+    rng_base = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+    ]
+    rows = []
+    vid = 0
+    for ci, base in enumerate(rng_base):
+        for j in range(4):
+            v = [x + 0.01 * ((vid * 7 + d) % 5) for d, x in enumerate(base)]
+            rows.append((vid, [float(np.float32(x)) for x in v]))
+            vid += 1
+    rows.append((vid, [0.5, 0.5, -0.5, -0.5])); vid += 1
+    rows.append((vid, [-0.5, 0.5, 0.5, -0.5])); vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _brute_cosines(df):
+    import numpy as np
+
+    rows = df.orderBy("vec_id").collect()
+    ids = [r["vec_id"] for r in rows]
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    n = M / np.linalg.norm(M, axis=1, keepdims=True)
+    return ids, n @ n.T
+
+
+def test_semantic_dedup_drop_rule(spark):
+    """Every dropped doc has a lower-id same-cluster neighbor with exact
+    cosine >= threshold; every kept doc has none (Lloyd-refined variant)."""
+    from dp3_spark.operators import similarity as SIM
+
+    df = _emb_corpus(spark)
+    out = SIM.semantic_dedup(
+        df, k_clusters=4, iters=2, threshold=0.95
+    ).collect()
+    clusters = {r["id"]: r["cluster"] for r in out}
+    kept = {r["id"]: r["kept"] for r in out}
+    ids, C = _brute_cosines(df)
+    idx = {i: k for k, i in enumerate(ids)}
+    for i in ids:
+        lower_dup = any(
+            C[idx[j], idx[i]] >= 0.95
+            for j in ids
+            if j < i and clusters[j] == clusters[i]
+        )
+        assert kept[i] == (not lower_dup), f"id {i}"
+    # sanity: the fixture genuinely exercises both outcomes
+    assert any(kept.values()) and not all(kept.values())
+
+
+def test_semantic_dedup_sql_numpy_assign_parity(spark):
+    """At iters=0 the codegen-SQL and numpy assignment paths agree on the
+    full fixture (no near-tie distances), and kept flags match."""
+    from dp3_spark.operators import similarity as SIM
+
+    df = _emb_corpus(spark)
+    a = sorted(
+        (r["id"], r["cluster"], r["kept"])
+        for r in SIM.semantic_dedup(
+            df, k_clusters=3, iters=0, threshold=0.95, assign="sql"
+        ).collect()
+    )
+    b = sorted(
+        (r["id"], r["cluster"], r["kept"])
+        for r in SIM.semantic_dedup(
+            df, k_clusters=3, iters=0, threshold=0.95, assign="numpy"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_semantic_dedup_transport_parity(spark):
+    """Broadcast and shuffle cosine-verify transports produce identical
+    kept sets (same numpy kernel, different delivery)."""
+    from dp3_spark.operators import similarity as SIM
+
+    df = _emb_corpus(spark)
+    a = sorted(
+        (r["id"], r["cluster"], r["kept"])
+        for r in SIM.semantic_dedup(
+            df, k_clusters=4, iters=1, threshold=0.95, verify="broadcast"
+        ).collect()
+    )
+    b = sorted(
+        (r["id"], r["cluster"], r["kept"])
+        for r in SIM.semantic_dedup(
+            df, k_clusters=4, iters=1, threshold=0.95, verify="shuffle"
+        ).collect()
+    )
+    assert a == b

@@ -191,3 +191,69 @@ def test_summary_maintainer_foreachbatch(spark, tmpdir):
     d = {(r["producer"], r["topic"], r["bucket_start"]): (r["message_count"], r["v_sum"])
          for r in direct.collect()}
     assert m == d and len(m) == 2  # 100 s span -> two 60 s buckets
+
+
+# --------------------------------------------- streaming corpus dedup
+
+LOREM = {
+    "fox": "the quick brown fox jumps over the lazy dog near the river bank",
+    "sql": "declarative query engines optimize relational plans with cost models",
+    "sea": "ships sail across the open sea carrying cargo between distant ports",
+    "ast": "astronomers chart distant galaxies using wide field survey telescopes",
+    "oak": "ancient oak trees shelter countless species in temperate forests",
+}
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_streaming_corpus_dedup(spark, tmpdir):
+    """Two availableNow drains over a drop directory: in-batch dups fall to
+    the lower id, cross-batch dups fall to the indexed (first-arrived) doc
+    even when the new doc has a LOWER id, and the signature index stays
+    id-aligned with the corpus."""
+    from dp3_spark.streaming.dedup_stream import StreamingCorpusDedup
+
+    src = f"{tmpdir}/incoming"
+    sd = StreamingCorpusDedup(spark, f"{tmpdir}/corpus_root", threshold=0.6)
+
+    _write_docs(
+        spark,
+        src,
+        [
+            (10, LOREM["fox"]),
+            (11, LOREM["sql"]),
+            (12, LOREM["fox"]),  # in-batch dup of 10 -> dropped
+            (13, LOREM["sea"]),
+        ],
+    )
+    q = sd.start(src, "doc_id long, text string")
+    q.awaitTermination()
+    kept1 = {
+        r["doc_id"] for r in spark.read.parquet(sd.corpus_path).collect()
+    }
+    assert kept1 == {10, 11, 13}
+
+    _write_docs(
+        spark,
+        src,
+        [
+            (2, LOREM["fox"]),   # dup of indexed 10; lower id but index wins
+            (20, LOREM["ast"]),
+            (21, LOREM["ast"]),  # in-batch dup of 20 -> dropped
+            (22, LOREM["oak"]),
+        ],
+    )
+    q = sd.start(src, "doc_id long, text string")
+    q.awaitTermination()
+
+    corpus = {r["doc_id"] for r in spark.read.parquet(sd.corpus_path).collect()}
+    assert corpus == {10, 11, 13, 20, 22}
+    sig_ids = {r["id"] for r in spark.read.parquet(sd.index_path).collect()}
+    assert sig_ids == corpus
+    # the checkpoint prevented reprocessing: exactly two epochs recorded
+    assert [s["rows_in"] for s in sd.stats] == [4, 4]
+    assert [s["dropped"] for s in sd.stats] == [1, 2]
