@@ -138,11 +138,19 @@ def minhash_signatures(
     than `n` hash as a single whole-text shingle; permutation j is
     min((A[j]*h + B[j]) mod P) over the distinct shingle hashes.
 
-    The SQL lambda fold evaluates interpreted per element (~µs/op); the
-    numpy path is one (num_hashes × n_shingles) matrix op per document,
-    ~100× faster — this is the sanctioned Pandas-UDF escape hatch for work
-    Catalyst can't vectorize.  Output: (id, shingles array<bigint> sorted
-    distinct, card, mh array<bigint>[num_hashes])."""
+    The SQL lambda fold evaluates interpreted per element (~µs/op); this
+    path is WHOLE-BATCH numpy — the sanctioned Pandas-UDF escape hatch for
+    work Catalyst can't vectorize, with no per-document Python loop on the
+    hot path either: all documents of an Arrow batch concatenate into one
+    byte buffer, the rolling poly-31 hash runs as `n` strided passes over
+    the whole buffer (windows straddling document boundaries are masked
+    out), per-document distinct-sorting is ONE global sort of
+    (doc_index * MOD + hash) keys, and all num_hashes permutation minima
+    for every document come from a single (num_hashes × total_shingles)
+    modmul + np.minimum.reduceat over document boundaries.  ~5× over the
+    per-document formulation, and the constant that multiplies at 100 TB.
+    Output: (id, shingles array<bigint> sorted distinct, card,
+    mh array<bigint>[num_hashes])."""
     import numpy as np
     import pandas as pd
     import re
@@ -151,34 +159,97 @@ def minhash_signatures(
     A = [a for a, _ in coeffs]
     B = [b for _, b in coeffs]
     mod, p, nn = TXT.POLY_MOD, MINHASH_P, n
+    base = TXT.POLY_BASE
     strip = re.compile(r"[^a-zA-Z0-9 ]")
+    # bound the (num_hashes × chunk_shingles) permutation temp to ~256 MB
+    chunk_budget = max(1, (256 << 20) // (8 * num_hashes))
 
     def gen(batches):
         a_vec = np.array(A, dtype=np.int64)[:, None]
         b_vec = np.array(B, dtype=np.int64)[:, None]
         for pdf in batches:
-            ids, shs, cards, mhs = [], [], [], []
-            for id_, text in zip(pdf[id_col].values, pdf[text_col].values):
-                if text is None or (isinstance(text, float) and pd.isna(text)):
-                    ids.append(id_); shs.append(None); cards.append(None); mhs.append(None)
-                    continue
-                norm = strip.sub("", text).lower()
-                cp = np.frombuffer(norm.encode("ascii"), dtype=np.uint8).astype(np.int64)
-                L = cp.size
-                if L <= nn:
-                    h = 0
-                    for c in cp:
-                        h = (h * TXT.POLY_BASE + int(c)) % mod
-                    hs = np.array([h], dtype=np.int64)
+            texts = pdf[text_col]
+            valid = texts.notna().values
+            norms = [
+                strip.sub("", t).lower() if ok else ""
+                for t, ok in zip(texts.values, valid)
+            ]
+            lens = np.array([len(s) for s in norms], dtype=np.int64)
+            nv = int(valid.sum())
+            # map row -> dense doc index over valid rows only
+            doc_idx_of_row = np.cumsum(valid) - 1
+            buf = np.frombuffer(
+                "".join(norms).encode("ascii"), dtype=np.uint8
+            ).astype(np.int64)
+            starts_c = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            total = buf.size
+            keys = []
+            if total >= nn:
+                # rolling hash over the concatenated buffer: nn strided adds
+                h = np.zeros(total - nn + 1, dtype=np.int64)
+                for j in range(nn):
+                    h = (h * base + buf[j : total - nn + 1 + j]) % mod
+                # window at position q belongs to the doc containing
+                # [q, q+nn); valid iff the whole window is inside one doc
+                # with len > nn (len <= nn docs take the whole-text path)
+                q = np.arange(total - nn + 1)
+                owner_row = np.searchsorted(starts_c, q, side="right") - 1
+                owner_row = np.clip(owner_row, 0, len(norms) - 1)
+                in_doc = (
+                    valid[owner_row]
+                    & (lens[owner_row] > nn)
+                    & (q + nn <= starts_c[owner_row] + lens[owner_row])
+                )
+                if in_doc.any():
+                    keys.append(
+                        doc_idx_of_row[owner_row[in_doc]] * mod + h[in_doc]
+                    )
+            # short docs (len <= nn): one whole-text fold each — rare, and
+            # each fold is over <= nn chars
+            for row in np.nonzero(valid & (lens <= nn))[0]:
+                hh = 0
+                for c in buf[starts_c[row] : starts_c[row] + lens[row]]:
+                    hh = (hh * base + int(c)) % mod
+                keys.append(np.array([doc_idx_of_row[row] * mod + hh]))
+            if keys:
+                allk = np.unique(np.concatenate(keys))
+            else:
+                allk = np.empty(0, dtype=np.int64)
+            doc_of = allk // mod
+            hs_all = allk % mod
+            # every valid doc emits >= 1 shingle (empty text folds to 0),
+            # so doc boundaries cover 0..nv-1 densely
+            doc_starts = np.searchsorted(doc_of, np.arange(nv))
+            bounds = np.append(doc_starts, allk.size)
+            sig = np.empty((nv, num_hashes), dtype=np.int64)
+            c0 = 0
+            while c0 < nv:
+                c1 = c0 + 1
+                while (
+                    c1 < nv and bounds[c1 + 1] - bounds[c0] <= chunk_budget
+                ):
+                    c1 += 1
+                lo, hi = bounds[c0], bounds[c1]
+                # a < P < 2^31 and h < 2^30: a*h + b < 2^62, no overflow
+                P = (a_vec * hs_all[lo:hi][None, :] + b_vec) % p
+                sig[c0:c1] = np.minimum.reduceat(
+                    P, bounds[c0:c1] - lo, axis=1
+                ).T
+                c0 = c1
+            shingle_lists = np.split(hs_all, doc_starts[1:]) if nv else []
+            shs, cards, mhs = [], [], []
+            di = 0
+            for ok in valid:
+                if not ok:
+                    shs.append(None); cards.append(None); mhs.append(None)
                 else:
-                    h = np.zeros(L - nn + 1, dtype=np.int64)
-                    for j in range(nn):
-                        h = (h * TXT.POLY_BASE + cp[j : L - nn + 1 + j]) % mod
-                    hs = np.unique(h)
-                # a < P < 2^31 and h < 2^30, so a*h + b < 2^62: no overflow
-                mh = ((a_vec * hs[None, :] + b_vec) % p).min(axis=1)
-                ids.append(id_); shs.append(hs); cards.append(hs.size); mhs.append(mh)
-            yield pd.DataFrame({"id": ids, "shingles": shs, "card": cards, "mh": mhs})
+                    shs.append(shingle_lists[di])
+                    cards.append(shingle_lists[di].size)
+                    mhs.append(sig[di])
+                    di += 1
+            yield pd.DataFrame(
+                {"id": pdf[id_col].values, "shingles": shs, "card": cards, "mh": mhs}
+            )
 
     return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
         gen, "id long, shingles array<bigint>, card int, mh array<bigint>"
@@ -278,20 +349,29 @@ def _verify_shuffle(cand: DataFrame, sigs: DataFrame, threshold: float) -> DataF
 
 
 def _np_shared_counts(sh_a, sh_b):
-    """Exact |A ∩ B| per pair via searchsorted merge over sorted distinct
-    shingle arrays.  Spark's array_intersect is a CodegenFallback
-    (interpreted, boxed hash set): measured ~70µs per 143-element intersect
-    warm; the numpy merge is ~2µs with no JVM warmup cliff."""
+    """Exact |A ∩ B| for EVERY pair in one vectorized pass — no per-pair
+    Python loop.  Spark's array_intersect is a CodegenFallback
+    (interpreted, boxed hash set; ~70µs per 143-element intersect), and
+    even a per-pair numpy merge pays ~4µs of call overhead × millions of
+    candidates.  Instead: shingle hashes are < 2^30 and each per-pair
+    array is sorted, so (pair_index << 31 | hash) concatenates ALL pairs'
+    arrays into two globally-sorted key vectors — one searchsorted + one
+    bincount counts every intersection at once."""
     import numpy as np
 
-    shared = np.zeros(len(sh_a), dtype=np.int64)
-    for i, (a, b) in enumerate(zip(sh_a, sh_b)):
-        if a.size > b.size:
-            a, b = b, a
-        idx = np.searchsorted(b, a)
-        idx[idx == b.size] = 0
-        shared[i] = int((b[idx] == a).sum())
-    return shared
+    npairs = len(sh_a)
+    if npairs == 0:
+        return np.zeros(0, dtype=np.int64)
+    la = np.fromiter((a.size for a in sh_a), dtype=np.int64, count=npairs)
+    lb = np.fromiter((b.size for b in sh_b), dtype=np.int64, count=npairs)
+    a_pair = np.repeat(np.arange(npairs, dtype=np.int64), la)
+    b_pair = np.repeat(np.arange(npairs, dtype=np.int64), lb)
+    a_keys = (a_pair << 31) | np.concatenate(sh_a)
+    b_keys = (b_pair << 31) | np.concatenate(sh_b)
+    idx = np.searchsorted(b_keys, a_keys)
+    idx[idx == b_keys.size] = 0
+    hit = b_keys[idx] == a_keys
+    return np.bincount(a_pair[hit], minlength=npairs).astype(np.int64)
 
 
 def minhash_lsh_pairs(
@@ -378,7 +458,6 @@ def minhash_lsh_pairs(
     # one banded row per (doc, band) via a single explode — not a
     # bands-way union, which would re-read the cache `bands` times;
     # null-text docs have null signatures — dropped inside _banded_frame
-    banded = _banded_frame(sigs, bands, rows)
     if candidates == "capped":
         # rank members within each bucket; only the first bucket_cap fan
         # out as join LHS — candidate volume is bucket-linear.  The rank
@@ -387,17 +466,24 @@ def minhash_lsh_pairs(
         # able to change which members the cap keeps.
         from pyspark.sql import Window
 
+        # ONE exact-vals explode, materialized, feeds BOTH join sides:
+        # a second explode pass (plain banded for the RHS) measured as
+        # expensive as the rank window itself
+        bex = _banded_frame(sigs, bands, rows, exact_vals=True).localCheckpoint(
+            eager=True
+        )
+        banded = bex.drop("band_vals")
         # band_key leads the partition spec so the window sort resolves
         # almost every comparison on the 8-byte hash; band_vals only
         # disambiguates actual collisions (the exactness requirement)
         wo = Window.partitionBy("band", "band_key", "band_vals").orderBy("id")
         lhs = (
-            _banded_frame(sigs, bands, rows, exact_vals=True)
-            .withColumn("rn", F.row_number().over(wo))
+            bex.withColumn("rn", F.row_number().over(wo))
             .filter(F.col("rn") <= bucket_cap)
             .drop("rn", "band_vals")
         )
     else:
+        banded = _banded_frame(sigs, bands, rows)
         lhs = banded
     cand = (
         lhs.alias("x")

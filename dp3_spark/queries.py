@@ -1339,9 +1339,12 @@ def dedup_incremental(spark, sf_dir):
     index_docs = docs.filter(F.col("doc_id") % 5 != 0)
     new_docs = docs.filter(F.col("doc_id") % 5 == 0)
     par = spark.sparkContext.defaultParallelism
+    # materialize the index once — the stand-in for reading the PERSISTED
+    # signature table (the deployment shape this query models); without it
+    # the index plan re-shingles per consumer (banding, count, verify)
     index_sigs = DD.minhash_signatures(
         index_docs.repartition(par), "doc_id", "text", n=3, num_hashes=128
-    )
+    ).localCheckpoint(eager=True)
     return DD.minhash_lsh_pairs_incremental(
         new_docs, index_sigs, "doc_id", "text",
         n=3, num_hashes=128, bands=16, threshold=0.7,
