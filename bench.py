@@ -57,6 +57,8 @@ HEADLINE = [
     "mix_domains",            # domain-mixture sampling (broadcast rates)
     "sim_cosine_topk",        # brute-force ANN baseline
     "sim_dup_pairs_lsh",      # banded near-dup pairs (the at-scale ANN path)
+    "sem_dedup",              # SemDeDup: k-means quantize + in-cluster screen
+    "mcap_roundtrip_agg",     # MCAP import -> ROS decode -> aggregate
     "dedup_minhash_lsh",      # minhash LSH dedup, candidates='all' (complete
                               # pair list; quadratic on clustery corpora)
     "dedup_minhash_capped",   # candidates='capped' — the bucket-linear
