@@ -75,6 +75,125 @@ def parse_image_dims(data: bytes) -> tuple[str, int, int] | None:
     return None
 
 
+def parse_wav_meta(data: bytes) -> tuple[int, int, int, int] | None:
+    """REAL WAV (RIFF) metadata from the container header, pure Python:
+    (sample_rate, channels, bits_per_sample, n_frames).  Chunk walk per the
+    RIFF spec — 'fmt ' carries channels u16 / sample_rate u32 / block_align
+    u16 / bits u16; 'data' size / block_align = frame count.  Returns None
+    for anything that is not a well-formed WAV."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    i = 12
+    rate = channels = bits = block_align = None
+    n_frames = None
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        csize = int.from_bytes(data[i + 4 : i + 8], "little")
+        body = data[i + 8 : i + 8 + csize]
+        if cid == b"fmt " and len(body) >= 16:
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data" and block_align:
+            n_frames = csize // block_align
+        i += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if rate and channels and bits and n_frames is not None:
+        return rate, channels, bits, n_frames
+    return None
+
+
+def parse_mp4_meta(data: bytes) -> tuple[int, int] | None:
+    """REAL MP4/ISO-BMFF metadata from the box structure, pure Python:
+    (timescale, duration) out of moov/mvhd — duration/timescale is the
+    presentation length in seconds.  A proper box walk (size+fourcc at
+    each level, descend into 'moov' only), not a byte scan, so a stray
+    'mvhd' in media data cannot fool it."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+
+    def walk(lo: int, hi: int, depth: int = 0):
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(data[i : i + 4], "big")
+            four = data[i + 8 - 4 : i + 8]
+            if size == 1:  # 64-bit largesize
+                if i + 16 > hi:
+                    return None
+                size = int.from_bytes(data[i + 8 : i + 16], "big")
+                body = i + 16
+            else:
+                body = i + 8
+            if size < 8 or i + size > hi:
+                return None
+            if four == b"moov" and depth == 0:
+                r = walk(body, i + size, 1)
+                if r is not None:
+                    return r
+            if four == b"mvhd" and depth == 1:
+                ver = data[body]
+                if ver == 1 and body + 28 <= hi:
+                    ts = int.from_bytes(data[body + 20 : body + 24], "big")
+                    dur = int.from_bytes(data[body + 24 : body + 32], "big")
+                elif ver == 0 and body + 20 <= hi:
+                    ts = int.from_bytes(data[body + 12 : body + 16], "big")
+                    dur = int.from_bytes(data[body + 16 : body + 20], "big")
+                else:
+                    return None
+                return ts, dur
+            i += size
+        return None
+
+    return walk(0, len(data))
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, format string, sample_rate int, channels int, "
+    "bits int, n_frames long, duration_s double"
+)
+
+
+def decode_audio_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas audio-metadata decode: WAV payloads get REAL
+    header-parsed (sample_rate, channels, bits, n_frames, duration);
+    unrecognized payloads fall back to deterministic pseudo-metadata with
+    format='raw' (the same stub discipline as decode_metadata — a real
+    deployment swaps the fallback for soundfile/ffprobe in the same batch
+    loop, the Spark plumbing is unchanged)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, rates, chans, bits_l, frames, durs = [], [], [], [], [], []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                meta = parse_wav_meta(b)
+                if meta is not None:
+                    rate, ch, bits, nf = meta
+                    fmts.append("wav")
+                else:
+                    hv = poly_hash_bytes(b)
+                    rate, ch, bits, nf = (
+                        8000 + hv % 40000, 1 + hv % 2, 16, len(b)
+                    )
+                    fmts.append("raw")
+                rates.append(rate); chans.append(ch); bits_l.append(bits)
+                frames.append(nf)
+                durs.append(nf / rate if rate else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "format": fmts,
+                    "sample_rate": rates,
+                    "channels": chans,
+                    "bits": bits_l,
+                    "n_frames": frames,
+                    "duration_s": durs,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(decode, AUDIO_SCHEMA)
+
+
 def decode_image_stub(data: bytes) -> tuple[int, int, int]:
     """Fallback pseudo-decode for payloads with no parseable image header
     (e.g. the fixture's text-as-binary payloads): (content_hash, width,

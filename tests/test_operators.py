@@ -591,3 +591,67 @@ def test_minhash_incremental_matches_full_run(spark, tmp_path):
         (r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in inc.collect()
     )
     assert got == want and len(got) > 0
+
+
+def _wav_bytes(rate=44100, channels=2, bits=16, n_frames=1000):
+    import struct
+
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block_align, block_align, bits
+    )
+    data = b"\x00" * (n_frames * block_align)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _mp4_bytes(timescale=1000, duration=5500, version=0):
+    import struct
+
+    def box(four, body):
+        return struct.pack(">I", 8 + len(body)) + four + body
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    if version == 0:
+        mvhd_body = b"\x00\x00\x00\x00" + struct.pack(
+            ">IIII", 0, 0, timescale, duration
+        ) + b"\x00" * 80
+    else:
+        mvhd_body = b"\x01\x00\x00\x00" + struct.pack(
+            ">QQIQ", 0, 0, timescale, duration
+        ) + b"\x00" * 80
+    moov = box(b"moov", box(b"mvhd", mvhd_body))
+    # media data containing a decoy 'mvhd' fourcc the box walk must ignore
+    mdat = box(b"mdat", b"garbage mvhd garbage")
+    return ftyp + mdat + moov
+
+
+def test_multimodal_wav_and_mp4_headers():
+    assert MM.parse_wav_meta(_wav_bytes(22050, 1, 8, 321)) == (22050, 1, 8, 321)
+    assert MM.parse_wav_meta(b"RIFFxxxxNOPE") is None
+    assert MM.parse_wav_meta(b"short") is None
+    assert MM.parse_mp4_meta(_mp4_bytes(1000, 5500, version=0)) == (1000, 5500)
+    assert MM.parse_mp4_meta(_mp4_bytes(90000, 123456, version=1)) == (90000, 123456)
+    assert MM.parse_mp4_meta(b"\x00\x00\x00\x08free") is None
+    # decoy fourcc inside mdat must not parse as the movie header
+    decoy = _mp4_bytes(77, 88)[: 4 + 4] + b"ftyp"  # malformed: walk rejects
+    assert MM.parse_mp4_meta(b"notmp4data") is None
+
+
+def test_multimodal_audio_metadata_decode(spark):
+    rows = [
+        (1, bytearray(_wav_bytes(16000, 1, 16, 8000))),
+        (2, bytearray(b"just some text bytes")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in MM.decode_audio_metadata(df).collect()}
+    assert out[1]["format"] == "wav"
+    assert out[1]["sample_rate"] == 16000
+    assert out[1]["channels"] == 1
+    assert out[1]["n_frames"] == 8000
+    assert abs(out[1]["duration_s"] - 0.5) < 1e-9
+    assert out[2]["format"] == "raw"
+    # deterministic fallback: stable across runs
+    again = {r["doc_id"]: r for r in MM.decode_audio_metadata(df).collect()}
+    assert again[2]["sample_rate"] == out[2]["sample_rate"]
