@@ -655,3 +655,59 @@ def test_multimodal_audio_metadata_decode(spark):
     # deterministic fallback: stable across runs
     again = {r["doc_id"]: r for r in MM.decode_audio_metadata(df).collect()}
     assert again[2]["sample_rate"] == out[2]["sample_rate"]
+
+
+def test_minhash_kernel_randomized_parity(spark):
+    """The whole-batch vectorized signature kernel must be value-identical
+    to a direct per-document reference for adversarial inputs: doc
+    boundaries next to short/empty docs, nulls interleaved, non-ascii
+    (stripped by normalization), texts of length exactly n-1/n/n+1,
+    repeated shingles.  Seeded PRNG corpus — deterministic, one Spark job."""
+    import random
+    import re
+
+    import numpy as np
+
+    rng = random.Random(20260814)
+    alphabet = "abcXYZ012 ,.!?é世"
+    texts = []
+    for i in range(200):
+        L = rng.choice([0, 1, 2, 3, 4, 5, 8, 40, 200])
+        texts.append("".join(rng.choice(alphabet) for _ in range(L)))
+    texts += [None, "", "ab", "abc", "abcd", "aaaaaaaaaa"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: r
+        for r in DD.minhash_signatures(df, "doc_id", "text", n=3, num_hashes=16).collect()
+    }
+
+    from dp3_spark.functions import text as TXT
+
+    coeffs = DD.minhash_coeffs(16)
+    strip = re.compile(r"[^a-zA-Z0-9 ]")
+    for i, t in rows:
+        g = got[i]
+        if t is None:
+            assert g["shingles"] is None and g["mh"] is None
+            continue
+        norm = strip.sub("", t).lower()
+        cp = [ord(c) for c in norm]
+        if len(cp) <= 3:
+            h = 0
+            for c in cp:
+                h = (h * TXT.POLY_BASE + c) % TXT.POLY_MOD
+            hs = [h]
+        else:
+            hs = sorted(
+                {
+                    (
+                        ((cp[j] * TXT.POLY_BASE + cp[j + 1]) * TXT.POLY_BASE + cp[j + 2])
+                        % TXT.POLY_MOD
+                    )
+                    for j in range(len(cp) - 2)
+                }
+            )
+        assert list(g["shingles"]) == hs, f"doc {i}: {t!r}"
+        mh = [min((a * h + b) % DD.MINHASH_P for h in hs) for a, b in coeffs]
+        assert list(g["mh"]) == mh, f"doc {i}"
