@@ -490,15 +490,23 @@ def minhash_lsh_pairs(
         .join(banded.alias("y"), ["band", "band_key"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-        # AQE coalesces the post-distinct shuffle to few partitions (rows
-        # are tiny) but the verify stage does per-pair numpy work — re-spread
-        # it or the intersect runs on 2-3 cores
-        .repartition(2 * par)
     )
+    # a pair colliding in several bands appears once per band.  On the
+    # shuffle transport dedup BEFORE verify: dup pairs would fetch both
+    # shingle arrays again.  On the broadcast transport the pair stream is
+    # two bare longs and the verify kernel is vectorized — re-verifying a
+    # ~1.3x dup factor is far cheaper than a full-candidate-list distinct
+    # shuffle (measured 2x cold / 15% warm on the sf0.1 corpus), so dedup
+    # the few verified pairs AFTER instead.
+    if verify == "shuffle":
+        cand = cand.distinct()
+    # AQE coalesces the candidate shuffle to few partitions (rows are
+    # tiny) but the verify stage does per-pair numpy work — re-spread it
+    # or the intersect runs on 2-3 cores
+    cand = cand.repartition(2 * par)
     if verify == "shuffle":
         return _verify_shuffle(cand, sigs, threshold)
-    return _verify_broadcast(cand, sigs, threshold)
+    return _verify_broadcast(cand, sigs, threshold).dropDuplicates(["id_a", "id_b"])
 
 
 def _verify_broadcast(cand: DataFrame, sigs: DataFrame, thr: float) -> DataFrame:
@@ -591,6 +599,12 @@ def minhash_lsh_pairs_incremental(
     all_sigs = index_sigs.select("id", "shingles", "card", "mh").withColumn(
         "is_new", F.lit(False)
     ).unionByName(sigs_new.withColumn("is_new", F.lit(True)))
+    if verify == "auto":
+        # same budget as minhash_lsh_pairs (~2.4 KB of shingles per doc);
+        # counted per side — a parquet-backed index answers count() from
+        # footer stats without materializing anything
+        n_all = index_sigs.count() + sigs_new.count()
+        verify = "broadcast" if n_all <= 200_000 else "shuffle"
     banded = _banded_frame(all_sigs, bands, rows)
     cand = (
         banded.alias("x")
@@ -600,18 +614,18 @@ def minhash_lsh_pairs_incremental(
             & (F.col("x.is_new") | F.col("y.is_new"))
         )
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-        .repartition(2 * par)
     )
-    if verify == "auto":
-        # same budget as minhash_lsh_pairs (~2.4 KB of shingles per doc);
-        # counted per side — a parquet-backed index answers count() from
-        # footer stats without materializing anything
-        n_all = index_sigs.count() + sigs_new.count()
-        verify = "broadcast" if n_all <= 200_000 else "shuffle"
+    # same dedup placement rule as minhash_lsh_pairs: pre-distinct only
+    # when dup pairs would re-fetch shingle arrays through the shuffle
+    # transport; on broadcast, dedup the verified output instead
+    if verify == "shuffle":
+        cand = cand.distinct()
+    cand = cand.repartition(2 * par)
     if verify == "shuffle":
         return _verify_shuffle(cand, all_sigs, threshold)
-    return _verify_broadcast(cand, all_sigs, threshold)
+    return _verify_broadcast(cand, all_sigs, threshold).dropDuplicates(
+        ["id_a", "id_b"]
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32, n: int = 3) -> DataFrame:
@@ -674,10 +688,13 @@ def simhash_dup_pairs(
             F.col("x.simhash").alias("sig_a"),
             F.col("y.simhash").alias("sig_b"),
         )
-        .distinct()
     )
+    # hamming is one codegen xor+popcount per row — cheaper to evaluate on
+    # the ~(max_hamming+1)x segment-dup factor than to distinct the full
+    # candidate list first; dedup the surviving pairs instead
     return (
         cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )

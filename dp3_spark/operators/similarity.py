@@ -360,20 +360,27 @@ def embedding_dup_pairs_lsh(
         .join(banded.alias("y"), ["band", "key"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-        # candidate rows are byte-tiny, so AQE coalesces the post-distinct
-        # shuffle to 1-2 partitions — but the next stage computes a cosine
-        # per pair, which must stay spread across cores
-        .repartition(2 * par)
-    )
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).filter(
-        F.col("vec").isNotNull()
     )
     if verify == "auto":
         verify = "broadcast" if df.count() <= BROADCAST_VERIFY_MAX_ROWS else "shuffle"
+    # dedup placement mirrors dedup.minhash_lsh_pairs: multi-band dup pairs
+    # must not re-fetch vectors through the shuffle transport, but on the
+    # broadcast transport re-scoring the dup factor beats a full
+    # candidate-list distinct shuffle — dedup the verified pairs after
+    if verify == "shuffle":
+        cand = cand.distinct()
+    # candidate rows are byte-tiny, so AQE coalesces their shuffle to 1-2
+    # partitions — but the next stage computes a cosine per pair, which
+    # must stay spread across cores
+    cand = cand.repartition(2 * par)
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).filter(
+        F.col("vec").isNotNull()
+    )
     if verify == "shuffle":
         return _verify_cosine_shuffle(cand, vecs, threshold)
-    return _verify_cosine_broadcast(cand, vecs, threshold)
+    return _verify_cosine_broadcast(cand, vecs, threshold).dropDuplicates(
+        ["id_a", "id_b"]
+    )
 
 
 # ---------------------------------------------------------------- IVF ANN
