@@ -128,3 +128,90 @@ def sketch_quantiles(
         out = hit if out is None else out.join(hit, list(keys))
     assert out is not None
     return out
+
+
+# ------------------------------------------------------------ HyperLogLog
+# Mergeable distinct-count sketch columns, same storage discipline as the
+# quantile sketch above: a sketch is a sorted array<struct<reg,mr>> column
+# — storable in summary tables, mergeable by element-wise register max,
+# estimable without touching raw data again (Flajolet et al., "HyperLogLog:
+# the analysis of a near-optimal cardinality estimation algorithm", 2007).
+#
+# The hash is md5-derived (low 60 bits of the hex digest) so the DuckDB
+# oracle computes the IDENTICAL sketch: md5 is bit-stable across engines,
+# unlike xxhash64, which only Spark exposes.  The estimate's power-of-two
+# harmonic sum folds LEFT-TO-RIGHT over the register array sorted by
+# register index in BOTH engines — float addition is not associative, and
+# an unordered SUM() would hash-mismatch.
+#
+# At 100 TB: one narrow (group, reg, rank) shuffle, map-side combinable;
+# registers per group are <= 2^p rows and the sketch column is ~KB.
+
+HLL_P = 9  # 512 registers: ~4.6% standard error
+
+
+def hll_hash_expr(value_col: str) -> tuple[str, str]:
+    """(spark_sql, duckdb_sql) for the portable 60-bit hash."""
+    spark = (
+        f"cast(conv(substring(md5(cast({value_col} as string)), 1, 15), 16, 10) as bigint)"
+    )
+    duck = f"cast(('0x' || substr(md5(cast({value_col} as varchar)), 1, 15)) as bigint)"
+    return spark, duck
+
+
+def hll_sketch(
+    df: DataFrame, *, keys: Sequence[str], value_col: str, p: int = HLL_P
+) -> DataFrame:
+    """Per-group HLL sketch column `hll`: sorted array<struct<reg:int,
+    mr:int>> of occupied registers.  reg = hash % 2^p; mr = max over group
+    of (52 - bit_length(hash div 2^p)) — the 1-based leading-zero rank in
+    the remaining 60-p bits (p=9: 51 bits, rank 52 for w=0)."""
+    m = 1 << p
+    h_s, _ = hll_hash_expr(value_col)
+    reg = f"cast(({h_s}) % {m} as int)"
+    w = f"(({h_s}) div {m})"
+    rank = f"cast(case when {w} = 0 then 52 else 52 - length(bin({w})) end as int)"
+    per = df.filter(F.col(value_col).isNotNull()).selectExpr(
+        *keys, f"{reg} as reg", f"{rank} as rank"
+    )
+    regs = per.groupBy(*keys, "reg").agg(F.max("rank").alias("mr"))
+    return regs.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(F.struct("reg", "mr"))).alias("hll")
+    )
+
+
+def hll_merge(df: DataFrame, *, keys: Sequence[str]) -> DataFrame:
+    """Merge sketches across groups (rollup): explode registers, take the
+    max rank per register, rebuild.  Associative and commutative — the
+    merged sketch equals the sketch of the unioned data by construction
+    (max of maxes)."""
+    exploded = df.select(*keys, F.explode("hll").alias("r")).select(
+        *keys, F.col("r.reg").alias("reg"), F.col("r.mr").alias("mr")
+    )
+    regs = exploded.groupBy(*keys, "reg").agg(F.max("mr").alias("mr"))
+    return regs.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(F.struct("reg", "mr"))).alias("hll")
+    )
+
+
+def hll_estimate_expr(p: int = HLL_P) -> Column:
+    """Distinct-count estimate from a sketch column named `hll`.
+
+    Standard HLL with the small-range linear-counting correction: raw =
+    alpha_m * m^2 / (sum_occupied 2^-mr + V); if raw <= 2.5m and V > 0,
+    estimate = m * ln(m / V).  The harmonic sum is an ordered fold over
+    the reg-sorted array so the oracle's fold is bit-identical; absent
+    (zero) registers contribute 2^0 = 1 each, added as one exact integer
+    term."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    sumpow = F.expr(
+        "aggregate(hll, cast(0.0 as double), (a, x) -> a + pow(cast(2.0 as double), -x.mr))"
+    )
+    v = F.lit(m) - F.size("hll")
+    sp = sumpow + v.cast("double")
+    raw = F.lit(alpha * m * m) / sp
+    return F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)

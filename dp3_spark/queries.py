@@ -441,6 +441,75 @@ def stat_sketch_daily(spark, sf_dir):
     )
 
 
+def _hll_oracle() -> str:
+    """DuckDB re-derivation of the full HLL pipeline (operators/sketch.py):
+    identical md5-derived 60-bit hash, identical register/rank arithmetic,
+    and — the float-critical part — the SAME left-to-right fold over the
+    reg-sorted rank list for the harmonic sum, so the estimate is
+    bit-identical (power-of-two partial sums are order-sensitive)."""
+    from dp3_spark.operators import sketch as SK
+
+    m = 1 << SK.HLL_P
+    alpha = repr(0.7213 / (1.0 + 1.079 / m))
+    return f"""
+    with base as ({EV_BASE}),
+    h as (select (log_time - log_time % {DAY_NS}) as bucket_start,
+                 cast(('0x' || substr(md5(producer), 1, 15)) as bigint) as hv
+          from base),
+    regs as (select bucket_start, cast(hv % {m} as int) as reg,
+             max(case when hv // {m} = 0 then 52
+                 else 52 - length(bin(hv // {m})) end) as mr
+             from h group by 1, 2),
+    sk as (select bucket_start, cast(count(*) as int) as n_regs,
+           list_reduce(list_prepend(cast(0.0 as double),
+             list_transform(list(mr order by reg),
+               x -> power(cast(2.0 as double), -x))), (a, b) -> a + b) as sp
+           from regs group by 1),
+    est as (select bucket_start, n_regs,
+            cast({alpha!s} as double) * {m} * {m} / (sp + ({m} - n_regs)) as raw,
+            {m} - n_regs as v
+            from sk),
+    ex as (select (log_time - log_time % {DAY_NS}) as bucket_start,
+                  count(distinct producer) as n_exact
+           from base group by 1)
+    select e.bucket_start, e.n_regs,
+           case when e.raw <= cast({2.5 * m!r} as double) and e.v > 0
+                then cast({float(m)!r} as double) * ln(cast({float(m)!r} as double) / e.v)
+                else e.raw end as hll_estimate,
+           x.n_exact
+    from est e join ex x using (bucket_start)
+    """
+
+
+@register("stat_hll_daily", _hll_oracle())
+def stat_hll_daily(spark, sf_dir):
+    """Mergeable HyperLogLog distinct-count sketch (operators/sketch.py
+    hll_sketch): per-day sketches of distinct producers on the events
+    stream, estimate extracted from the sketch column, exact distinct
+    alongside for accuracy visibility.  The storable/incremental
+    distinct-count analog of the summary-table statistics the reference
+    keeps per node (nodestore/statistics.go) — rollup-mergeable by
+    register max, unlike countDistinct.  Whole pipeline bit-exactly
+    DuckDB-oracled (md5 hash + ordered harmonic fold); merge
+    associativity and accuracy pinned in tests/test_sketch.py."""
+    from dp3_spark.operators import sketch as SK
+
+    store = events_log_store(spark, sf_dir, us_truncate=True)
+    ev = store.normalized().withColumn(
+        "bucket_start", F.col("log_time") - F.col("log_time") % DAY_NS
+    )
+    sk = SK.hll_sketch(ev, keys=["bucket_start"], value_col="producer")
+    exact = ev.groupBy("bucket_start").agg(
+        F.countDistinct("producer").alias("n_exact")
+    )
+    return (
+        sk.withColumn("n_regs", F.size("hll"))
+        .withColumn("hll_estimate", SK.hll_estimate_expr())
+        .join(exact, "bucket_start")
+        .select("bucket_start", "n_regs", "hll_estimate", "n_exact")
+    )
+
+
 @register(
     "stat_catalog_tables",
     f"""
@@ -2256,6 +2325,7 @@ _PRIORITY_ORDER = [
     "stat_sketch_daily",
     "stat_catalog_tables",
     "stat_by_schema",
+    "stat_hll_daily",
     # lifecycle (SURVEY §2.5)
     "lifecycle_delete_versions",
     "events_sessionize",

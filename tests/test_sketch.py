@@ -63,3 +63,62 @@ def test_nan_inf_excluded(spark):
     df = spark.createDataFrame(rows, "k int, v double")
     sk = SK.sketch_summarize(df, keys=["k"], field="v")
     assert sk.collect()[0]["sketch_n"] == 2
+
+
+# ----------------------------------------------------------- HyperLogLog
+
+def test_hll_merge_equals_union_sketch(spark):
+    """Register-max merge is exact: merging per-part sketches yields the
+    identical sketch column (struct-for-struct) as sketching the union."""
+    from dp3_spark.operators import sketch as SK
+    from pyspark.sql import functions as F
+
+    rows = [("a" if i % 3 else "b", f"u{i % 97}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "part string, uid string")
+    per_part = SK.hll_sketch(df, keys=["part"], value_col="uid").withColumn(
+        "g", F.lit(1)
+    )
+    merged = SK.hll_merge(per_part, keys=["g"]).collect()[0]["hll"]
+    whole = (
+        SK.hll_sketch(df.withColumn("g", F.lit(1)), keys=["g"], value_col="uid")
+        .collect()[0]["hll"]
+    )
+    assert [tuple(r) for r in merged] == [tuple(r) for r in whole]
+
+
+def test_hll_estimate_accuracy(spark):
+    """m=512 gives ~4.6% standard error; assert a conservative 15% bound
+    across two decades of cardinality, and exactness of the n_regs<=few
+    small-range linear-counting regime."""
+    from dp3_spark.operators import sketch as SK
+    from pyspark.sql import functions as F
+
+    rows = []
+    for n in (50, 500, 5000):
+        rows += [(f"n{n}", f"user-{n}-{i}") for i in range(n)]
+        # duplicates must not move the estimate
+        rows += [(f"n{n}", f"user-{n}-{i}") for i in range(min(n, 100))]
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    out = (
+        SK.hll_sketch(df, keys=["grp"], value_col="uid")
+        .withColumn("est", SK.hll_estimate_expr())
+        .collect()
+    )
+    for r in out:
+        true_n = int(r["grp"][1:])
+        assert abs(r["est"] - true_n) / true_n < 0.15, (r["grp"], r["est"])
+
+
+def test_hll_null_values_skipped(spark):
+    from dp3_spark.operators import sketch as SK
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("g", "x"), ("g", None), ("g", "y")], "grp string, uid string"
+    )
+    out = (
+        SK.hll_sketch(df, keys=["grp"], value_col="uid")
+        .withColumn("est", SK.hll_estimate_expr())
+        .collect()[0]
+    )
+    assert out["est"] == pytest.approx(2.0, rel=0.01)
