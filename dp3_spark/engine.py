@@ -92,3 +92,77 @@ class DP3Engine:
         df = self.execute(statement)
         assert df is not None
         return query_to_mcap(df, out, skeleton=skeleton, **opts)
+
+    # ------------------------------------------------------------------
+    # Service surface: the reference's non-query HTTP routes
+    # (routes/routes.go) as engine methods — import, statistics, catalog,
+    # lifecycle, export/tail.  Each is a thin delegation to the subsystem
+    # that owns the behavior; the engine only wires the store/table.
+
+    def import_mcap(self, files: list[tuple[str, str]]) -> int:
+        """POST /import analog: decode MCAP files (distributed, chunk
+        granularity) and append under the next version with idempotent
+        (producer, topic, log_time, sequence) dedup.  Returns the new
+        version."""
+        if self.table is None:
+            raise ValueError("import requires a writable VersionedLogTable")
+        from dp3_spark.sources.mcap import ingest_dedup, read_mcap
+
+        rows = ingest_dedup(read_mcap(self.spark, files))
+        return self.table.append(rows)
+
+    def summarize(self, **kwargs) -> DataFrame:
+        """Base statistics summary (routes/statrange.go family)."""
+        from dp3_spark.operators import stats as STAT
+
+        return STAT.summarize(self._store(), **kwargs)
+
+    def stat_range(self, **kwargs) -> DataFrame:
+        """GET /statrange analog — binned stats for one topic."""
+        from dp3_spark.operators import stats as STAT
+
+        return STAT.stat_range(self._store(), **kwargs)
+
+    def available_statistics(self) -> DataFrame:
+        from dp3_spark.operators import stats as STAT
+
+        return STAT.available_statistics(self._store())
+
+    def producers(self) -> list[str]:
+        """GET /producers catalog endpoint."""
+        return self._store().producers()
+
+    def topics(self) -> list[str]:
+        """GET /topics catalog endpoint."""
+        return self._store().topics()
+
+    def tables(self) -> DataFrame:
+        """Catalog table summary: (producer, topic, count, time bounds)."""
+        return self._store().table_summary()
+
+    def delete(self, producer: str, topic: str, start_ns: int, end_ns: int) -> int:
+        """DELETE range analog: tombstone [start, end) for one
+        (producer, topic); visible to subsequent engine reads.  Returns
+        the tombstone version."""
+        if self.table is None:
+            raise ValueError("delete requires a writable VersionedLogTable")
+        return self.table.delete_range(producer, topic, start_ns, end_ns)
+
+    def export(self, *, as_of_version: int | None = None) -> DataFrame:
+        """GET /export analog: the full canonical table, optionally pinned
+        to a historical version (tombstones applied as of that version)."""
+        if self.table is None:
+            raise ValueError("export requires a writable VersionedLogTable")
+        return self.table.read(as_of_version=as_of_version)
+
+    def tail(self, from_version: int) -> DataFrame:
+        """Poll-based tail: rows appended strictly after `from_version`."""
+        if self.table is None:
+            raise ValueError("tail requires a writable VersionedLogTable")
+        return self.table.tail(from_version)
+
+    def tail_stream(self, from_version: int = 0) -> DataFrame:
+        """Push-based tail (Structured Streaming file source)."""
+        if self.table is None:
+            raise ValueError("tail requires a writable VersionedLogTable")
+        return self.table.tail_stream(from_version)

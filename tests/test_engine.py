@@ -111,3 +111,47 @@ def test_asof_matches_python_reference(spark, seed, immediate):
     # reference emission order == (time, side, seq) sort (asof.py docstring)
     expected_sorted = sorted(expected, key=lambda x: (x[1], x[0] == "R", x[2]))
     assert got == expected_sorted, f"seed={seed} imm={immediate} t={threshold}"
+
+
+def test_engine_service_surface(engine):
+    """The facade methods cover the reference's non-query routes end to
+    end: catalog, statistics, delete -> visible to reads, export at
+    version, tail."""
+    assert engine.producers() == ["dev1"]
+    assert set(engine.topics()) == {"/a", "/b"}
+    tabs = {(r["producer"], r["topic"]): r for r in engine.tables().collect()}
+    assert tabs[("dev1", "/a")]["message_count"] == 20
+
+    summ = engine.summarize(numeric_fields=["v"]).collect()
+    assert len(summ) > 0 and all(r["message_count"] > 0 for r in summ)
+    sr = engine.stat_range(
+        topic="/a",
+        start_ns=0,
+        end_ns=20 * 10**9,
+        granularity_ns=60 * 10**9,
+        numeric_fields=["v"],
+    ).collect()
+    assert sum(r["message_count"] for r in sr) == 20
+    av = engine.available_statistics().collect()
+    assert len(av) > 0
+
+    v_before = engine.export().count()
+    ver = engine.delete("dev1", "/a", 0, 5 * 10**9)  # drops t=0..4 of /a
+    after = engine.execute("from dev1 /a;").count()
+    assert after == 15
+    # historical read: pre-delete version still sees all 20
+    assert (
+        engine.export(as_of_version=ver - 1)
+        .filter((F.col("topic") == "/a")).count() == 20
+    )
+    assert engine.export().count() == v_before - 5
+
+    base_v = ver
+    engine.table.append(
+        engine.spark.createDataFrame(
+            [("dev2", "/c", 10**9, 0, 1.0)],
+            "producer string, topic string, log_time long, sequence long, v double",
+        )
+    )
+    tail = engine.tail(base_v).collect()
+    assert {r["producer"] for r in tail} == {"dev2"}
