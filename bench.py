@@ -40,6 +40,7 @@ HEADLINE = [
     "ql_asof_precedes",       # as-of join (workload #2)
     "stat_range_hourly",      # multigranular stats (workload #3)
     "stat_quantiles_hourly",  # quantile stats
+    "stat_hll_daily",         # mergeable HLL distinct-count sketch
     "events_sessionize",      # stateful sessionization
     "tpch_q1_pricing",        # wide aggregation
     "tpch_q3_shipping",       # join + top-k
