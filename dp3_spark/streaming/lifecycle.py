@@ -261,7 +261,14 @@ class VersionedLogTable:
             gen = int(base[len("data_gen"):])
         new_name = f"data_gen{gen + 1}"
         new_path = os.path.join(self.root, new_name)
-        w = resolved.write.mode("overwrite")
+        # time-cluster the rewrite: sorted (log_time, sequence) within each
+        # (producer, topic) partition makes parquet row-group min/max
+        # stats tight, so time-bounded scans after compaction prune at
+        # row-group granularity — the CoW merge's re-sorted leaves
+        # (tree/merge.go) re-expressed as a layout property
+        w = resolved.sortWithinPartitions(
+            "producer", "topic", "log_time", "sequence"
+        ).write.mode("overwrite")
         for k, v in self._bloom_opts().items():
             w = w.option(k, v)
         w.partitionBy("producer", "topic").parquet(new_path)

@@ -122,6 +122,25 @@ def test_compact_swaps_pointer_and_stays_writable(spark, table):
     assert sorted(r["log_time"] for r in table.read().collect()) == [40]
 
 
+def test_compact_time_clusters_rows(spark, table):
+    """After compaction every parquet file holds its partition's rows in
+    (log_time, sequence) order, so row-group min/max stats are tight for
+    time-bounded scans."""
+    import glob
+    import pyarrow.parquet as pq
+
+    table.append(mkbatch(spark, "/a", [50, 10, 40]))
+    table.append(mkbatch(spark, "/a", [30, 20, 60]))
+    table.compact()
+    files = glob.glob(
+        f"{table._resolve_data_path()}/producer=*/topic=*/*.parquet"
+    )
+    assert files
+    for f in files:
+        ts = pq.read_table(f, columns=["log_time"])["log_time"].to_pylist()
+        assert ts == sorted(ts), f
+
+
 def test_append_does_not_scan_data_for_version(spark, table):
     """current_version() is O(1) metadata, not max(version) over the table."""
     table.append(mkbatch(spark, "/a", [10]))
