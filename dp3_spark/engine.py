@@ -106,10 +106,12 @@ class DP3Engine:
         version."""
         if self.table is None:
             raise ValueError("import requires a writable VersionedLogTable")
-        from dp3_spark.sources.mcap import ingest_dedup, read_mcap
+        from dp3_spark.sources.mcap import read_mcap
 
-        rows = ingest_dedup(read_mcap(self.spark, files))
-        return self.table.append(rows)
+        # no ingest_dedup here: table.append applies the identical
+        # (producer, topic, log_time, sequence) dropDuplicates — running
+        # both would shuffle the full decoded rows twice
+        return self.table.append(read_mcap(self.spark, files))
 
     def summarize(self, **kwargs) -> DataFrame:
         """Base statistics summary (routes/statrange.go family)."""

@@ -439,9 +439,14 @@ def ivf_fit_centroids(
 ) -> list[list[float]]:
     """Deterministic Lloyd k-means: init = the k lowest-id vectors (no RNG,
     reproducible), then `iters` rounds of assign -> element-wise mean.
-    Only k x dim doubles ever reach the driver."""
+    Only k x dim doubles ever reach the driver.  A corpus with fewer
+    (non-null) vectors than k_clusters degrades to one cluster per vector
+    instead of erroring."""
     init = corpus.orderBy(F.col(id_col)).limit(k_clusters).select(vec_col).collect()
-    cents = [list(map(float, r[0])) for r in init]
+    cents = [list(map(float, r[0])) for r in init if r[0] is not None]
+    if not cents:
+        raise ValueError("k-means needs at least one non-null vector")
+    k_clusters = min(k_clusters, len(cents))
     dim = len(cents[0])
     for _ in range(iters):
         assigned = _assign_clusters(corpus, cents, id_col, vec_col).withColumnRenamed("id", id_col)
@@ -635,7 +640,10 @@ def semantic_dedup(
         assigned = _assign_clusters_sql(base, cents, "id", "vec")
     else:
         assigned = _assign_clusters(base, cents, "id", "vec")
-    assigned = assigned.cache()
+    # localCheckpoint, not cache(): the assignment feeds both join sides
+    # and the final rejoin, and checkpoint blocks are released with the
+    # DataFrame reference instead of pinning a CacheManager entry per call
+    assigned = assigned.localCheckpoint(eager=True)
     par = corpus.sparkSession.sparkContext.defaultParallelism
     cand = (
         assigned.alias("x")

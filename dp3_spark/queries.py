@@ -2364,10 +2364,9 @@ _PRIORITY_ORDER = [
     "mix_domains",
     # distinctive TPC-H / relational shapes kept inside the window
     "tpch_q1_pricing",
-    "tpch_q3_shipping",
-    # ---- position 51+: everything below is pinned by the local oracle
-    # suite and was driver-green in r02 (q6/q18 first, then the rest in
-    # source order) ----
+    # ---- position 51+ (this list is exactly 50 names): everything below
+    # is pinned by the local oracle suite and was driver-green in r02
+    # (q3/q5/q6/q18 and the rest follow in source order) ----
 ]
 
 

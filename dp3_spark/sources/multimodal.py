@@ -131,8 +131,10 @@ def parse_mp4_meta(data: bytes) -> tuple[int, int] | None:
                 if r is not None:
                     return r
             if four == b"mvhd" and depth == 1:
+                if body >= hi:  # empty-body box: malformed, not a crash
+                    return None
                 ver = data[body]
-                if ver == 1 and body + 28 <= hi:
+                if ver == 1 and body + 32 <= hi:
                     ts = int.from_bytes(data[body + 20 : body + 24], "big")
                     dur = int.from_bytes(data[body + 24 : body + 32], "big")
                 elif ver == 0 and body + 20 <= hi:

@@ -23,12 +23,19 @@ streaming-vs-batch parity test.
 At 100 TB: the index is a partitioned parquet (or Delta/Iceberg) table;
 appends are file-level; the probe's verify transport follows the batch
 operator's auto dispatch — broadcast while index+batch fit the budget,
-two hash joins beyond.  Checkpointing makes file-arrival processing
-exactly-once, so a crash between corpus append and index append is the
-one non-atomic edge — a real table format closes it with a multi-table
-transaction; with plain parquet the index append lands first (re-probing
-a doc already in the index is harmless: it would dedup against itself
-only if reprocessed, which the checkpoint prevents).
+two hash joins beyond.
+
+Crash semantics: foreachBatch is AT-LEAST-ONCE — an epoch that crashed
+mid-batch is reprocessed on restart — so both appends are made
+idempotent by anti-joining against ids already present (index first,
+then corpus; index ⊇ corpus always holds because the index appends
+first).  A reprocessed epoch therefore fills in exactly the missing
+rows: dedup decisions are unchanged (a doc's own id never pairs with
+itself, and its already-appended batch-mates now win as index docs —
+the same outcome the original run chose), duplicate rows are never
+written, and the sig/corpus id alignment is restored.  A real table
+format (Delta/Iceberg) would replace the anti-joins with a multi-table
+transaction.
 """
 
 from __future__ import annotations
@@ -71,10 +78,20 @@ class StreamingCorpusDedup:
         return os.path.join(self.root, "_checkpoint")
 
     def _index(self) -> DataFrame | None:
-        try:
-            return self.spark.read.parquet(self.index_path)
-        except Exception:
+        # only path-absence means "no index yet"; a real read failure on an
+        # existing index (corruption, FS hiccup) must raise — silently
+        # treating it as empty would disable cross-batch dedup and admit
+        # duplicates permanently
+        if not os.path.exists(self.index_path):
             return None
+        return self.spark.read.parquet(self.index_path)
+
+    def _corpus_ids(self) -> DataFrame | None:
+        if not os.path.exists(self.corpus_path):
+            return None
+        return self.spark.read.parquet(self.corpus_path).select(
+            F.col(self.id_col).alias("__cid__")
+        )
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
         par = self.spark.sparkContext.defaultParallelism
@@ -119,22 +136,37 @@ class StreamingCorpusDedup:
             )
             dropped = drop_vs_index.unionByName(drop_in_batch).distinct()
         else:
-            pairs = DD.minhash_lsh_pairs(
-                batch_df,
-                self.id_col,
-                self.text_col,
-                n=self.n,
-                num_hashes=self.num_hashes,
-                bands=self.bands,
-                threshold=self.threshold,
+            # first drain: within-batch dedup only.  Reuse the already-
+            # materialized signatures — banding + verify over sigs_new,
+            # not a second shingling pass over the batch
+            rows = self.num_hashes // self.bands
+            banded = DD._banded_frame(sigs_new, self.bands, rows)
+            cand = (
+                banded.alias("x")
+                .join(banded.alias("y"), ["band", "band_key"])
+                .filter(F.col("x.id") < F.col("y.id"))
+                .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+                .repartition(2 * par)
             )
+            pairs = DD._verify_broadcast(cand, sigs_new, self.threshold)
             dropped = pairs.select(F.col("id_b").alias("id")).distinct()
         dropped = dropped.localCheckpoint(eager=True)
         kept_docs = batch_df.join(
             dropped, batch_df[self.id_col] == dropped.id, "left_anti"
         )
         kept_sigs = sigs_new.join(dropped, "id", "left_anti")
-        # index append FIRST (see module docstring's crash-edge note)
+        # idempotent appends (at-least-once reprocessing — see module
+        # docstring): only rows whose ids are not already present land.
+        # Index append FIRST so index ⊇ corpus holds across crashes.
+        if index is not None:
+            kept_sigs = kept_sigs.join(
+                index.select("id"), "id", "left_anti"
+            )
+        cids = self._corpus_ids()
+        if cids is not None:
+            kept_docs = kept_docs.join(
+                cids, F.col(self.id_col) == F.col("__cid__"), "left_anti"
+            )
         kept_sigs.write.mode("append").parquet(self.index_path)
         kept_docs.write.mode("append").parquet(self.corpus_path)
         n_in = batch_df.count()

@@ -631,12 +631,27 @@ def test_multimodal_wav_and_mp4_headers():
     assert MM.parse_wav_meta(_wav_bytes(22050, 1, 8, 321)) == (22050, 1, 8, 321)
     assert MM.parse_wav_meta(b"RIFFxxxxNOPE") is None
     assert MM.parse_wav_meta(b"short") is None
+    # _mp4_bytes embeds a decoy 'mvhd' fourcc inside mdat: the box walk
+    # must return the real moov/mvhd values, not parse the decoy
     assert MM.parse_mp4_meta(_mp4_bytes(1000, 5500, version=0)) == (1000, 5500)
     assert MM.parse_mp4_meta(_mp4_bytes(90000, 123456, version=1)) == (90000, 123456)
     assert MM.parse_mp4_meta(b"\x00\x00\x00\x08free") is None
-    # decoy fourcc inside mdat must not parse as the movie header
-    decoy = _mp4_bytes(77, 88)[: 4 + 4] + b"ftyp"  # malformed: walk rejects
     assert MM.parse_mp4_meta(b"notmp4data") is None
+    # malformed shapes return None, never crash or truncate-parse:
+    import struct
+
+    def box(four, body):
+        return struct.pack(">I", 8 + len(body)) + four + body
+
+    ftyp = box(b"ftyp", b"isomisom")
+    # empty-body mvhd ending the buffer (size exactly 8)
+    assert MM.parse_mp4_meta(ftyp + box(b"moov", box(b"mvhd", b""))) is None
+    # v1 mvhd truncated between body+28 and body+32: the 8-byte duration
+    # read would silently truncate — must reject, not return garbage
+    trunc_v1 = (
+        b"\x01\x00\x00\x00" + struct.pack(">QQI", 0, 0, 90000) + b"\x00" * 6
+    )  # body ends at +30: inside the [28, 32) truncation window
+    assert MM.parse_mp4_meta(ftyp + box(b"moov", box(b"mvhd", trunc_v1))) is None
 
 
 def test_multimodal_audio_metadata_decode(spark):

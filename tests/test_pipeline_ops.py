@@ -404,3 +404,14 @@ def test_semantic_dedup_transport_parity(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_semantic_dedup_small_corpus_defaults(spark):
+    """Fewer vectors than k_clusters must degrade (one cluster per vector),
+    not crash — the library defaults on a 6-row corpus."""
+    from dp3_spark.operators import similarity as SIM
+
+    rows = [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SIM.semantic_dedup(df)  # k_clusters=16, iters=3 defaults
+    assert out.count() == 6

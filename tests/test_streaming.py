@@ -257,3 +257,35 @@ def test_streaming_corpus_dedup(spark, tmpdir):
     # the checkpoint prevented reprocessing: exactly two epochs recorded
     assert [s["rows_in"] for s in sd.stats] == [4, 4]
     assert [s["dropped"] for s in sd.stats] == [1, 2]
+
+
+def test_streaming_corpus_dedup_replay_is_idempotent(spark, tmpdir):
+    """foreachBatch is at-least-once: re-running process_batch on the same
+    batch (the crash-replay shape) must not duplicate index or corpus rows
+    and must preserve the sig/corpus id alignment."""
+    from dp3_spark.streaming.dedup_stream import StreamingCorpusDedup
+
+    sd = StreamingCorpusDedup(spark, f"{tmpdir}/replay_root", threshold=0.6)
+    batch = spark.createDataFrame(
+        [(1, LOREM["fox"]), (2, LOREM["sql"]), (3, LOREM["fox"])],
+        "doc_id long, text string",
+    )
+    sd.process_batch(batch, 0)
+    first = sorted(
+        r["doc_id"] for r in spark.read.parquet(sd.corpus_path).collect()
+    )
+    assert first == [1, 2]
+    sd.process_batch(batch, 0)  # replay of the same epoch
+    corpus = [r["doc_id"] for r in spark.read.parquet(sd.corpus_path).collect()]
+    sigs = [r["id"] for r in spark.read.parquet(sd.index_path).collect()]
+    assert sorted(corpus) == [1, 2]  # no duplicates
+    assert sorted(sigs) == [1, 2]
+    # partial-crash replay: index has the rows, corpus lost them
+    import shutil
+
+    shutil.rmtree(sd.corpus_path)
+    sd.process_batch(batch, 0)
+    corpus = [r["doc_id"] for r in spark.read.parquet(sd.corpus_path).collect()]
+    sigs = [r["id"] for r in spark.read.parquet(sd.index_path).collect()]
+    assert sorted(corpus) == [1, 2]  # filled back in, exactly once
+    assert sorted(sigs) == [1, 2]
