@@ -221,3 +221,20 @@ def test_versioned_table_appends_bloom_filters(spark, tmp_path):
     leaf = d2._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
     # parquet dictionary encoding may also prune here; bloom guarantees it
     assert leaf.metrics().apply("numOutputRows").value() == 0
+
+
+def test_hll_sketch_is_pure_codegen(spark):
+    """The whole HLL pipeline — hash, register, rank, sketch build, merge,
+    estimate — must stay JVM-side: no Python evaluation of any kind in
+    the plan (the md5/conv/bin expressions are all built-ins)."""
+    from dp3_spark.operators import sketch as SK
+
+    df = spark.createDataFrame(
+        [("g", f"u{i}") for i in range(100)], "grp string, uid string"
+    )
+    est = SK.hll_sketch(df, keys=["grp"], value_col="uid").withColumn(
+        "est", SK.hll_estimate_expr()
+    )
+    plan = plan_of(est)
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
