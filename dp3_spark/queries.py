@@ -1229,6 +1229,27 @@ from t
 """
 _REGISTRY["text_repetition"] = _sql_pair(_REP_SPARK, _REP_DUCK)
 
+# Gopher quality-filter rules (Rae et al. 2021): per-document named flags
+# + the composite pass, every rule a pure-codegen expression (no Python,
+# no shuffle — a map-only screen over the corpus; the per-rule flags give
+# filter attribution, the operational question when a rule rejects 30% of
+# a crawl).
+_GOPHER = TXT.gopher_quality_flags("text")
+_GOPHER_COLS_S = ", ".join(f"{s} as {name}" for name, (s, _) in _GOPHER.items())
+_GOPHER_COLS_D = ", ".join(f"{d} as {name}" for name, (_, d) in _GOPHER.items())
+_GOPHER_PASS_S = " and ".join(s for s, _ in _GOPHER.values())
+_GOPHER_PASS_D = " and ".join(d for _, d in _GOPHER.values())
+_REGISTRY["text_gopher_flags"] = _sql_pair(
+    f"""
+    select doc_id, {_GOPHER_COLS_S}, ({_GOPHER_PASS_S}) as gopher_pass
+    from documents
+    """,
+    f"""
+    select doc_id, {_GOPHER_COLS_D}, ({_GOPHER_PASS_D}) as gopher_pass
+    from documents
+    """,
+)
+
 # Corpus vocabulary: top-k tokens by DOCUMENT frequency (the corpus-stats
 # pass a tokenizer-training or stopword-inference pipeline starts with).
 # array_distinct before explode keeps the count a doc-frequency; the

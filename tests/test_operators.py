@@ -726,3 +726,51 @@ def test_minhash_kernel_randomized_parity(spark):
         assert list(g["shingles"]) == hs, f"doc {i}: {t!r}"
         mh = [min((a * h + b) % DD.MINHASH_P for h in hs) for a, b in coeffs]
         assert list(g["mh"]) == mh, f"doc {i}"
+
+
+def test_gopher_quality_flags(spark):
+    """Each Gopher rule flips on the engineered fixture rows, and the
+    Spark/DuckDB expression pairs agree (the registry oracle covers the
+    corpus; this pins the rule semantics on adversarial strings)."""
+    import duckdb
+
+    from dp3_spark.functions import text as TXT
+
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog " * 20),  # passes all
+        (2, "short text"),                             # fails word count
+        (3, ("supercalifragilistic " * 60).strip()),   # fails mean word len + stopwords
+        (4, "# " * 60 + "the end of a story and more"),# fails symbol ratio
+        (5, ("123 456 789 " * 25) + "the a end"),      # fails alpha ratio
+    ]
+    flags = TXT.gopher_quality_flags("text")
+    cols_s = ", ".join(f"{s} as {n}" for n, (s, _) in flags.items())
+    cols_d = ", ".join(f"{d} as {n}" for n, (_, d) in flags.items())
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("gopher_probe")
+    got = {
+        r["doc_id"]: r
+        for r in spark.sql(f"select doc_id, {cols_s} from gopher_probe").collect()
+    }
+    assert all(got[1][k] for k in flags)
+    assert not got[2]["ok_word_count"]
+    assert not got[3]["ok_mean_word"] and not got[3]["ok_stopword"]
+    assert not got[4]["ok_symbol"]
+    assert not got[5]["ok_alpha"]
+    # cross-engine agreement on the same rows
+    con = duckdb.connect()
+    con.execute(
+        "create table gopher_probe as select * from (values "
+        + ", ".join(f"({i}, {t!r})" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    duck = {
+        r[0]: r[1:]
+        for r in con.execute(
+            f"select doc_id, {cols_d} from gopher_probe"
+        ).fetchall()
+    }
+    for i, _ in rows:
+        assert tuple(bool(x) for x in duck[i]) == tuple(
+            bool(got[i][k]) for k in flags
+        ), i
