@@ -49,6 +49,7 @@ HEADLINE = [
     "tpch_q18_large_orders",  # HAVING-in-IN semi join over lineitem
     "events_retention",       # self-join on day buckets
     "text_metrics",           # text analysis over documents
+    "text_gopher_flags",      # Gopher quality screen (map-only, pure codegen)
     # broadcast-light pipeline ops before the dedup family: the dedup
     # queries intentionally leave cached signature tables + broadcasts in
     # the session (their persisted-index deployment story), which adds GC
