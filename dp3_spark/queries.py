@@ -2013,6 +2013,73 @@ def lifecycle_delete_versions(spark, sf_dir):
     return agg(vt.read(), "current").unionByName(agg(vt.read(as_of_version=2), "as_of_v2"))
 
 
+def _trigram_fixture(spark, sf_dir: str) -> tuple[str, str]:
+    """Build (once per sf_dir) a multi-file copy of the events log store
+    clustered by producer, plus its trigram-signature sidecar index
+    (operators/trigram.py — statfilter.go trigram parity).  Range
+    clustering puts each producer in ~one file so an equality probe has
+    files to skip; the sidecar is the per-file analog of the per-child
+    signatures in nodestore/statistics.go."""
+    import hashlib
+    import os
+    import tempfile
+
+    from dp3_spark.operators import trigram as TG
+
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"dp3_trigram_{key}")
+    tbl = os.path.join(root, "events_by_producer")
+    idx = os.path.join(root, "trigram_idx")
+    marker = os.path.join(root, "fixture_done")
+    if not os.path.exists(marker):
+        store = events_log_store(spark, sf_dir, us_truncate=True)
+        norm = store.normalized().select(
+            "producer", "topic", "log_time", "sequence", "props"
+        )
+        norm.repartitionByRange(8, "producer").write.mode("overwrite").parquet(tbl)
+        TG.build_trigram_index(spark, tbl, ["producer", "props"], idx)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return tbl, idx
+
+
+@register(
+    "ql_where_trigram_pruned",
+    f"""
+    with base as ({EV_BASE})
+    select topic, count(*) as n_msgs, cast(sum(sequence) as bigint) as sum_seq,
+           min(log_time) as min_t, max(log_time) as max_t
+    from base
+    where producer = (select producer from base order by sequence limit 1)
+    group by topic
+    """,
+)
+def ql_where_trigram_pruned(spark, sf_dir):
+    """String-equality probe through the trigram-signature file index
+    (reference statfilter.go:102-127 / trigram.go): the producer needle's
+    hashed trigram bits select surviving files from the sidecar index
+    (containment + min/max bounds), the scan reads ONLY those files, and
+    the exact predicate still applies.  Results are identical to the
+    full-table filter — the oracle runs the unpruned form — while IO
+    scales with matching files, not table size."""
+    from dp3_spark.operators import trigram as TG
+
+    tbl, idx = _trigram_fixture(spark, sf_dir)
+    needle = (
+        spark.read.parquet(tbl)
+        .orderBy("sequence")
+        .select("producer")
+        .first()["producer"]
+    )
+    pruned = TG.pruned_read(spark, tbl, idx, "producer", needle)
+    return pruned.groupBy("topic").agg(
+        F.count("*").alias("n_msgs"),
+        F.sum("sequence").cast("bigint").alias("sum_seq"),
+        F.min("log_time").alias("min_t"),
+        F.max("log_time").alias("max_t"),
+    )
+
+
 # =========================================================================
 # Training-pipeline composition operators (beyond-reference):
 # pair graph -> dedup clusters, sequence packing, deterministic splits
@@ -2334,6 +2401,7 @@ _PRIORITY_ORDER = [
     "ql_where_split",
     "ql_where_regex",
     "ql_between_iso8601",
+    "ql_where_trigram_pruned",
     "ql_asof_precedes",
     "ql_asof_immediate",
     "ql_asof_succeeds",
@@ -2383,11 +2451,11 @@ _PRIORITY_ORDER = [
     "curate_corpus",
     "decontam_check",
     "mix_domains",
-    # distinctive TPC-H / relational shapes kept inside the window
-    "tpch_q1_pricing",
     # ---- position 51+ (this list is exactly 50 names): everything below
     # is pinned by the local oracle suite and was driver-green in r02
-    # (q3/q5/q6/q18 and the rest follow in source order) ----
+    # (tpch_q1 and the other TPC-H / relational shapes follow in source
+    # order — each was driver-green in r01 AND r02, so the window slots
+    # go to rows that have not yet earned a driver row) ----
 ]
 
 

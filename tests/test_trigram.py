@@ -1,0 +1,121 @@
+"""Trigram-signature string pruning (operators/trigram.py) — parity with
+the reference statfilter's trigram index (server/util/trigram/trigram.go,
+server/executor/statfilter.go:102-127): build a per-file signature
+sidecar, probe equality/substring needles, assert files are actually
+skipped AND results are identical to the unpruned scan."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dp3_spark.operators import trigram as TG
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    """Four files, each holding one distinct city block — bounds overlap
+    lexically so min/max alone cannot separate needles INSIDE the range
+    (the case the trigram bits exist for)."""
+    root = tmp_path_factory.mktemp("tg")
+    tbl = os.path.join(root, "tbl")
+    idx = os.path.join(root, "idx")
+    blocks = [
+        ["amsterdam", "athens", "austin"],
+        ["berlin", "boston", "bristol"],
+        ["calgary", "chicago", "cologne"],
+        ["denver", "dublin", None],
+    ]
+    rows = [
+        (fid * 100 + i, city)
+        for fid, cities in enumerate(blocks)
+        for i, city in enumerate(cities)
+    ]
+    df = spark.createDataFrame(rows, "id long, city string")
+    # one output file per block: repartition on the block id
+    df.withColumn("b", F.col("id") / 100).repartitionByRange(
+        4, "b"
+    ).drop("b").write.mode("overwrite").parquet(tbl)
+    TG.build_trigram_index(spark, tbl, ["city"], idx)
+    return tbl, idx
+
+
+def test_eq_probe_prunes_to_one_file(spark, table):
+    tbl, idx = table
+    files, total = TG.pruned_files(spark, idx, "city", "boston")
+    assert total == 4
+    assert len(files) == 1
+    out = TG.pruned_read(spark, tbl, idx, "city", "boston")
+    assert [r["id"] for r in out.collect()] == [101]
+
+
+def test_eq_probe_inside_bounds_but_absent_skips_all(spark, table):
+    """'bogota' sorts inside the berlin-file's [berlin, bristol] range —
+    min/max keeps the file, the trigram bits kill it (the exact scenario
+    statfilter.go:124-126 orders Contains before the range check)."""
+    tbl, idx = table
+    files, _ = TG.pruned_files(spark, idx, "city", "bogota")
+    assert files == []
+    out = TG.pruned_read(spark, tbl, idx, "city", "bogota")
+    assert out.count() == 0
+    # stable schema on the zero-file path
+    assert out.columns == ["id", "city"]
+
+
+def test_results_identical_to_full_scan(spark, table):
+    tbl, idx = table
+    full = spark.read.parquet(tbl)
+    for needle in ["amsterdam", "dublin", "zurich", "berlin"]:
+        got = sorted(
+            r["id"]
+            for r in TG.pruned_read(spark, tbl, idx, "city", needle).collect()
+        )
+        want = sorted(
+            r["id"] for r in full.filter(F.col("city") == needle).collect()
+        )
+        assert got == want, needle
+
+
+def test_contains_probe(spark, table):
+    tbl, idx = table
+    # 'icago' occurs only inside 'chicago' — unpadded windows subset rule
+    files, total = TG.pruned_files(spark, idx, "city", "icago", mode="contains")
+    assert len(files) == 1 and total == 4
+    out = TG.pruned_read(spark, tbl, idx, "city", "icago", mode="contains")
+    assert [r["city"] for r in out.collect()] == ["chicago"]
+
+
+def test_contains_short_needle_passes_through(spark, table):
+    """<3 chars -> no complete trigram window -> no pruning (reference
+    pass-through when no usable stats, statfilter.go:118-122) — but the
+    predicate still filters correctly."""
+    tbl, idx = table
+    files, total = TG.pruned_files(spark, idx, "city", "du", mode="contains")
+    assert len(files) == total
+    out = TG.pruned_read(spark, tbl, idx, "city", "du", mode="contains")
+    assert [r["city"] for r in out.collect()] == ["dublin"]
+
+
+def test_signature_superset_never_false_skips(spark, table):
+    """Every value present in the table must survive its own probe on the
+    file that holds it (no false negatives, the correctness half of the
+    bloom-style containment argument)."""
+    tbl, idx = table
+    full = spark.read.parquet(tbl)
+    for r in full.filter(F.col("city").isNotNull()).collect():
+        files, _ = TG.pruned_files(spark, idx, "city", r["city"])
+        assert files, r["city"]
+
+
+def test_null_and_empty_values(spark, tmp_path):
+    tbl = os.path.join(str(tmp_path), "t")
+    idx = os.path.join(str(tmp_path), "i")
+    spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x")], "id long, s string"
+    ).coalesce(1).write.parquet(tbl)
+    TG.build_trigram_index(spark, tbl, ["s"], idx)
+    # empty-string probe: no bits, range check "" >= "" passes (min is "")
+    out = TG.pruned_read(spark, tbl, idx, "s", "")
+    assert [r["id"] for r in out.collect()] == [2]
+    out = TG.pruned_read(spark, tbl, idx, "s", "x")
+    assert [r["id"] for r in out.collect()] == [3]
