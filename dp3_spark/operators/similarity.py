@@ -65,6 +65,52 @@ def cosine_topk(
     )
 
 
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """kNN label propagation over the embedding column — the standard
+    auto-labeling / learned-quality-classifier step of a training-data
+    pipeline (score unlabeled documents by the labels of their nearest
+    labeled neighbors).
+
+    Each query takes the majority label among its k exact cosine
+    neighbors in the labeled corpus; ties break by (votes desc, label
+    asc) — fully deterministic, so the result is DuckDB-oracleable.
+    Output: (query_id, predicted_label, votes).
+
+    Scale shape: the neighbor search inherits cosine_topk's plan (query
+    set broadcast, corpus never shuffles, one window over k rows per
+    query); the label lookup is an equi-join of the (query, k)-row
+    neighbor frame against the corpus's (id, label) projection — column
+    pruning reduces the joined side to two columns, and AQE picks
+    broadcast vs shuffle-hash by the labeled set's actual size.  The
+    final vote is a (query, label)-keyed count — map-side combinable,
+    at most k rows per query into the shuffle."""
+    nn = cosine_topk(corpus, queries, id_col=id_col, vec_col=vec_col, k=k)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__lab")
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "__lab")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("__lab").asc()
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", F.col("__lab").alias("predicted_label"), "votes")
+    )
+
+
 def hyperplane_lsh_signature(df: DataFrame, vec_col: str, *, planes: int = 16) -> DataFrame:
     """Sign-bit signature under `planes` deterministic pseudo-hyperplanes.
 

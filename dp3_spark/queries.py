@@ -1494,6 +1494,39 @@ def sim_cosine_topk(spark, sf_dir):
 
 
 @register(
+    "sim_knn_classify",
+    f"""
+    with nn as (
+      select query_id, neighbor_id from (
+        select a.vec_id as query_id, b.vec_id as neighbor_id,
+               row_number() over (partition by a.vec_id
+                                  order by {_COS_D} desc, b.vec_id) as rank
+        from embeddings a join embeddings b on a.vec_id != b.vec_id
+        where a.vec_id < 50
+      ) where rank <= 7
+    ),
+    votes as (
+      select query_id, e.label as lab, count(*) as votes
+      from nn join embeddings e on e.vec_id = nn.neighbor_id
+      group by 1, 2
+    )
+    select query_id, lab as predicted_label, votes from (
+      select *, row_number() over (partition by query_id
+                                   order by votes desc, lab asc) as rn
+      from votes
+    ) where rn = 1
+    """,
+)
+def sim_knn_classify(spark, sf_dir):
+    """kNN label propagation (operators/similarity.py knn_classify):
+    majority label among the 7 exact cosine neighbors — the
+    learned-classifier / auto-labeling stage of a curation pipeline,
+    deterministic tie-break so the DuckDB oracle hash-matches."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.knn_classify(emb, emb.filter(F.col("vec_id") < 50), k=7)
+
+
+@register(
     "sim_dup_pairs",
     f"""
     select a.vec_id as id_a, b.vec_id as id_b, {_COS_D} as cosine

@@ -774,3 +774,39 @@ def test_gopher_quality_flags(spark):
         assert tuple(bool(x) for x in duck[i]) == tuple(
             bool(got[i][k]) for k in flags
         ), i
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    """3 clusters on the unit circle; the query between two clusters must
+    take the majority label, and an exact vote tie must break to the
+    SMALLER label (deterministic oracle rule)."""
+    import math
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [float(math.cos(r)), float(math.sin(r))]
+
+    rows = [
+        # label 1: three vectors near 0 deg
+        (10, vec(1), 1), (11, vec(2), 1), (12, vec(3), 1),
+        # label 2: three vectors near 90 deg
+        (20, vec(89), 2), (21, vec(88), 2), (22, vec(87), 2),
+        # label 0: far away (never in top-k of the queries below)
+        (30, vec(180), 0), (31, vec(181), 0),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    # query at 10 deg: k=3 neighbors are all label 1
+    q1 = spark.createDataFrame(
+        [(100, vec(10))], "vec_id long, embedding array<float>"
+    ).withColumn("label", F.lit(None).cast("int"))
+    out = SIM.knn_classify(corpus, q1, k=3).collect()[0]
+    assert (out["predicted_label"], out["votes"]) == (1, 3)
+    # query at exactly 45 deg with k=4: 2 votes label 1, 2 votes label 2
+    # -> tie breaks to label 1
+    q2 = spark.createDataFrame(
+        [(101, vec(45))], "vec_id long, embedding array<float>"
+    ).withColumn("label", F.lit(None).cast("int"))
+    out = SIM.knn_classify(corpus, q2, k=4).collect()[0]
+    assert (out["predicted_label"], out["votes"]) == (1, 2)
