@@ -698,3 +698,68 @@ def simhash_dup_pairs(
         .select("id_a", "id_b", "hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Paragraph-level exact dedup (the CCNet / RefinedWeb line-dedup
+    stage): every paragraph that appears more than once in the CORPUS is
+    kept only at its first occurrence — (min id, min position) order,
+    fully deterministic — and each document is reassembled from its
+    surviving paragraphs.  Documents whose every paragraph was a
+    duplicate disappear.
+
+    Output: (id_col, text_col [rebuilt], n_kept, n_dropped).
+
+    Scale shape: split+posexplode is map-only; the winner per paragraph
+    is one groupBy(fingerprint) -> min(struct(id, pos)) — map-side
+    combinable, the only corpus-wide shuffle, keyed on a 64-bit hash so
+    skew is bounded by genuinely ubiquitous paragraphs (AQE skew-split
+    handles those); the keep/drop decision joins the winner frame back
+    on fingerprint; reassembly is a per-document sort_array over the
+    kept (pos, para) structs — no window, one final groupBy(id).
+    Paragraph text itself rides the shuffle once (inside the explode
+    output); at 100 TB swap text for the fingerprint in the rejoin and
+    fetch winners' text from the source partition if network is the
+    bottleneck."""
+    paras = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("__pos", "__para"),
+        )
+        .filter(F.length("__para") >= min_chars)
+        .withColumn("__fp", F.xxhash64("__para"))
+    )
+    winners = paras.groupBy("__fp").agg(
+        F.min(F.struct("__id", "__pos")).alias("__w")
+    )
+    kept = paras.join(winners, "__fp").withColumn(
+        "__keep",
+        (F.col("__w.__id") == F.col("__id")) & (F.col("__w.__pos") == F.col("__pos")),
+    )
+    return (
+        kept.groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("__keep"), F.struct("__pos", "__para"))
+                        )
+                    ),
+                    lambda s: s["__para"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.sum(F.when(F.col("__keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+        )
+        .filter(F.col("n_kept") > 0)
+        .select(F.col("__id").alias(id_col), text_col, "n_kept", "n_dropped")
+    )

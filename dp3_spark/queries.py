@@ -1295,6 +1295,59 @@ def dedup_exact(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_paragraphs",
+    """
+    with chunked as (
+      select doc_id,
+             string_split(text, ' ') as w
+      from documents
+    ),
+    paras as (
+      select doc_id,
+             generate_subscripts(c, 1) - 1 as pos,
+             unnest(c) as para
+      from (
+        select doc_id,
+               list_transform(range(0, cast(ceil(len(w) / 8.0) as int)),
+                              i -> array_to_string(w[i*8+1 : i*8+8], ' ')) as c
+        from chunked
+      )
+    ),
+    flagged as (
+      select doc_id, pos, para,
+             row_number() over (partition by para order by doc_id, pos) = 1 as keep
+      from paras where length(para) >= 1
+    )
+    select doc_id,
+           string_agg(para, chr(10) order by pos) filter (where keep) as text,
+           cast(count(*) filter (where keep) as bigint) as n_kept,
+           cast(count(*) filter (where not keep) as bigint) as n_dropped
+    from flagged
+    group by doc_id
+    having cast(count(*) filter (where keep) as bigint) > 0
+    """,
+)
+def dedup_paragraphs(spark, sf_dir):
+    """Paragraph-level exact dedup (operators/dedup.py paragraph_dedup —
+    the CCNet/RefinedWeb line-dedup stage): fixture texts carry no
+    paragraph breaks, so both engines first chunk into 8-word
+    pseudo-paragraphs, then every corpus-repeated paragraph survives
+    only at its (min doc_id, min pos) occurrence and documents are
+    rebuilt from the survivors.  One fingerprint-keyed shuffle; the
+    keep/drop winner agg is map-side combinable."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunked = docs.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(sequence(0, cast(ceil(size(split(text, ' ')) / 8.0) "
+            "as int) - 1), i -> array_join(slice(split(text, ' '), i*8+1, 8), ' ')), "
+            "'\\n') "
+        ).alias("text"),
+    )
+    return DD.paragraph_dedup(chunked, sep="\n")
+
+
 _SH_S, _SH_D = TXT.shingle_hashes("text", 3)
 # fast-path shingle CTE for oracles: normalization evaluated once per row
 _NORM_D = TXT.normalize("text")[1]

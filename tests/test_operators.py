@@ -810,3 +810,32 @@ def test_knn_classify_majority_and_tiebreak(spark):
     ).withColumn("label", F.lit(None).cast("int"))
     out = SIM.knn_classify(corpus, q2, k=4).collect()[0]
     assert (out["predicted_label"], out["votes"]) == (1, 2)
+
+
+def test_paragraph_dedup_keep_first_and_vanishing_doc(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\n\nbeta\n\ngamma"),
+            (2, "beta\n\ndelta"),   # beta already seen in doc 1
+            (3, "alpha\n\nbeta"),   # every paragraph a dup -> doc removed
+            (4, "epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in DD.paragraph_dedup(docs).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["text"] == "alpha\n\nbeta\n\ngamma"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (3, 0)
+    assert out[2]["text"] == "delta"
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 1)
+    assert out[4]["text"] == "epsilon"
+
+
+def test_paragraph_dedup_within_doc_repeat(spark):
+    # a paragraph repeated INSIDE one document keeps only the first copy
+    docs = spark.createDataFrame(
+        [(7, "x\n\ny\n\nx\n\nz")], "doc_id long, text string"
+    )
+    r = DD.paragraph_dedup(docs).collect()[0]
+    assert r["text"] == "x\n\ny\n\nz"
+    assert (r["n_kept"], r["n_dropped"]) == (3, 1)
