@@ -58,7 +58,9 @@ HEADLINE = [
     "decontam_check",         # benchmark decontamination (broadcast n-grams)
     "mix_domains",            # domain-mixture sampling (broadcast rates)
     "sim_cosine_topk",        # brute-force ANN baseline
+    "sim_knn_classify",       # kNN label propagation (auto-labeling stage)
     "sim_dup_pairs_lsh",      # banded near-dup pairs (the at-scale ANN path)
+    "dedup_paragraphs",       # CCNet-style paragraph dedup + doc reassembly
     "sem_dedup",              # SemDeDup: k-means quantize + in-cluster screen
     "mcap_roundtrip_agg",     # MCAP import -> ROS decode -> aggregate
     "dedup_minhash_lsh",      # minhash LSH dedup, candidates='all' (complete

@@ -119,3 +119,40 @@ def test_null_and_empty_values(spark, tmp_path):
     assert [r["id"] for r in out.collect()] == [2]
     out = TG.pruned_read(spark, tbl, idx, "s", "x")
     assert [r["id"] for r in out.collect()] == [3]
+
+
+def test_no_false_negatives_bulk_random_unicode(spark, tmp_path):
+    """For every (value, file) in a random multi-byte-unicode corpus, the
+    file's aggregated signature must contain the value's padded bits —
+    checked in ONE join query instead of per-probe jobs.  This is the
+    false-negative-free half of the containment argument over inputs the
+    deterministic tests don't reach (emoji, CJK, combining-width chars)."""
+    import random
+
+    rnd = random.Random(7)
+    alphabet = "abcde ñüß漢字\U0001f389xyz"
+    vals = [
+        "".join(rnd.choice(alphabet) for _ in range(rnd.randint(1, 20)))
+        for _ in range(80)
+    ]
+    tbl = os.path.join(str(tmp_path), "t")
+    idx = os.path.join(str(tmp_path), "i")
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, s string"
+    ).repartition(4).write.parquet(tbl)
+    TG.build_trigram_index(spark, tbl, ["s"], idx)
+    lo, hi = TG._signature_sql("s", padded=True)
+    per_value = (
+        spark.read.parquet(tbl)
+        .select(F.input_file_name().alias("file"), "s")
+        .selectExpr("file", f"{lo} as vlo", f"{hi} as vhi")
+    )
+    violations = (
+        per_value.join(spark.read.parquet(idx), "file")
+        .filter(
+            (F.col("sig_lo").bitwiseAND(F.col("vlo")) != F.col("vlo"))
+            | (F.col("sig_hi").bitwiseAND(F.col("vhi")) != F.col("vhi"))
+        )
+        .count()
+    )
+    assert violations == 0
