@@ -86,15 +86,22 @@ def _signature_sql(col_sql: str, *, padded: bool) -> tuple[str, str]:
 
 def build_trigram_index(
     spark: SparkSession,
-    table_path: str,
+    table_path: str | list[str],
     columns: list[str],
     index_path: str,
+    *,
+    write_mode: str = "overwrite",
 ) -> None:
     """One aggregation pass over the table -> sidecar index parquet with
     one row per (file, column): (file, column, sig_lo, sig_hi, min_val,
     max_val).  The bit_or partial-aggregates map-side, so the shuffle
-    carries one 4-long row per (file, column) regardless of table size."""
-    df = spark.read.parquet(table_path)
+    carries one 4-long row per (file, column) regardless of table size.
+
+    table_path may be a list of specific parquet files — the incremental
+    maintenance path (VersionedLogTable.append indexes only the files a
+    batch just wrote, with write_mode='append')."""
+    paths = [table_path] if isinstance(table_path, str) else list(table_path)
+    df = spark.read.parquet(*paths)
     sel = [F.input_file_name().alias("__file")]
     aggs = []
     for c in columns:
@@ -114,7 +121,7 @@ def build_trigram_index(
         "__file as file",
         f"stack({len(columns)}, {stack}) as (column, sig_lo, sig_hi, min_val, max_val)",
     )
-    long.coalesce(1).write.mode("overwrite").parquet(index_path)
+    long.coalesce(1).write.mode(write_mode).parquet(index_path)
 
 
 def probe_signature(

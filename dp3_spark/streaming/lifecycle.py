@@ -54,6 +54,14 @@ class VersionedLogTable:
     # streaming/ingest.bloom_options): string-equality probes skip row
     # groups whose bloom filter excludes the value.
     bloom_cols: tuple[str, ...] = ()
+    # payload string columns to maintain the trigram-signature sidecar
+    # index for (operators/trigram.py — per-FILE pruning, the direct
+    # statfilter.go:102-127 analog; bloom filters above prune at
+    # row-group granularity, the sidecar prunes before any footer is
+    # opened).  Maintained incrementally: append() indexes only the
+    # files the batch just wrote, compact() rebuilds over the new
+    # generation.
+    trigram_cols: tuple[str, ...] = ()
 
     @property
     def data_path(self) -> str:
@@ -118,6 +126,7 @@ class VersionedLogTable:
         for k, v in self._bloom_opts().items():
             w = w.option(k, v)
         w.partitionBy("producer", "topic").parquet(self._resolve_data_path())
+        self.update_trigram_index()
         return version
 
     def _bloom_opts(self) -> dict[str, str]:
@@ -183,6 +192,11 @@ class VersionedLogTable:
         df = self._data()
         if df is None:
             raise FileNotFoundError(f"no data at {self.data_path}")
+        return self._apply_tombstones(df, as_of_version)
+
+    def _apply_tombstones(
+        self, df: DataFrame, as_of_version: int | None = None
+    ) -> DataFrame:
         ts = self._tombstones()
         if as_of_version is not None:
             df = df.filter(F.col("version") <= as_of_version)
@@ -240,6 +254,95 @@ class VersionedLogTable:
         )
         return stream.filter(F.col("version") > from_version)
 
+    # ----------------------------------------------- trigram sidecar index
+    @property
+    def trigram_index_path(self) -> str:
+        return os.path.join(self.root, "_trigram_idx")
+
+    def _list_data_files(self) -> list[str]:
+        out = []
+        for dirpath, _, files in os.walk(self._resolve_data_path()):
+            out += [
+                os.path.join(dirpath, fn)
+                for fn in files
+                if fn.endswith(".parquet") and not fn.startswith(("_", "."))
+            ]
+        return out
+
+    def update_trigram_index(self) -> int:
+        """Index every data file not yet in the sidecar (idempotent diff
+        against the index's own file set, so it doubles as repair after a
+        crashed append).  Called from append(); each call re-reads only
+        the new files — one map-combinable aggregation over the batch
+        just written.  On an object store the new-file list would come
+        from the write's commit manifest instead of a listing.  Returns
+        the number of files indexed."""
+        if not self.trigram_cols:
+            return 0
+        from dp3_spark.operators.trigram import build_trigram_index
+
+        indexed: set[str] = set()
+        try:
+            indexed = {
+                r["file"]
+                for r in self.spark.read.parquet(self.trigram_index_path)
+                .select("file")
+                .distinct()
+                .collect()
+            }
+        except Exception:
+            pass
+        new = [
+            p for p in self._list_data_files() if f"file://{p}" not in indexed
+        ]
+        if new:
+            build_trigram_index(
+                self.spark,
+                new,
+                list(self.trigram_cols),
+                self.trigram_index_path,
+                write_mode="append",
+            )
+        return len(new)
+
+    def read_string_probe(
+        self,
+        column: str,
+        needle: str,
+        *,
+        mode: str = "eq",
+        as_of_version: int | None = None,
+    ) -> DataFrame:
+        """read() restricted to rows where `column` equals (or contains)
+        `needle`, scanning ONLY files whose trigram signature can match —
+        the reference's statfilter path (statfilter.go:102-127) applied
+        at file granularity before any footer IO.  Identical results to
+        `read().filter(...)`; tombstones/version semantics preserved
+        (basePath keeps the partition columns on the file-list scan)."""
+        from dp3_spark.operators.trigram import pruned_files
+
+        full = self._data()
+        if full is None:
+            raise FileNotFoundError(f"no data at {self.data_path}")
+        pred = (
+            (F.col(column) == needle)
+            if mode == "eq"
+            else F.col(column).contains(needle)
+        )
+        if not self.trigram_cols or column not in self.trigram_cols:
+            return self._apply_tombstones(full, as_of_version).filter(pred)
+        files, _ = pruned_files(
+            self.spark, self.trigram_index_path, column, needle, mode=mode
+        )
+        if not files:
+            return full.limit(0).filter(F.lit(False))
+        df = (
+            self.spark.read.option("basePath", self._resolve_data_path())
+            .schema(full.schema)
+            .parquet(*files)
+        )
+        return self._apply_tombstones(df, as_of_version).filter(pred)
+
     # ---------------------------------------------------------- maintain
     def compact(self) -> None:
         """Physically apply tombstones and rewrite (merge-time mask
@@ -281,3 +384,6 @@ class VersionedLogTable:
 
         shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(self.tombstones_path, ignore_errors=True)
+        # the sidecar keyed old-generation files; rebuild over the new one
+        shutil.rmtree(self.trigram_index_path, ignore_errors=True)
+        self.update_trigram_index()

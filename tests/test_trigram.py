@@ -156,3 +156,54 @@ def test_no_false_negatives_bulk_random_unicode(spark, tmp_path):
         .count()
     )
     assert violations == 0
+
+
+def test_versioned_table_incremental_index_and_probe(spark, tmp_path):
+    """Lifecycle integration: append() maintains the sidecar
+    incrementally (only new files indexed per batch), read_string_probe
+    matches read().filter() exactly — including tombstone masking — and
+    compact() rebuilds the index over the new generation."""
+    from dp3_spark.streaming.lifecycle import VersionedLogTable
+
+    vt = VersionedLogTable(spark, str(tmp_path / "vt"), trigram_cols=("props",))
+    b1 = spark.createDataFrame(
+        [("p1", "click", 100, 1, "alpha"), ("p1", "click", 200, 2, "beta")],
+        "producer string, topic string, log_time long, sequence long, props string",
+    )
+    b2 = spark.createDataFrame(
+        [("p1", "click", 300, 3, "gamma"), ("p2", "view", 400, 4, "delta")],
+        "producer string, topic string, log_time long, sequence long, props string",
+    )
+    vt.append(b1)
+    n_after_first = len(
+        {r["file"] for r in spark.read.parquet(vt.trigram_index_path).collect()}
+    )
+    vt.append(b2)
+    files_indexed = {
+        r["file"] for r in spark.read.parquet(vt.trigram_index_path).collect()
+    }
+    assert len(files_indexed) > n_after_first  # second batch added, first kept
+    assert vt.update_trigram_index() == 0  # idempotent: nothing new
+
+    for needle, want_seq in [("alpha", [1]), ("delta", [4]), ("omega", [])]:
+        got = sorted(
+            r["sequence"] for r in vt.read_string_probe("props", needle).collect()
+        )
+        want = sorted(
+            r["sequence"]
+            for r in vt.read().filter(F.col("props") == needle).collect()
+        )
+        assert got == want == (want_seq)
+
+    # probe keeps partition columns (basePath) and tombstone semantics
+    row = vt.read_string_probe("props", "gamma").collect()[0]
+    assert (row["producer"], row["topic"]) == ("p1", "click")
+    vt.delete_range("p1", "click", 0, 250)  # masks sequences 1, 2
+    assert vt.read_string_probe("props", "alpha").count() == 0
+    assert vt.read_string_probe("props", "gamma").count() == 1
+
+    vt.compact()
+    assert sorted(r["sequence"] for r in vt.read().collect()) == [3, 4]
+    got = [r["sequence"] for r in vt.read_string_probe("props", "gamma").collect()]
+    assert got == [3]
+    assert vt.read_string_probe("props", "alpha").count() == 0
