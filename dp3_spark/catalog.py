@@ -69,6 +69,16 @@ class LogStore:
     # when time_col is a derived/truncated expression).  Derived columns
     # don't push down to parquet row-group stats; predicates on this one do.
     pushdown_time_col: str | None = None
+    # optional trigram-signature probe hook (reference statfilter applied
+    # inside the scan, executor/statfilter.go:102-127 via
+    # tree/iterator.go:177-187): (column, needle, mode) -> a REPLACEMENT
+    # raw frame restricted to files that can contain the needle
+    # (operators/trigram.py pruning — a superset of matching rows, so the
+    # scan's full predicate still applies unchanged).  Set by
+    # VersionedLogTable.log_store(); the QL compiler consults it for
+    # string-equality conjuncts on `probe_columns`.
+    string_probe: object | None = None
+    probe_columns: tuple[str, ...] = field(default_factory=tuple)
 
     PUSHDOWN_COL = "__ptime__"
 

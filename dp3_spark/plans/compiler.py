@@ -354,15 +354,57 @@ class Compiler:
             others.insert(0, self._compile_scan(s, sub_ctx))
         return ordered_merge(others)
 
+    def _probe_conjunct(self, expr: ast.Expr) -> tuple[str, str] | None:
+        """First top-level `col = 'literal'` conjunct whose (plain,
+        non-nested) payload column has a trigram index — the statfilter
+        candidate (statfilter.go:102-127 compiles exactly the
+        string-equality case).  OR branches are skipped: a disjunct
+        cannot restrict the scan."""
+        if self.store.string_probe is None:
+            return None
+
+        def walk(e: ast.Expr):
+            if isinstance(e, ast.BinaryExpr) and e.op == "=" and e.value.kind == "string":
+                # fields here are already alias-stripped; nested paths
+                # (dots/indexing) are not probe-indexable
+                col = e.field
+                if (
+                    "." not in col
+                    and "[" not in col
+                    and col in self.store.probe_columns
+                ):
+                    return (col, e.value.value)
+            if isinstance(e, ast.BoolExpr) and e.op == "and":
+                for c in e.children:
+                    hit = walk(c)
+                    if hit:
+                        return hit
+            return None
+
+        return walk(expr)
+
     def _compile_scan(self, scan: ast.Scan, ctx: _ScanCtx) -> DataFrame:
-        df = self._base.filter(F.col("topic") == scan.topic)
+        base = self._base
+        # first scan with a matching name claims the filter
+        # (plan/plan.go:487-490 deletes from the map)
+        expr = ctx.filters.pop(scan.name, None)
+        if expr is not None:
+            probe = self._probe_conjunct(expr)
+            if probe is not None:
+                # statfilter parity: swap in the trigram-pruned file set;
+                # a superset of matching rows, so every filter below still
+                # applies and results are unchanged (only IO shrinks)
+                from dataclasses import replace
+
+                raw = self.store.string_probe(probe[0], probe[1], "eq")
+                base = replace(
+                    self.store, df=raw, string_probe=None, probe_columns=()
+                ).normalized()
+        df = base.filter(F.col("topic") == scan.topic)
         if ctx.producers:
             df = df.filter(F.col("producer").isin(list(ctx.producers)))
         if ctx.between is not None:
             df = time_range_filter(df, ctx.between.start_ns, ctx.between.end_ns)
-        # first scan with a matching name claims the filter
-        # (plan/plan.go:487-490 deletes from the map)
-        expr = ctx.filters.pop(scan.name, None)
         if expr is not None:
             df = df.filter(_compile_expr(self._payload_schema, expr))
         df = df.withColumn("__child__", F.lit(ctx.next_index))

@@ -343,6 +343,32 @@ class VersionedLogTable:
         )
         return self._apply_tombstones(df, as_of_version).filter(pred)
 
+    def log_store(self, *, payload_cols: tuple[str, ...] = ()):
+        """This table as a queryable LogStore for the QL compiler, with
+        the trigram sidecar wired in as the scan-time string probe — the
+        reference's statfilter applied inside the scan
+        (tree/iterator.go:177-187).  A QL `where t.col = 'x'` on an
+        indexed column then reads only files whose signature can match;
+        results are identical either way (tests pin parity + fewer
+        input files)."""
+        from dp3_spark.catalog import LogStore
+
+        def probe(column: str, needle: str, mode: str):
+            # raw (un-normalized) frame replacement: tombstones/version
+            # masking are applied by the probe read itself
+            return self.read_string_probe(column, needle, mode=mode)
+
+        return LogStore(
+            df=self.read(),
+            producer_col="producer",
+            topic_col="topic",
+            time_col="log_time",
+            sequence_col="sequence",
+            payload_cols=payload_cols or self.trigram_cols,
+            string_probe=probe if self.trigram_cols else None,
+            probe_columns=self.trigram_cols,
+        )
+
     # ---------------------------------------------------------- maintain
     def compact(self) -> None:
         """Physically apply tombstones and rewrite (merge-time mask

@@ -207,3 +207,37 @@ def test_versioned_table_incremental_index_and_probe(spark, tmp_path):
     got = [r["sequence"] for r in vt.read_string_probe("props", "gamma").collect()]
     assert got == [3]
     assert vt.read_string_probe("props", "alpha").count() == 0
+
+
+def test_ql_compiler_uses_trigram_probe(spark, tmp_path):
+    """statfilter-inside-scan parity: a QL string-equality WHERE over a
+    versioned table's log_store() reads fewer files than the unpruned
+    plan, with identical rows."""
+    from dp3_spark.plans import Compiler
+    from dp3_spark.streaming.lifecycle import VersionedLogTable
+
+    vt = VersionedLogTable(spark, str(tmp_path / "vt"), trigram_cols=("props",))
+    # separate appends -> separate files per (producer, topic) partition
+    for i, props in enumerate(["alpha", "beta", "gamma", "delta"]):
+        vt.append(
+            spark.createDataFrame(
+                [("p1", "click", 100 * (i + 1), i, props)],
+                "producer string, topic string, log_time long, sequence long, props string",
+            )
+        )
+    store = vt.log_store()
+    c = Compiler(store)
+    pruned = c.compile("from p1 click where click.props = 'gamma';")
+    rows = pruned.collect()
+    assert [(r["sequence"], r["props"]) for r in rows] == [(2, "gamma")]
+    # unpruned twin: same store without the probe hook
+    import dataclasses
+
+    full = Compiler(dataclasses.replace(store, string_probe=None)).compile(
+        "from p1 click where click.props = 'gamma';"
+    )
+    assert [tuple(r) for r in full.collect()] == [tuple(r) for r in rows]
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # non-equality / regex predicates keep the full scan (no false pruning)
+    rx = c.compile("from p1 click where click.props ~ 'a$';")
+    assert sorted(r["props"] for r in rx.collect()) == ["alpha", "beta", "delta", "gamma"]
