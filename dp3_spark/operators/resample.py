@@ -1,0 +1,98 @@
+"""Fixed-rate resampling (zero-order hold) over the log-store row shape —
+the gap-filling / signal-alignment primitive robotics analytics layers on
+top of as-of semantics (the reference exposes the asof operator,
+executor/asof_node.go; a fixed grid against it is the standard client
+recipe — here it is one operator).
+
+For each (partition, grid tick t) emit the most recent sample at or
+before t ("hold").  Inner semantics: ticks before a partition's first
+sample produce no row (exactly DuckDB's ASOF JOIN, which the oracle
+uses).
+
+Spark-first plan — NO join: the grid rows are unioned with the data and
+one running `last(value, ignorenulls)` window per partition resolves
+every tick, i.e. O(n log n) sort instead of a range join (Catalyst would
+otherwise plan point-in-interval as broadcast-nested-loop).  At 100 TB
+the window partitions by (producer, topic) — the same key the store is
+bucketed/sorted on (layout.py), so the sort is partial — and grid
+cardinality is partitions x ticks, independent of data volume.  A
+single-partition skew case takes the same time-slice treatment as asof
+(operators/asof.py _asof_time_sliced) if ever needed; the window here is
+rowsBetween-running, so Spark's running-frame evaluator streams it
+without buffering the partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_hold(
+    df: DataFrame,
+    *,
+    start_ns: int,
+    end_ns: int,
+    step_ns: int,
+    time_col: str = "log_time",
+    value_cols: Sequence[str] = ("value",),
+    partition_cols: Sequence[str] = ("producer", "topic"),
+) -> DataFrame:
+    """Zero-order-hold resample of `value_cols` onto the half-open grid
+    [start_ns, end_ns) with spacing step_ns, per partition.
+
+    Output: (*partition_cols, time_col [= grid tick], *value_cols), one
+    row per tick that has at least one sample at or before it.  A sample
+    exactly AT a tick is included (<= hold, ASOF JOIN parity)."""
+    parts = [F.col(c) for c in partition_cols]
+    grid = (
+        df.select(*partition_cols)
+        .distinct()
+        .select(
+            *partition_cols,
+            F.explode(
+                F.sequence(
+                    F.lit(start_ns), F.lit(end_ns - 1), F.lit(step_ns)
+                )
+            ).alias(time_col),
+        )
+        .withColumn("__is_grid", F.lit(1))
+    )
+    data = df.select(
+        *partition_cols,
+        F.col(time_col),
+        *[F.col(c) for c in value_cols],
+    ).withColumn("__is_grid", F.lit(0))
+    # at an equal timestamp the data row sorts FIRST so the tick holds it
+    u = grid.unionByName(data, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(F.col(time_col), F.col("__is_grid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    held = u.select(
+        *partition_cols,
+        time_col,
+        "__is_grid",
+        # existence tracked by the held SAMPLE TIME, not a value column —
+        # a legitimately-null sample value must still satisfy its ticks
+        F.last(
+            F.when(F.col("__is_grid") == 0, F.col(time_col)), ignorenulls=True
+        )
+        .over(w)
+        .alias("__sample_t"),
+        *[
+            F.last(
+                F.when(F.col("__is_grid") == 0, F.struct(F.col(c))),
+                ignorenulls=True,
+            )
+            .over(w)[c]
+            .alias(c)
+            for c in value_cols
+        ],
+    )
+    return held.filter(
+        (F.col("__is_grid") == 1) & F.col("__sample_t").isNotNull()
+    ).drop("__is_grid", "__sample_t")

@@ -527,6 +527,51 @@ def stat_catalog_tables(spark, sf_dir):
 
 
 @register(
+    "stat_resample_hourly",
+    f"""
+    with base as ({EV_BASE}),
+    ev as (
+      select producer, topic, log_time, max(value) as value
+      from base where topic = 'click'
+      group by 1, 2, 3
+    ),
+    parts as (select distinct producer, topic from ev),
+    grid as (
+      select p.producer, p.topic, g.t as log_time
+      from parts p, unnest(generate_series({BETWEEN_START}, {BETWEEN_END - 1},
+                                           {HOUR_NS})) g(t)
+    )
+    select g.producer, g.topic, g.log_time, e.value
+    from grid g asof join ev e
+      on e.producer = g.producer and e.topic = g.topic
+         and e.log_time <= g.log_time
+    """,
+)
+def stat_resample_hourly(spark, sf_dir):
+    """Zero-order-hold resample (operators/resample.py) of the click
+    stream's value onto an hourly grid — the gap-filling/signal-alignment
+    primitive, oracled against DuckDB's native ASOF JOIN.  Ties are
+    removed up front (one sample per (producer, topic, ts) via max) so
+    both engines' hold is deterministic."""
+    from dp3_spark.operators.resample import resample_hold
+
+    store = events_log_store(spark, sf_dir, us_truncate=True)
+    ev = (
+        store.normalized()
+        .filter(F.col("topic") == "click")
+        .groupBy("producer", "topic", "log_time")
+        .agg(F.max("value").alias("value"))
+    )
+    return resample_hold(
+        ev,
+        start_ns=BETWEEN_START,
+        end_ns=BETWEEN_END,
+        step_ns=HOUR_NS,
+        value_cols=("value",),
+    )
+
+
+@register(
     "events_sessionize",
     f"""
     with t as (select user_id, epoch_ns(ts) as t, event_id from events),

@@ -839,3 +839,28 @@ def test_paragraph_dedup_within_doc_repeat(spark):
     r = DD.paragraph_dedup(docs).collect()[0]
     assert r["text"] == "x\n\ny\n\nz"
     assert (r["n_kept"], r["n_dropped"]) == (3, 1)
+
+
+def test_resample_hold_semantics(spark):
+    from dp3_spark.operators.resample import resample_hold
+
+    data = spark.createDataFrame(
+        [
+            ("p", "t", 10, 1.0),
+            ("p", "t", 20, None),  # null VALUE still holds (sample exists)
+            ("p", "t", 30, 3.0),   # exactly on a tick -> included at 30
+        ],
+        "producer string, topic string, log_time long, value double",
+    )
+    out = {
+        r["log_time"]: r["value"]
+        for r in resample_hold(
+            data, start_ns=0, end_ns=50, step_ns=10, value_cols=("value",)
+        ).collect()
+    }
+    # tick 0 precedes every sample -> dropped (inner / ASOF JOIN parity)
+    assert set(out) == {10, 20, 30, 40}
+    assert out[10] == 1.0       # sample AT the tick
+    assert out[20] is None      # holds the null VALUE, row not dropped
+    assert out[30] == 3.0
+    assert out[40] == 3.0       # hold continues past last sample
