@@ -96,3 +96,76 @@ def resample_hold(
     return held.filter(
         (F.col("__is_grid") == 1) & F.col("__sample_t").isNotNull()
     ).drop("__is_grid", "__sample_t")
+
+
+def resample_linear(
+    df: DataFrame,
+    *,
+    start_ns: int,
+    end_ns: int,
+    step_ns: int,
+    time_col: str = "log_time",
+    value_col: str = "value",
+    partition_cols: Sequence[str] = ("producer", "topic"),
+) -> DataFrame:
+    """Linear-interpolation resample: each tick takes
+    v_prev + (v_next - v_prev) * (t - t_prev) / (t_next - t_prev) from
+    its bracketing samples; a tick exactly on a sample takes that sample
+    (no division), ticks before the first or after the last sample are
+    dropped (strict bracketing).  Deterministic IEEE evaluation order, so
+    a SQL oracle reproduces it bit-exactly.
+
+    Same no-join plan as resample_hold plus one extra window group over
+    the SAME sort order (prev = running last over preceding rows, next =
+    running first over following rows — at an equal timestamp the data
+    row sorts before its tick, so `next` is strictly later)."""
+    parts = [F.col(c) for c in partition_cols]
+    grid = (
+        df.select(*partition_cols)
+        .distinct()
+        .select(
+            *partition_cols,
+            F.explode(
+                F.sequence(F.lit(start_ns), F.lit(end_ns - 1), F.lit(step_ns))
+            ).alias(time_col),
+        )
+        .withColumn("__is_grid", F.lit(1))
+    )
+    data = df.select(
+        *partition_cols, F.col(time_col), F.col(value_col)
+    ).withColumn("__is_grid", F.lit(0))
+    u = grid.unionByName(data, allowMissingColumns=True)
+    order = [F.col(time_col), F.col("__is_grid")]
+    w_prev = (
+        Window.partitionBy(*parts)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(*parts)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    sample = F.when(
+        F.col("__is_grid") == 0,
+        F.struct(F.col(time_col).alias("t"), F.col(value_col).alias("v")),
+    )
+    b = u.select(
+        *partition_cols,
+        time_col,
+        "__is_grid",
+        F.last(sample, ignorenulls=True).over(w_prev).alias("__p"),
+        F.first(sample, ignorenulls=True).over(w_next).alias("__n"),
+    ).filter(F.col("__is_grid") == 1)
+    t = F.col(time_col)
+    exact = F.col("__p.t") == t
+    frac = (t - F.col("__p.t")).cast("double") / (
+        F.col("__n.t") - F.col("__p.t")
+    ).cast("double")
+    value = F.when(exact, F.col("__p.v")).otherwise(
+        F.col("__p.v") + (F.col("__n.v") - F.col("__p.v")) * frac
+    )
+    return (
+        b.filter(F.col("__p").isNotNull() & (exact | F.col("__n").isNotNull()))
+        .select(*partition_cols, time_col, value.alias(value_col))
+    )

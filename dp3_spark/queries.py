@@ -572,6 +572,63 @@ def stat_resample_hourly(spark, sf_dir):
 
 
 @register(
+    "stat_resample_lerp",
+    f"""
+    with base as ({EV_BASE}),
+    ev as (
+      select producer, topic, log_time, max(value) as value
+      from base where topic = 'click'
+      group by 1, 2, 3
+    ),
+    parts as (select distinct producer, topic from ev),
+    grid as (
+      select p.producer, p.topic, g.t as log_time
+      from parts p, unnest(generate_series({BETWEEN_START}, {BETWEEN_END - 1},
+                                           {HOUR_NS})) g(t)
+    ),
+    pj as (
+      select g.producer, g.topic, g.log_time, p.log_time as pt, p.value as pv
+      from grid g asof left join ev p
+        on p.producer = g.producer and p.topic = g.topic
+           and p.log_time <= g.log_time
+    ),
+    nj as (
+      select pj.*, n.log_time as nt, n.value as nv
+      from pj asof left join ev n
+        on n.producer = pj.producer and n.topic = pj.topic
+           and n.log_time >= pj.log_time + 1
+    )
+    select producer, topic, log_time,
+           case when pt = log_time then pv
+                else pv + (nv - pv) * (cast(log_time - pt as double)
+                                       / cast(nt - pt as double)) end as value
+    from nj
+    where pt is not null and (pt = log_time or nt is not null)
+    """,
+)
+def stat_resample_lerp(spark, sf_dir):
+    """Linear-interpolation resample (operators/resample.py
+    resample_linear): hourly grid between bracketing click samples,
+    bit-exact vs a double-ASOF-JOIN DuckDB derivation (identical IEEE
+    evaluation order)."""
+    from dp3_spark.operators.resample import resample_linear
+
+    store = events_log_store(spark, sf_dir, us_truncate=True)
+    ev = (
+        store.normalized()
+        .filter(F.col("topic") == "click")
+        .groupBy("producer", "topic", "log_time")
+        .agg(F.max("value").alias("value"))
+    )
+    return resample_linear(
+        ev,
+        start_ns=BETWEEN_START,
+        end_ns=BETWEEN_END,
+        step_ns=HOUR_NS,
+    )
+
+
+@register(
     "events_sessionize",
     f"""
     with t as (select user_id, epoch_ns(ts) as t, event_id from events),

@@ -864,3 +864,23 @@ def test_resample_hold_semantics(spark):
     assert out[20] is None      # holds the null VALUE, row not dropped
     assert out[30] == 3.0
     assert out[40] == 3.0       # hold continues past last sample
+
+
+def test_resample_linear_semantics(spark):
+    from dp3_spark.operators.resample import resample_linear
+
+    data = spark.createDataFrame(
+        [("p", "t", 10, 1.0), ("p", "t", 30, 5.0)],
+        "producer string, topic string, log_time long, value double",
+    )
+    out = {
+        r["log_time"]: r["value"]
+        for r in resample_linear(
+            data, start_ns=0, end_ns=50, step_ns=10
+        ).collect()
+    }
+    # tick 0: before first sample -> dropped; tick 40: past last -> dropped
+    assert set(out) == {10, 20, 30}
+    assert out[10] == 1.0  # exact sample, no interpolation
+    assert out[20] == 3.0  # midpoint of 1.0 -> 5.0
+    assert out[30] == 5.0
