@@ -527,6 +527,32 @@ def stat_catalog_tables(spark, sf_dir):
 
 
 @register(
+    "events_props_json",
+    f"""
+    with base as ({EV_BASE})
+    select topic, cast(json_extract(props, '$.k') as bigint) % 10 as k_bucket,
+           count(*) as n, cast(sum(cast(json_extract(props, '$.k') as bigint))
+                               as bigint) as sum_k
+    from base
+    group by 1, 2
+    """,
+)
+def events_props_json(spark, sf_dir):
+    """Semi-structured payload access: extract a field from the JSON
+    `props` column and aggregate — the scalar-function surface the
+    reference lacks entirely (SURVEY §2.6: 'no scalar function library')
+    that Spark SQL provides for free; oracled against DuckDB's JSON
+    extension."""
+    store = events_log_store(spark, sf_dir, us_truncate=True)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        store.normalized()
+        .groupBy("topic", (k % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.sum(k).cast("bigint").alias("sum_k"))
+    )
+
+
+@register(
     "stat_resample_hourly",
     f"""
     with base as ({EV_BASE}),
