@@ -728,10 +728,15 @@ def paragraph_dedup(
     output); at 100 TB swap text for the fingerprint in the rejoin and
     fetch winners' text from the source partition if network is the
     bottleneck."""
+    # F.split takes a Java regex but reassembly joins the LITERAL sep:
+    # quote it (\Q..\E) so metacharacter separators ('|', '.', ' * ')
+    # split literally and round-trip
     paras = (
         docs.select(
             F.col(id_col).alias("__id"),
-            F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("__pos", "__para"),
+            F.posexplode(
+                F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"))
+            ).alias("__pos", "__para"),
         )
         .filter(F.length("__para") >= min_chars)
         .withColumn("__fp", F.xxhash64("__para"))

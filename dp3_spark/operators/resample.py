@@ -30,6 +30,39 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _grid_union(
+    df: DataFrame,
+    *,
+    start_ns: int,
+    end_ns: int,
+    step_ns: int,
+    time_col: str,
+    value_cols: Sequence[str],
+    partition_cols: Sequence[str],
+) -> DataFrame:
+    """Grid ticks (one per partition combo, `__is_grid`=1, empty when the
+    half-open range is empty) unioned with the data rows (`__is_grid`=0).
+    At an equal timestamp the data row sorts FIRST under
+    (time, __is_grid) ordering, so a tick holds/brackets a sample landing
+    exactly on it."""
+    if end_ns <= start_ns:
+        ticks = F.array().cast("array<long>")
+    else:
+        ticks = F.sequence(F.lit(start_ns), F.lit(end_ns - 1), F.lit(step_ns))
+    grid = (
+        df.select(*partition_cols)
+        .distinct()
+        .select(*partition_cols, F.explode(ticks).alias(time_col))
+        .withColumn("__is_grid", F.lit(1))
+    )
+    data = df.select(
+        *partition_cols,
+        F.col(time_col),
+        *[F.col(c) for c in value_cols],
+    ).withColumn("__is_grid", F.lit(0))
+    return grid.unionByName(data, allowMissingColumns=True)
+
+
 def resample_hold(
     df: DataFrame,
     *,
@@ -47,26 +80,15 @@ def resample_hold(
     row per tick that has at least one sample at or before it.  A sample
     exactly AT a tick is included (<= hold, ASOF JOIN parity)."""
     parts = [F.col(c) for c in partition_cols]
-    grid = (
-        df.select(*partition_cols)
-        .distinct()
-        .select(
-            *partition_cols,
-            F.explode(
-                F.sequence(
-                    F.lit(start_ns), F.lit(end_ns - 1), F.lit(step_ns)
-                )
-            ).alias(time_col),
-        )
-        .withColumn("__is_grid", F.lit(1))
+    u = _grid_union(
+        df,
+        start_ns=start_ns,
+        end_ns=end_ns,
+        step_ns=step_ns,
+        time_col=time_col,
+        value_cols=value_cols,
+        partition_cols=partition_cols,
     )
-    data = df.select(
-        *partition_cols,
-        F.col(time_col),
-        *[F.col(c) for c in value_cols],
-    ).withColumn("__is_grid", F.lit(0))
-    # at an equal timestamp the data row sorts FIRST so the tick holds it
-    u = grid.unionByName(data, allowMissingColumns=True)
     w = (
         Window.partitionBy(*parts)
         .orderBy(F.col(time_col), F.col("__is_grid"))
@@ -120,21 +142,15 @@ def resample_linear(
     running first over following rows — at an equal timestamp the data
     row sorts before its tick, so `next` is strictly later)."""
     parts = [F.col(c) for c in partition_cols]
-    grid = (
-        df.select(*partition_cols)
-        .distinct()
-        .select(
-            *partition_cols,
-            F.explode(
-                F.sequence(F.lit(start_ns), F.lit(end_ns - 1), F.lit(step_ns))
-            ).alias(time_col),
-        )
-        .withColumn("__is_grid", F.lit(1))
+    u = _grid_union(
+        df,
+        start_ns=start_ns,
+        end_ns=end_ns,
+        step_ns=step_ns,
+        time_col=time_col,
+        value_cols=(value_col,),
+        partition_cols=partition_cols,
     )
-    data = df.select(
-        *partition_cols, F.col(time_col), F.col(value_col)
-    ).withColumn("__is_grid", F.lit(0))
-    u = grid.unionByName(data, allowMissingColumns=True)
     order = [F.col(time_col), F.col("__is_grid")]
     w_prev = (
         Window.partitionBy(*parts)

@@ -92,8 +92,14 @@ def knn_classify(
     broadcast vs shuffle-hash by the labeled set's actual size.  The
     final vote is a (query, label)-keyed count — map-side combinable,
     at most k rows per query into the shuffle."""
-    nn = cosine_topk(corpus, queries, id_col=id_col, vec_col=vec_col, k=k)
-    labels = corpus.select(
+    # unlabeled corpus rows (null label) neither occupy neighbor slots
+    # nor vote: the search runs over the k nearest LABELED neighbors —
+    # otherwise a null vote group could win a tie (Spark's asc ordering
+    # is NULLS FIRST) and predict null for a query surrounded by real
+    # labels
+    labeled = corpus.filter(F.col(label_col).isNotNull())
+    nn = cosine_topk(labeled, queries, id_col=id_col, vec_col=vec_col, k=k)
+    labels = labeled.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__lab")
     )
     votes = (

@@ -147,14 +147,14 @@ def pruned_files(
     needle: str,
     *,
     mode: str = "eq",
-) -> tuple[list[str], int]:
-    """(surviving files, total indexed files) for a probe.  Signature
-    containment: every needle bit present in the file's signature
-    (bitset.Contains parity); eq mode adds the min/max bounds check
-    (statfilter.go:125)."""
+) -> list[str]:
+    """Distinct surviving files for a probe.  Signature containment:
+    every needle bit present in the file's signature (bitset.Contains
+    parity); eq mode adds the min/max bounds check (statfilter.go:125).
+    Duplicate (file, column) index rows — possible after a crash-repair
+    re-append — collapse here so a path is never scanned twice."""
     lo, hi = probe_signature(spark, needle, mode=mode)
     idx = spark.read.parquet(index_path).filter(F.col("column") == column)
-    total = idx.count()
     cond = (F.col("sig_lo").bitwiseAND(F.lit(lo)) == F.lit(lo)) & (
         F.col("sig_hi").bitwiseAND(F.lit(hi)) == F.lit(hi)
     )
@@ -163,8 +163,14 @@ def pruned_files(
         cond = cond & (F.lit(needle) >= F.col("min_val")) & (
             F.lit(needle) <= F.col("max_val")
         )
-    files = [r["file"] for r in idx.filter(cond).select("file").collect()]
-    return files, total
+    return sorted({r["file"] for r in idx.filter(cond).select("file").collect()})
+
+
+def indexed_files(spark: SparkSession, index_path: str, column: str) -> set[str]:
+    """Distinct file set the sidecar covers for one column (staleness /
+    test inspection; not on the probe hot path)."""
+    idx = spark.read.parquet(index_path).filter(F.col("column") == column)
+    return {r["file"] for r in idx.select("file").distinct().collect()}
 
 
 def pruned_read(
@@ -180,12 +186,18 @@ def pruned_read(
     sidecar index, scan only those, and apply the exact predicate.
     Result is identical to filtering the whole table; IO is proportional
     to the files that can match.  An all-miss probe reads zero data
-    files (schema comes from the table footer only)."""
-    files, _ = pruned_files(spark, index_path, column, needle, mode=mode)
+    files (schema comes from the table footer only).  basePath keeps
+    hive partition columns populated on the file-list scan."""
+    files = pruned_files(spark, index_path, column, needle, mode=mode)
     base = spark.read.parquet(table_path)
     if not files:
         return base.limit(0).filter(F.lit(False))
     pred = (
         (F.col(column) == needle) if mode == "eq" else F.col(column).contains(needle)
     )
-    return spark.read.schema(base.schema).parquet(*files).filter(pred)
+    return (
+        spark.read.option("basePath", table_path)
+        .schema(base.schema)
+        .parquet(*files)
+        .filter(pred)
+    )

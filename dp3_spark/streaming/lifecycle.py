@@ -317,9 +317,16 @@ class VersionedLogTable:
         `needle`, scanning ONLY files whose trigram signature can match —
         the reference's statfilter path (statfilter.go:102-127) applied
         at file granularity before any footer IO.  Identical results to
-        `read().filter(...)`; tombstones/version semantics preserved
-        (basePath keeps the partition columns on the file-list scan)."""
-        from dp3_spark.operators.trigram import pruned_files
+        `read().filter(...)` under EVERY index state (the contract the
+        reference's ErrNoStatsFound pass-through sets,
+        statfilter.go:118-122): a missing/unreadable sidecar falls back
+        to the full scan, and data files the sidecar does not yet cover
+        (crash between append's parquet commit and the index update,
+        or a table written before trigram_cols was set) are always
+        scanned — only provably-safe skips happen.  Tombstone/version
+        semantics preserved; basePath keeps the partition columns on the
+        file-list scan."""
+        from dp3_spark.operators.trigram import indexed_files, pruned_files
 
         full = self._data()
         if full is None:
@@ -331,9 +338,23 @@ class VersionedLogTable:
         )
         if not self.trigram_cols or column not in self.trigram_cols:
             return self._apply_tombstones(full, as_of_version).filter(pred)
-        files, _ = pruned_files(
-            self.spark, self.trigram_index_path, column, needle, mode=mode
-        )
+        try:
+            survivors = set(
+                pruned_files(
+                    self.spark, self.trigram_index_path, column, needle, mode=mode
+                )
+            )
+            covered = indexed_files(self.spark, self.trigram_index_path, column)
+        except Exception:
+            # sidecar missing or unreadable: correctness first, no pruning
+            return self._apply_tombstones(full, as_of_version).filter(pred)
+        # unindexed data files can never be skipped
+        stale = {
+            f"file://{p}"
+            for p in self._list_data_files()
+            if f"file://{p}" not in covered
+        }
+        files = sorted(survivors | stale)
         if not files:
             return full.limit(0).filter(F.lit(False))
         df = (

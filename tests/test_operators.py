@@ -884,3 +884,49 @@ def test_resample_linear_semantics(spark):
     assert out[10] == 1.0  # exact sample, no interpolation
     assert out[20] == 3.0  # midpoint of 1.0 -> 5.0
     assert out[30] == 5.0
+
+
+def test_paragraph_dedup_metachar_separator(spark):
+    # a regex-metacharacter separator must split literally and round-trip
+    docs = spark.createDataFrame(
+        [(1, "aa | bb"), (2, "bb | cc")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in DD.paragraph_dedup(docs, sep=" | ").collect()}
+    assert out[1]["text"] == "aa | bb"
+    assert out[2]["text"] == "cc"
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 1)
+
+
+def test_resample_empty_grid_range(spark):
+    from dp3_spark.operators.resample import resample_hold, resample_linear
+
+    data = spark.createDataFrame(
+        [("p", "t", 10, 1.0)],
+        "producer string, topic string, log_time long, value double",
+    )
+    assert resample_hold(data, start_ns=50, end_ns=50, step_ns=10).count() == 0
+    assert resample_linear(data, start_ns=50, end_ns=40, step_ns=10).count() == 0
+
+
+def test_knn_classify_ignores_unlabeled_rows(spark):
+    import math
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [float(math.cos(r)), float(math.sin(r))]
+
+    corpus = spark.createDataFrame(
+        [
+            (1, vec(1), 1),
+            (2, vec(2), None),   # nearest neighbor but unlabeled
+            (3, vec(3), None),
+            (4, vec(4), 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q = spark.createDataFrame(
+        [(100, vec(2))], "vec_id long, embedding array<float>"
+    ).withColumn("label", F.lit(None).cast("int"))
+    out = SIM.knn_classify(corpus, q, k=2).collect()[0]
+    # the two nearest LABELED neighbors are 1 and 4 -> tie -> label 1
+    assert out["predicted_label"] == 1 and out["votes"] == 1

@@ -42,8 +42,8 @@ def table(spark, tmp_path_factory):
 
 def test_eq_probe_prunes_to_one_file(spark, table):
     tbl, idx = table
-    files, total = TG.pruned_files(spark, idx, "city", "boston")
-    assert total == 4
+    files = TG.pruned_files(spark, idx, "city", "boston")
+    assert len(TG.indexed_files(spark, idx, "city")) == 4
     assert len(files) == 1
     out = TG.pruned_read(spark, tbl, idx, "city", "boston")
     assert [r["id"] for r in out.collect()] == [101]
@@ -54,7 +54,7 @@ def test_eq_probe_inside_bounds_but_absent_skips_all(spark, table):
     min/max keeps the file, the trigram bits kill it (the exact scenario
     statfilter.go:124-126 orders Contains before the range check)."""
     tbl, idx = table
-    files, _ = TG.pruned_files(spark, idx, "city", "bogota")
+    files = TG.pruned_files(spark, idx, "city", "bogota")
     assert files == []
     out = TG.pruned_read(spark, tbl, idx, "city", "bogota")
     assert out.count() == 0
@@ -79,8 +79,8 @@ def test_results_identical_to_full_scan(spark, table):
 def test_contains_probe(spark, table):
     tbl, idx = table
     # 'icago' occurs only inside 'chicago' — unpadded windows subset rule
-    files, total = TG.pruned_files(spark, idx, "city", "icago", mode="contains")
-    assert len(files) == 1 and total == 4
+    files = TG.pruned_files(spark, idx, "city", "icago", mode="contains")
+    assert len(files) == 1
     out = TG.pruned_read(spark, tbl, idx, "city", "icago", mode="contains")
     assert [r["city"] for r in out.collect()] == ["chicago"]
 
@@ -90,8 +90,8 @@ def test_contains_short_needle_passes_through(spark, table):
     pass-through when no usable stats, statfilter.go:118-122) — but the
     predicate still filters correctly."""
     tbl, idx = table
-    files, total = TG.pruned_files(spark, idx, "city", "du", mode="contains")
-    assert len(files) == total
+    files = TG.pruned_files(spark, idx, "city", "du", mode="contains")
+    assert len(files) == len(TG.indexed_files(spark, idx, "city"))
     out = TG.pruned_read(spark, tbl, idx, "city", "du", mode="contains")
     assert [r["city"] for r in out.collect()] == ["dublin"]
 
@@ -103,7 +103,7 @@ def test_signature_superset_never_false_skips(spark, table):
     tbl, idx = table
     full = spark.read.parquet(tbl)
     for r in full.filter(F.col("city").isNotNull()).collect():
-        files, _ = TG.pruned_files(spark, idx, "city", r["city"])
+        files = TG.pruned_files(spark, idx, "city", r["city"])
         assert files, r["city"]
 
 
@@ -241,3 +241,38 @@ def test_ql_compiler_uses_trigram_probe(spark, tmp_path):
     # non-equality / regex predicates keep the full scan (no false pruning)
     rx = c.compile("from p1 click where click.props ~ 'a$';")
     assert sorted(r["props"] for r in rx.collect()) == ["alpha", "beta", "delta", "gamma"]
+
+
+def test_probe_correct_with_stale_and_missing_index(spark, tmp_path):
+    """Correctness-first contract under every index state: a data file
+    the sidecar does not cover is always scanned (crash between append's
+    parquet commit and the index update), and a missing sidecar falls
+    back to the full scan."""
+    import shutil
+
+    from dp3_spark.streaming.lifecycle import VersionedLogTable
+
+    vt = VersionedLogTable(spark, str(tmp_path / "vt"), trigram_cols=("props",))
+    vt.append(
+        spark.createDataFrame(
+            [("p1", "click", 100, 1, "alpha")],
+            "producer string, topic string, log_time long, sequence long, props string",
+        )
+    )
+    # simulate the crash window: write a second batch WITHOUT indexing it
+    v2 = vt._next_version()
+    spark.createDataFrame(
+        [("p1", "click", 200, 2, "beta", v2)],
+        "producer string, topic string, log_time long, sequence long, "
+        "props string, version int",  # lit(int) in append() writes int32
+    ).write.mode("append").partitionBy("producer", "topic").parquet(
+        vt._resolve_data_path()
+    )
+    # beta exists only in the unindexed file — must still be found
+    assert [r["sequence"] for r in vt.read_string_probe("props", "beta").collect()] == [2]
+    # missing sidecar entirely -> full-scan fallback, not a crash
+    shutil.rmtree(vt.trigram_index_path)
+    assert [r["sequence"] for r in vt.read_string_probe("props", "alpha").collect()] == [1]
+    # repair then prune again
+    assert vt.update_trigram_index() > 0
+    assert [r["sequence"] for r in vt.read_string_probe("props", "beta").collect()] == [2]
