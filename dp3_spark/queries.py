@@ -1150,6 +1150,31 @@ group by n.n_name
 """
 _REGISTRY["tpch_q22_idle_balance"] = _sql_pair(_Q22)
 
+# q21: the double-correlated-EXISTS shape (suppliers who alone "held up"
+# a finalized multi-supplier order) — the fixtures carry no
+# receipt/commit dates, so "late" is proxied by l_returnflag = 'R'; the
+# plan shape (two correlated semi/anti self-joins on the fact table) is
+# the point.  Catalyst plans exists -> LeftSemi and not exists ->
+# LeftAnti against the same lineitem scan.
+_Q21 = """
+select s.s_name, count(*) as numwait
+from supplier s
+join lineitem l1 on s.s_suppkey = l1.l_suppkey
+join orders o on o.o_orderkey = l1.l_orderkey
+join nation n on n.n_nationkey = s.s_nationkey
+where o.o_orderstatus = 'F' and l1.l_returnflag = 'R'
+  and exists (
+    select 1 from lineitem l2
+    where l2.l_orderkey = l1.l_orderkey and l2.l_suppkey <> l1.l_suppkey)
+  and not exists (
+    select 1 from lineitem l3
+    where l3.l_orderkey = l1.l_orderkey and l3.l_suppkey <> l1.l_suppkey
+      and l3.l_returnflag = 'R')
+  and n.n_name in ('NATION_0', 'NATION_1', 'NATION_2')
+group by s.s_name
+"""
+_REGISTRY["tpch_q21_waiting_supplier"] = _sql_pair(_Q21)
+
 # window frame specs: running total (unbounded-preceding row frame) per
 # customer over order history.
 _RUNNING = """
