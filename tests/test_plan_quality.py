@@ -238,3 +238,40 @@ def test_hll_sketch_is_pure_codegen(spark):
     plan = plan_of(est)
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert marker not in plan, marker
+
+
+def test_resample_plans_without_join(spark):
+    """resample_hold/linear must plan as union+window — a range join
+    would fall to BroadcastNestedLoopJoin and explode at scale."""
+    from dp3_spark import queries as Q
+
+    for name in ("stat_resample_hourly", "stat_resample_lerp"):
+        df = Q.queries()[name](spark, SF)
+        txt = plan_of(df)
+        assert "NestedLoop" not in txt, name
+        assert "Join" not in txt, name  # no join operator of any kind
+        assert "Window" in txt, name
+
+
+def test_knn_corpus_never_shuffles_vectors(spark):
+    """knn_classify: the query side broadcasts; the only exchanges beyond
+    the broadcast carry the thin neighbor/vote rows, never the corpus
+    embedding column."""
+    from dp3_spark import queries as Q
+
+    df = Q.queries()["sim_knn_classify"](spark, SF)
+    txt = plan_of(df)
+    assert "BroadcastExchange" in txt
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", txt):
+        assert "embedding" not in m.group(1)
+
+
+def test_paragraph_dedup_single_fingerprint_shuffle_no_python(spark):
+    from dp3_spark import queries as Q
+
+    df = Q.queries()["dedup_paragraphs"](spark, SF)
+    txt = plan_of(df)
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+    assert "NestedLoop" not in txt
