@@ -231,3 +231,32 @@ def test_import_then_query_end_to_end(spark):
         assert got == [5, 6, 7]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_python_datasource_format_mcap(spark, tmp_path):
+    """spark.read.format('mcap') — the DataSource V2 path must return the
+    identical frame to the programmatic read_mcap() reader, with one
+    input partition per chunk (the reference's chunk-indexed scan)."""
+    from dp3_spark.sources.mcap import read_mcap
+    from dp3_spark.sources.mcap_datasource import McapUnit, McapReader, register
+
+    raw = fix_mcap_bytes(40, chunked=True, chunk_size=400, compression="zstd")
+    p = tmp_path / "cap.mcap"
+    p.write_bytes(raw)
+
+    register(spark)
+    df = (
+        spark.read.format("mcap")
+        .option("producer", "bot7")
+        .load(str(p))
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(tuple(r) for r in read_mcap(spark, [(str(p), "bot7")]).collect())
+    assert got == want
+    assert len(got) == 40
+    assert got[0][0] == "bot7"
+    # chunk-granular parallelism: several partitions for one file
+    reader = McapReader({"path": str(p), "producer": "bot7"})
+    parts = reader.partitions()
+    assert len(parts) > 1
+    assert all(isinstance(u, McapUnit) for u in parts)
