@@ -2661,8 +2661,11 @@ _PRIORITY_ORDER = [
     "text_metrics",
     "text_langid",
     "text_fingerprint",
-    "text_repetition",
-    "text_vocab_topk",
+    # (text_repetition / text_vocab_topk follow at 51+: the text family
+    # keeps three windowed rows; their slots go to the round-3 operator
+    # families below)
+    "stat_resample_hourly",
+    "dedup_paragraphs",
     # dedup family
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -2674,9 +2677,11 @@ _PRIORITY_ORDER = [
     "dedup_clusters",
     # similarity search
     "sim_cosine_topk",
+    "sim_knn_classify",
     "sim_dup_pairs",
     "sim_dup_pairs_lsh",
-    "sim_lsh_topk",
+    # sim_ivf_topk keeps the window's ANN-recall (rows-only) row;
+    # sim_lsh_topk (also rows-only by design) trails at 51+
     "sim_ivf_topk",
     "sem_dedup",
     # multimodal + MCAP round-trip
