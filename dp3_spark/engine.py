@@ -50,14 +50,9 @@ class DP3Engine:
             c for c in df.columns
             if c not in ("producer", "topic", "log_time", "sequence", "version")
         )
-        return LogStore(
-            df=df.drop("version"),
-            producer_col="producer",
-            topic_col="topic",
-            time_col="log_time",
-            sequence_col="sequence",
-            payload_cols=payload,
-        )
+        # table-backed reads go through log_store() so the trigram-sidecar
+        # probe hook (statfilter-in-scan) is active for QL string equality
+        return self.table.log_store(payload_cols=payload)
 
     def execute(self, statement: str) -> Optional[DataFrame]:
         """Run one QL statement.  Queries return a DataFrame; truncate
@@ -129,6 +124,40 @@ class DP3Engine:
         from dp3_spark.operators import stats as STAT
 
         return STAT.available_statistics(self._store())
+
+    def resample(
+        self,
+        *,
+        start_ns: int,
+        end_ns: int,
+        step_ns: int,
+        value_cols: tuple[str, ...] = ("value",),
+        method: str = "hold",
+    ) -> DataFrame:
+        """Fixed-rate resample of payload columns onto a time grid per
+        (producer, topic) — operators/resample.py.  method: 'hold'
+        (zero-order, multi-column) or 'linear' (interpolated, first
+        value column)."""
+        from dp3_spark.operators import resample as RS
+
+        norm = self._store().normalized()
+        if method == "hold":
+            return RS.resample_hold(
+                norm,
+                start_ns=start_ns,
+                end_ns=end_ns,
+                step_ns=step_ns,
+                value_cols=value_cols,
+            )
+        if method == "linear":
+            return RS.resample_linear(
+                norm,
+                start_ns=start_ns,
+                end_ns=end_ns,
+                step_ns=step_ns,
+                value_col=value_cols[0],
+            )
+        raise ValueError(f"unknown resample method {method!r}")
 
     def producers(self) -> list[str]:
         """GET /producers catalog endpoint."""

@@ -155,3 +155,31 @@ def test_engine_service_surface(engine):
     )
     tail = engine.tail(base_v).collect()
     assert {r["producer"] for r in tail} == {"dev2"}
+
+
+def test_engine_resample_and_trigram_store(spark, tmp_path):
+    """Table-backed engine: resample() serves both methods, and _store()
+    wires the trigram probe hook so QL string equality prunes files."""
+    from dp3_spark.engine import DP3Engine
+    from dp3_spark.streaming.lifecycle import VersionedLogTable
+
+    vt = VersionedLogTable(spark, str(tmp_path / "db"), trigram_cols=("props",))
+    for i, props in enumerate(["alpha", "beta", "gamma"]):
+        vt.append(
+            spark.createDataFrame(
+                [("p1", "click", 100 * (i + 1), i, float(i), props)],
+                "producer string, topic string, log_time long, sequence long, "
+                "value double, props string",
+            )
+        )
+    eng = DP3Engine(spark, table=vt)
+    held = eng.resample(start_ns=100, end_ns=400, step_ns=100).collect()
+    assert [(r["log_time"], r["value"]) for r in sorted(held, key=lambda r: r["log_time"])] == [
+        (100, 0.0), (200, 1.0), (300, 2.0)
+    ]
+    lerp = eng.resample(start_ns=100, end_ns=301, step_ns=50, method="linear").collect()
+    mid = {r["log_time"]: r["value"] for r in lerp}
+    assert mid[150] == 0.5 and mid[250] == 1.5
+    # QL equality on the indexed column goes through the probe hook
+    out = eng.execute("from p1 click where click.props = 'beta';").collect()
+    assert [r["sequence"] for r in out] == [1]
