@@ -41,6 +41,7 @@ HEADLINE = [
     "stat_range_hourly",      # multigranular stats (workload #3)
     "stat_quantiles_hourly",  # quantile stats
     "stat_hll_daily",         # mergeable HLL distinct-count sketch
+    "stat_resample_hourly",   # zero-order-hold grid resample (no-join plan)
     "events_sessionize",      # stateful sessionization
     "tpch_q1_pricing",        # wide aggregation
     "tpch_q3_shipping",       # join + top-k
