@@ -54,6 +54,11 @@ def parse_image_dims(data: bytes) -> tuple[str, int, int] | None:
         w = int.from_bytes(data[6:8], "little")
         h = int.from_bytes(data[8:10], "little")
         return "gif", w, h
+    if len(data) >= 26 and data[:2] == b"BM":
+        w = int.from_bytes(data[18:22], "little", signed=True)
+        h = abs(int.from_bytes(data[22:26], "little", signed=True))
+        if w > 0 and h > 0:
+            return "bmp", w, h
     if len(data) >= 4 and data[:2] == b"\xff\xd8":
         i = 2
         while i + 9 <= len(data):
@@ -329,3 +334,174 @@ def extract_features(df: DataFrame, *, dim: int = 16,
     return df.select(id_col, "payload").mapInPandas(
         feats, "doc_id long, features array<float>"
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel/sample decode for the codec-free container formats: 24-bit
+# uncompressed BMP and 16-bit PCM WAV need nothing but numpy, so for these
+# two the decode step is NOT a stub — actual pixels and actual samples flow
+# through the same mapInPandas plumbing the stubbed formats use.
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(data: bytes):
+    """24bpp uncompressed BMP -> (height, width, 3) uint8 RGB array, or
+    None if not such a BMP.  Pure numpy: BITMAPFILEHEADER pixel offset at
+    byte 10, BITMAPINFOHEADER width/height int32 LE at 18/22, bpp u16 at
+    28, compression u32 at 30 (must be BI_RGB=0); rows are bottom-up and
+    padded to 4 bytes; samples are BGR order."""
+    import numpy as np
+
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if off + stride * h > len(data):
+        return None
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(arr) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24bpp bottom-up BMP bytes (the inverse of
+    decode_bmp; used to emit REAL thumbnails and by tests)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR, flip
+    raw = body.tobytes()
+    size = 54 + len(raw)
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raw).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + raw
+
+
+def decode_wav_pcm(data: bytes):
+    """16-bit PCM WAV -> (n_frames, channels) int16 numpy array, or None.
+    Reuses parse_wav_meta's chunk walk for the header; samples come
+    straight off np.frombuffer (little-endian interleaved)."""
+    import numpy as np
+
+    meta = parse_wav_meta(data)
+    if meta is None:
+        return None
+    rate, channels, bits, n_frames = meta
+    if bits != 16 or n_frames == 0:
+        return None
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        csize = int.from_bytes(data[i + 4 : i + 8], "little")
+        if cid == b"data":
+            n = min(csize, len(data) - i - 8) // (2 * channels) * channels
+            pcm = np.frombuffer(data, dtype="<i2", count=n, offset=i + 8)
+            return pcm.reshape(-1, channels)
+        i += 8 + csize + (csize & 1)
+    return None
+
+
+def resize_image(df: DataFrame, *, width: int = 64, height: int = 64,
+                 id_col: str = "doc_id") -> DataFrame:
+    """REAL resize for decodable payloads: 24bpp BMPs decode to pixel
+    arrays, resample nearest-neighbor (pure numpy index math), and
+    re-encode as BMP thumbnails; everything else falls back to the
+    deterministic stub bytes.  Same schema/batching as resize_stub, so
+    the two are drop-in interchangeable — format coverage is the only
+    difference."""
+    import numpy as np
+
+    n_stub = max(1, width * height // 64)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for p in pdf["payload"]:
+                b = bytes(p) or b"\x00"
+                img = decode_bmp(b)
+                if img is not None:
+                    ys = (np.arange(height) * img.shape[0]) // height
+                    xs = (np.arange(width) * img.shape[1]) // width
+                    thumbs.append(encode_bmp(img[ys][:, xs]))
+                else:
+                    reps = -(-n_stub // len(b))
+                    thumbs.append((b * reps)[:n_stub])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "out_width": width,
+                    "out_height": height,
+                    "thumb": thumbs,
+                    "thumb_bytes": [len(t) for t in thumbs],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(resize, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, n_frames long, rms double, zero_cross_rate double, "
+    "peak double"
+)
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL signal features for 16-bit PCM WAV payloads (rms,
+    zero-crossing rate, peak — all vectorized numpy over the first
+    channel); non-WAV payloads yield null features but keep their row, so
+    the operator is total over mixed corpora."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nf, rms, zcr, peak = [], [], [], []
+            for p in pdf["payload"]:
+                pcm = decode_wav_pcm(bytes(p))
+                if pcm is None:
+                    nf.append(None); rms.append(None)
+                    zcr.append(None); peak.append(None)
+                    continue
+                x = pcm[:, 0].astype(np.float64) / 32768.0
+                nf.append(len(x))
+                rms.append(float(np.sqrt(np.mean(x * x))))
+                zcr.append(
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    if len(x) > 1 else 0.0
+                )
+                peak.append(float(np.max(np.abs(x))))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_frames": pd.array(nf, dtype="Int64"),
+                    "rms": pd.array(rms, dtype="float64"),
+                    "zero_cross_rate": pd.array(zcr, dtype="float64"),
+                    "peak": pd.array(peak, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(feats, AUDIO_FEATURE_SCHEMA)

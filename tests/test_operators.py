@@ -930,3 +930,60 @@ def test_knn_classify_ignores_unlabeled_rows(spark):
     out = SIM.knn_classify(corpus, q, k=2).collect()[0]
     # the two nearest LABELED neighbors are 1 and 4 -> tie -> label 1
     assert out["predicted_label"] == 1 and out["votes"] == 1
+
+
+def _wav_pcm_bytes(samples, rate=16000, channels=1):
+    import struct
+
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2 * channels,
+                      2 * channels, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_bmp_pixel_roundtrip_and_real_resize(spark):
+    import numpy as np
+
+    # 4x2 gradient image: decode must reproduce exact pixels
+    img = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    raw = MM.encode_bmp(img)
+    assert MM.parse_image_dims(raw) == ("bmp", 4, 2)
+    back = MM.decode_bmp(raw)
+    assert np.array_equal(back, img)
+    # real nearest-neighbor resize through the Spark operator
+    docs = spark.createDataFrame([(1, bytearray(raw))], "doc_id long, payload binary")
+    row = MM.resize_image(docs, width=2, height=1).collect()[0]
+    thumb = MM.decode_bmp(bytes(row["thumb"]))
+    assert thumb.shape == (1, 2, 3)
+    # nearest-neighbor: picks pixels (0,0) and (0,2)
+    assert np.array_equal(thumb[0, 0], img[0, 0])
+    assert np.array_equal(thumb[0, 1], img[0, 2])
+    # metadata path reports the real format + dims
+    meta = MM.decode_metadata(docs).collect()[0]
+    assert (meta["format"], meta["width"], meta["height"]) == ("bmp", 4, 2)
+
+
+def test_wav_pcm_decode_and_audio_features(spark):
+    import math
+
+    import numpy as np
+
+    # 1 kHz square wave at full scale: rms=1.0, zcr=2*f/rate, peak=1.0
+    rate, n = 8000, 800
+    samples = [32767 if (i // 4) % 2 == 0 else -32768 for i in range(n)]
+    raw = _wav_pcm_bytes(samples, rate=rate)
+    pcm = MM.decode_wav_pcm(raw)
+    assert pcm.shape == (n, 1)
+    assert pcm[0, 0] == 32767 and pcm[4, 0] == -32768
+    docs = spark.createDataFrame(
+        [(1, bytearray(raw)), (2, bytearray(b"not audio"))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in MM.audio_features(docs).collect()}
+    assert out[1]["n_frames"] == n
+    assert out[1]["peak"] == pytest.approx(1.0, abs=1e-4)
+    assert out[1]["rms"] == pytest.approx(1.0, abs=1e-3)
+    assert out[1]["zero_cross_rate"] == pytest.approx(1.0 / 4.0, abs=0.01)
+    assert out[2]["rms"] is None and out[2]["n_frames"] is None
