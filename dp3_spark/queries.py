@@ -1916,6 +1916,95 @@ def mm_frame_sample(spark, sf_dir):
     return MM.frame_sample_plan(MM.with_binary_payload(docs))
 
 
+_WAV_N = 64  # samples per synthesized doc waveform
+
+
+@register(
+    "mm_audio_features",
+    f"""
+    with s as (
+      select d.doc_id, g.i,
+             ((d.doc_id * 2654435761 + g.i * 40503) % 65536) - 32768 as x
+      from documents d, unnest(generate_series(0, {_WAV_N - 1})) g(i)
+    ),
+    z as (
+      select doc_id, i, x,
+             lag(x) over (partition by doc_id order by i) as px
+      from s
+    )
+    select doc_id,
+           cast(count(*) as bigint) as n_frames,
+           cast(sum(x * x) as bigint) as sum_sq,
+           cast(max(abs(x)) as bigint) as peak_abs,
+           cast(sum(case when px is not null
+                          and (x < 0) <> (px < 0) then 1 else 0 end)
+                as bigint) as zero_crossings
+    from z group by doc_id
+    """,
+)
+def mm_audio_features(spark, sf_dir):
+    """REAL 16-bit PCM WAV decode in the driver gate: each document gets
+    a deterministic synthesized waveform, encoded to actual RIFF/WAV
+    bytes in the Spark path and decoded back through
+    multimodal.decode_wav_pcm — while the oracle computes the identical
+    integer-exact features (sum of squares, peak, zero crossings)
+    straight from the sample formula.  Any WAV encode/parse/decode
+    corruption breaks the hash."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                i = np.arange(_WAV_N, dtype=np.int64)
+                x = ((int(did) * 2654435761 + i * 40503) % 65536) - 32768
+                pcm = x.astype("<i2").tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                body = (
+                    b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm
+                )
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    wav = docs.mapInPandas(synth, "doc_id long, payload binary")
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                pcm = MM.decode_wav_pcm(bytes(p))
+                x = pcm[:, 0].astype(np.int64)
+                rows.append(
+                    (
+                        int(did),
+                        len(x),
+                        int((x * x).sum()),
+                        int(np.abs(x).max()),
+                        int(((x[1:] < 0) != (x[:-1] < 0)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "sum_sq", "peak_abs", "zero_crossings"
+                ],
+            )
+
+    return wav.mapInPandas(
+        feats,
+        "doc_id long, n_frames long, sum_sq long, peak_abs long, "
+        "zero_crossings long",
+    )
+
+
 # =========================================================================
 # MCAP import + ROS1 payload decode, end to end against the SQL oracle:
 # events rows -> ros1msg-encoded MCAP files -> read_mcap -> compiled
