@@ -1916,6 +1916,68 @@ def mm_frame_sample(spark, sf_dir):
     return MM.frame_sample_plan(MM.with_binary_payload(docs))
 
 
+_BMP_W, _BMP_H = 8, 8
+
+
+@register(
+    "mm_bmp_decode",
+    f"""
+    with px as (
+      select d.doc_id,
+             ((d.doc_id * 31 + r.r * 7 + c.c * 3 + ch.ch) % 256) as v, ch.ch
+      from documents d,
+           unnest(generate_series(0, {_BMP_H - 1})) r(r),
+           unnest(generate_series(0, {_BMP_W - 1})) c(c),
+           unnest(generate_series(0, 2)) ch(ch)
+    )
+    select doc_id,
+           cast(sum(case when ch = 0 then v else 0 end) as bigint) as sum_r,
+           cast(sum(case when ch = 1 then v else 0 end) as bigint) as sum_g,
+           cast(sum(case when ch = 2 then v else 0 end) as bigint) as sum_b,
+           cast(max(v) as bigint) as peak
+    from px group by doc_id
+    """,
+)
+def mm_bmp_decode(spark, sf_dir):
+    """REAL BMP pixel decode in the driver gate: each document rasterizes
+    a deterministic 8x8 RGB gradient, round-trips through actual 24bpp
+    BMP bytes (encode_bmp -> decode_bmp, incl. the bottom-up row flip and
+    BGR byte order), and reports integer-exact channel sums; the oracle
+    computes them from the pixel formula directly."""
+    import numpy as np
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                r = np.arange(_BMP_H).reshape(-1, 1, 1)
+                c = np.arange(_BMP_W).reshape(1, -1, 1)
+                ch = np.arange(3).reshape(1, 1, -1)
+                img = ((int(did) * 31 + r * 7 + c * 3 + ch) % 256).astype(
+                    np.uint8
+                )
+                back = MM.decode_bmp(MM.encode_bmp(img)).astype(np.int64)
+                rows.append(
+                    (
+                        int(did),
+                        int(back[..., 0].sum()),
+                        int(back[..., 1].sum()),
+                        int(back[..., 2].sum()),
+                        int(back.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sum_r", "sum_g", "sum_b", "peak"]
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, sum_r long, sum_g long, sum_b long, peak long"
+    )
+
+
 _WAV_N = 64  # samples per synthesized doc waveform
 
 
