@@ -2793,9 +2793,12 @@ _PRIORITY_ORDER = [
     "ql_between_iso8601",
     "ql_where_trigram_pruned",
     "ql_asof_precedes",
-    "ql_asof_immediate",
-    "ql_asof_succeeds",
     "ql_asof_unbounded",
+    # (ql_asof_immediate / ql_asof_succeeds trail at 51+: same operator,
+    # driver-green in r01 AND r02 — their slots go to the real-decode
+    # multimodal gates)
+    "mm_audio_features",
+    "mm_bmp_decode",
     # statistics service (SURVEY §2.4)
     "stat_range_hourly",
     "stat_rollup_daily",
