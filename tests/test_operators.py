@@ -987,3 +987,28 @@ def test_wav_pcm_decode_and_audio_features(spark):
     assert out[1]["rms"] == pytest.approx(1.0, abs=1e-3)
     assert out[1]["zero_cross_rate"] == pytest.approx(1.0 / 4.0, abs=0.01)
     assert out[2]["rms"] is None and out[2]["n_frames"] is None
+
+
+def test_decoders_robust_to_malformed_bytes():
+    """decode_bmp / decode_wav_pcm must return None (or truncate safely),
+    never raise, on malformed input."""
+    import numpy as np
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = MM.encode_bmp(img)
+    for b in (
+        b"", b"BM", good[:30],            # truncated headers
+        good[:-5],                         # truncated pixel data
+        b"BM" + b"\x00" * 60,              # zero dims
+        bytes([0x42, 0x4D]) + b"\xff" * 60,  # nonsense fields
+    ):
+        assert MM.decode_bmp(b) is None or isinstance(
+            MM.decode_bmp(b), np.ndarray
+        )
+    wav = _wav_pcm_bytes([1, -1, 2, -2])
+    assert MM.decode_wav_pcm(wav).shape == (4, 1)
+    # truncated data chunk: decode what's actually present, don't crash
+    trunc = MM.decode_wav_pcm(wav[:-2])
+    assert trunc is None or len(trunc) <= 4
+    for b in (b"", b"RIFF", wav[:20], b"RIFF\x00\x00\x00\x00WAVE"):
+        assert MM.decode_wav_pcm(b) is None
