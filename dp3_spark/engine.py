@@ -45,14 +45,11 @@ class DP3Engine:
     def _store(self) -> LogStore:
         if self._explicit_store is not None:
             return self._explicit_store
-        df = self.table.read()
-        payload = tuple(
-            c for c in df.columns
-            if c not in ("producer", "topic", "log_time", "sequence", "version")
-        )
         # table-backed reads go through log_store() so the trigram-sidecar
-        # probe hook (statfilter-in-scan) is active for QL string equality
-        return self.table.log_store(payload_cols=payload)
+        # probe hook (statfilter-in-scan) is active for QL string
+        # equality; log_store derives payload columns from its own single
+        # read (no second table.read() just for column names)
+        return self.table.log_store()
 
     def execute(self, statement: str) -> Optional[DataFrame]:
         """Run one QL statement.  Queries return a DataFrame; truncate

@@ -140,21 +140,33 @@ def probe_signature(
     return row["lo"], row["hi"]
 
 
-def pruned_files(
+def _decode_file_uri(uri: str) -> str:
+    """input_file_name() returns PERCENT-ENCODED URIs ('a b' ->
+    'a%20b', a literal '%2F' partition dir -> '%252F'); one unquote
+    recovers the actual path spelling that spark.read and os-path
+    comparisons need.  (urllib.unquote leaves '+' alone, unlike
+    url_decode's form-encoding rules.)"""
+    from urllib.parse import unquote
+
+    return unquote(uri)
+
+
+def probe_index(
     spark: SparkSession,
     index_path: str,
     column: str,
     needle: str,
     *,
     mode: str = "eq",
-) -> list[str]:
-    """Distinct surviving files for a probe.  Signature containment:
-    every needle bit present in the file's signature (bitset.Contains
-    parity); eq mode adds the min/max bounds check (statfilter.go:125).
+) -> tuple[set[str], set[str]]:
+    """(surviving files, all indexed files) for a probe, from ONE pass
+    over the sidecar (one Spark job, one collect — the probe hot path
+    should not scan the index twice).  Signature containment: every
+    needle bit present in the file's signature (bitset.Contains parity);
+    eq mode adds the min/max bounds check (statfilter.go:125).
     Duplicate (file, column) index rows — possible after a crash-repair
-    re-append — collapse here so a path is never scanned twice."""
+    re-append — collapse here; file names come back percent-DECODED."""
     lo, hi = probe_signature(spark, needle, mode=mode)
-    idx = spark.read.parquet(index_path).filter(F.col("column") == column)
     cond = (F.col("sig_lo").bitwiseAND(F.lit(lo)) == F.lit(lo)) & (
         F.col("sig_hi").bitwiseAND(F.lit(hi)) == F.lit(hi)
     )
@@ -163,14 +175,38 @@ def pruned_files(
         cond = cond & (F.lit(needle) >= F.col("min_val")) & (
             F.lit(needle) <= F.col("max_val")
         )
-    return sorted({r["file"] for r in idx.filter(cond).select("file").collect()})
+    rows = (
+        spark.read.parquet(index_path)
+        .filter(F.col("column") == column)
+        .select("file", cond.alias("survives"))
+        .collect()
+    )
+    covered = {_decode_file_uri(r["file"]) for r in rows}
+    survivors = {_decode_file_uri(r["file"]) for r in rows if r["survives"]}
+    return survivors, covered
+
+
+def pruned_files(
+    spark: SparkSession,
+    index_path: str,
+    column: str,
+    needle: str,
+    *,
+    mode: str = "eq",
+) -> list[str]:
+    """Distinct surviving files for a probe (percent-decoded paths)."""
+    survivors, _ = probe_index(spark, index_path, column, needle, mode=mode)
+    return sorted(survivors)
 
 
 def indexed_files(spark: SparkSession, index_path: str, column: str) -> set[str]:
-    """Distinct file set the sidecar covers for one column (staleness /
-    test inspection; not on the probe hot path)."""
+    """Distinct (percent-decoded) file set the sidecar covers for one
+    column (staleness repair / test inspection)."""
     idx = spark.read.parquet(index_path).filter(F.col("column") == column)
-    return {r["file"] for r in idx.select("file").distinct().collect()}
+    return {
+        _decode_file_uri(r["file"])
+        for r in idx.select("file").distinct().collect()
+    }
 
 
 def pruned_read(

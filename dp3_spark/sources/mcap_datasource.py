@@ -70,12 +70,22 @@ class McapUnit(InputPartition):
 
 
 class McapReader(DataSourceReader):
-    def __init__(self, options):
+    def __init__(self, options, fields=_FIELDS):
         path = options.get("path")
         if not path:
             raise ValueError("mcap source requires a path (load(path))")
         self.files = _expand_paths(path)
         self.producer = options.get("producer", "")
+        # honor a user-supplied .schema(): read() emits tuples in the
+        # requested field order (subset/reorder allowed, unknown names
+        # rejected) — positional mapping would otherwise silently
+        # misassign columns
+        unknown = [f for f in fields if f not in _FIELDS]
+        if unknown:
+            raise ValueError(
+                f"mcap source has no column(s) {unknown}; available: {list(_FIELDS)}"
+            )
+        self.fields = tuple(fields)
 
     def partitions(self):
         from dp3_spark.sources.mcap import plan_mcap_units
@@ -89,7 +99,7 @@ class McapReader(DataSourceReader):
         for row in _decode_unit(
             partition.path, partition.producer, partition.offsets
         ):
-            yield tuple(row[f] for f in _FIELDS)
+            yield tuple(row[f] for f in self.fields)
 
 
 class McapDataSource(DataSource):
@@ -101,7 +111,8 @@ class McapDataSource(DataSource):
         return MCAP_SCHEMA
 
     def reader(self, schema) -> McapReader:
-        return McapReader(self.options)
+        fields = tuple(schema.fieldNames()) if schema is not None else _FIELDS
+        return McapReader(self.options, fields)
 
 
 def register(spark) -> None:

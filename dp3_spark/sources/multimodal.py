@@ -80,17 +80,18 @@ def parse_image_dims(data: bytes) -> tuple[str, int, int] | None:
     return None
 
 
-def parse_wav_meta(data: bytes) -> tuple[int, int, int, int] | None:
-    """REAL WAV (RIFF) metadata from the container header, pure Python:
-    (sample_rate, channels, bits_per_sample, n_frames).  Chunk walk per the
-    RIFF spec — 'fmt ' carries channels u16 / sample_rate u32 / block_align
-    u16 / bits u16; 'data' size / block_align = frame count.  Returns None
-    for anything that is not a well-formed WAV."""
+def _wav_layout(data: bytes):
+    """ONE RIFF chunk walk shared by metadata parse and PCM decode:
+    (rate, channels, bits, n_frames, data_off, data_avail) or None.
+    'fmt ' carries channels u16 / sample_rate u32 / block_align u16 /
+    bits u16; 'data' size / block_align = frame count; data_avail clamps
+    the declared chunk size to the bytes actually present (truncated
+    files decode what exists instead of crashing)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         return None
     i = 12
     rate = channels = bits = block_align = None
-    n_frames = None
+    n_frames = data_off = data_avail = None
     while i + 8 <= len(data):
         cid = data[i : i + 4]
         csize = int.from_bytes(data[i + 4 : i + 8], "little")
@@ -102,10 +103,20 @@ def parse_wav_meta(data: bytes) -> tuple[int, int, int, int] | None:
             bits = int.from_bytes(body[14:16], "little")
         elif cid == b"data" and block_align:
             n_frames = csize // block_align
+            data_off = i + 8
+            data_avail = min(csize, len(data) - data_off)
         i += 8 + csize + (csize & 1)  # chunks are word-aligned
     if rate and channels and bits and n_frames is not None:
-        return rate, channels, bits, n_frames
+        return rate, channels, bits, n_frames, data_off, data_avail
     return None
+
+
+def parse_wav_meta(data: bytes) -> tuple[int, int, int, int] | None:
+    """REAL WAV (RIFF) metadata from the container header, pure Python:
+    (sample_rate, channels, bits_per_sample, n_frames).  Returns None for
+    anything that is not a well-formed WAV."""
+    lay = _wav_layout(data)
+    return lay[:4] if lay is not None else None
 
 
 def parse_mp4_meta(data: bytes) -> tuple[int, int] | None:
@@ -172,7 +183,7 @@ def decode_audio_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             fmts, rates, chans, bits_l, frames, durs = [], [], [], [], [], []
             for p in pdf["payload"]:
-                b = bytes(p)
+                b = _payload_bytes(p)
                 meta = parse_wav_meta(b)
                 if meta is not None:
                     rate, ch, bits, nf = meta
@@ -232,7 +243,7 @@ def decode_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             fmts, widths, heights, hashes, sizes = [], [], [], [], []
             for p in pdf["payload"]:
-                b = bytes(p)
+                b = _payload_bytes(p)
                 hv = poly_hash_bytes(b)
                 sizes.append(len(b))
                 hashes.append(hv)
@@ -278,6 +289,22 @@ RESIZED_SCHEMA = (
 )
 
 
+def _payload_bytes(p) -> bytes:
+    """Null-safe payload coercion: a NULL binary cell arrives as None and
+    must not kill the task — every payload consumer goes through here."""
+    return b"" if p is None else bytes(p)
+
+
+def _stub_thumb(b: bytes, width: int, height: int) -> bytes:
+    """Deterministic stub thumbnail: payload tiled/truncated to
+    width*height//64 bytes (shared by resize_stub and resize_image's
+    non-decodable fallback so the two stay drop-in interchangeable)."""
+    n_out = max(1, width * height // 64)
+    b = b or b"\x00"
+    reps = -(-n_out // len(b))  # ceil
+    return (b * reps)[:n_out]
+
+
 def resize_stub(df: DataFrame, *, width: int = 64, height: int = 64,
                 id_col: str = "doc_id") -> DataFrame:
     """Resize plumbing: mapInPandas batch in -> fixed-dimension thumbnail
@@ -287,15 +314,12 @@ def resize_stub(df: DataFrame, *, width: int = 64, height: int = 64,
     deployment swaps the inner loop for PIL/libvips `thumbnail()` on the
     same Arrow batches — the schema, batch shape, and partitioning are
     what this exercises."""
-    n_out = max(1, width * height // 64)
-
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            thumbs = []
-            for p in pdf["payload"]:
-                b = bytes(p) or b"\x00"
-                reps = -(-n_out // len(b))  # ceil
-                thumbs.append((b * reps)[:n_out])
+            thumbs = [
+                _stub_thumb(_payload_bytes(p), width, height)
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -323,7 +347,7 @@ def extract_features(df: DataFrame, *, dim: int = 16,
         for pdf in batches:
             out = []
             for p in pdf["payload"]:
-                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                arr = np.frombuffer(_payload_bytes(p), dtype=np.uint8)
                 hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
                 norm = float(np.sqrt((hist * hist).sum()))
                 out.append((hist / norm if norm else hist).astype(np.float32))
@@ -404,26 +428,21 @@ def encode_bmp(arr) -> bytes:
 
 def decode_wav_pcm(data: bytes):
     """16-bit PCM WAV -> (n_frames, channels) int16 numpy array, or None.
-    Reuses parse_wav_meta's chunk walk for the header; samples come
-    straight off np.frombuffer (little-endian interleaved)."""
+    One shared chunk walk (_wav_layout) locates the data chunk; samples
+    come straight off np.frombuffer (little-endian interleaved)."""
     import numpy as np
 
-    meta = parse_wav_meta(data)
-    if meta is None:
+    lay = _wav_layout(data)
+    if lay is None:
         return None
-    rate, channels, bits, n_frames = meta
-    if bits != 16 or n_frames == 0:
+    rate, channels, bits, n_frames, data_off, data_avail = lay
+    if bits != 16 or n_frames == 0 or data_off is None:
         return None
-    i = 12
-    while i + 8 <= len(data):
-        cid = data[i : i + 4]
-        csize = int.from_bytes(data[i + 4 : i + 8], "little")
-        if cid == b"data":
-            n = min(csize, len(data) - i - 8) // (2 * channels) * channels
-            pcm = np.frombuffer(data, dtype="<i2", count=n, offset=i + 8)
-            return pcm.reshape(-1, channels)
-        i += 8 + csize + (csize & 1)
-    return None
+    n = data_avail // (2 * channels) * channels
+    if n <= 0:
+        return None
+    pcm = np.frombuffer(data, dtype="<i2", count=n, offset=data_off)
+    return pcm.reshape(-1, channels)
 
 
 def resize_image(df: DataFrame, *, width: int = 64, height: int = 64,
@@ -436,21 +455,18 @@ def resize_image(df: DataFrame, *, width: int = 64, height: int = 64,
     difference."""
     import numpy as np
 
-    n_stub = max(1, width * height // 64)
-
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             thumbs = []
             for p in pdf["payload"]:
-                b = bytes(p) or b"\x00"
+                b = _payload_bytes(p)
                 img = decode_bmp(b)
                 if img is not None:
                     ys = (np.arange(height) * img.shape[0]) // height
                     xs = (np.arange(width) * img.shape[1]) // width
                     thumbs.append(encode_bmp(img[ys][:, xs]))
                 else:
-                    reps = -(-n_stub // len(b))
-                    thumbs.append((b * reps)[:n_stub])
+                    thumbs.append(_stub_thumb(b, width, height))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -481,7 +497,7 @@ def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             nf, rms, zcr, peak = [], [], [], []
             for p in pdf["payload"]:
-                pcm = decode_wav_pcm(bytes(p))
+                pcm = decode_wav_pcm(_payload_bytes(p))
                 if pcm is None:
                     nf.append(None); rms.append(None)
                     zcr.append(None); peak.append(None)

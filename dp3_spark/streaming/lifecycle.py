@@ -279,17 +279,13 @@ class VersionedLogTable:
         the number of files indexed."""
         if not self.trigram_cols:
             return 0
-        from dp3_spark.operators.trigram import build_trigram_index
+        from dp3_spark.operators.trigram import build_trigram_index, indexed_files
 
         indexed: set[str] = set()
         try:
-            indexed = {
-                r["file"]
-                for r in self.spark.read.parquet(self.trigram_index_path)
-                .select("file")
-                .distinct()
-                .collect()
-            }
+            indexed = indexed_files(
+                self.spark, self.trigram_index_path, self.trigram_cols[0]
+            )
         except Exception:
             pass
         new = [
@@ -326,7 +322,7 @@ class VersionedLogTable:
         scanned — only provably-safe skips happen.  Tombstone/version
         semantics preserved; basePath keeps the partition columns on the
         file-list scan."""
-        from dp3_spark.operators.trigram import indexed_files, pruned_files
+        from dp3_spark.operators.trigram import probe_index
 
         full = self._data()
         if full is None:
@@ -339,22 +335,16 @@ class VersionedLogTable:
         if not self.trigram_cols or column not in self.trigram_cols:
             return self._apply_tombstones(full, as_of_version).filter(pred)
         try:
-            survivors = set(
-                pruned_files(
-                    self.spark, self.trigram_index_path, column, needle, mode=mode
-                )
+            survivors, covered = probe_index(
+                self.spark, self.trigram_index_path, column, needle, mode=mode
             )
-            covered = indexed_files(self.spark, self.trigram_index_path, column)
         except Exception:
             # sidecar missing or unreadable: correctness first, no pruning
             return self._apply_tombstones(full, as_of_version).filter(pred)
-        # unindexed data files can never be skipped
-        stale = {
-            f"file://{p}"
-            for p in self._list_data_files()
-            if f"file://{p}" not in covered
-        }
-        files = sorted(survivors | stale)
+        live = {f"file://{p}" for p in self._list_data_files()}
+        # unindexed data files can never be skipped; index rows for files
+        # a compact() crash already deleted must not be read
+        files = sorted((survivors & live) | (live - covered))
         if not files:
             return full.limit(0).filter(F.lit(False))
         df = (
@@ -379,13 +369,22 @@ class VersionedLogTable:
             # masking are applied by the probe read itself
             return self.read_string_probe(column, needle, mode=mode)
 
+        df = self.read()
+        if not payload_cols:
+            # default: every non-canonical column is payload (version is
+            # bookkeeping) — derived from THIS frame, no second read
+            payload_cols = tuple(
+                c
+                for c in df.columns
+                if c not in ("producer", "topic", "log_time", "sequence", "version")
+            )
         return LogStore(
-            df=self.read(),
+            df=df,
             producer_col="producer",
             topic_col="topic",
             time_col="log_time",
             sequence_col="sequence",
-            payload_cols=payload_cols or self.trigram_cols,
+            payload_cols=payload_cols,
             string_probe=probe if self.trigram_cols else None,
             probe_columns=self.trigram_cols,
         )

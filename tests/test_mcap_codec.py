@@ -260,3 +260,22 @@ def test_python_datasource_format_mcap(spark, tmp_path):
     parts = reader.partitions()
     assert len(parts) > 1
     assert all(isinstance(u, McapUnit) for u in parts)
+
+
+def test_python_datasource_user_schema_subset_reorder(spark, tmp_path):
+    """A user-supplied .schema() must map by NAME (subset + reorder), not
+    positionally."""
+    from dp3_spark.sources.mcap_datasource import register
+
+    p = tmp_path / "s.mcap"
+    p.write_bytes(fix_mcap_bytes(5))
+    register(spark)
+    df = (
+        spark.read.format("mcap")
+        .schema("topic string, sequence long, producer string")
+        .option("producer", "r2")
+        .load(str(p))
+    )
+    rows = sorted(tuple(r) for r in df.collect())
+    assert rows[0] == ("/fix", 0, "r2")
+    assert len(rows) == 5
