@@ -185,3 +185,56 @@ def resample_linear(
         b.filter(F.col("__p").isNotNull() & (exact | F.col("__n").isNotNull()))
         .select(*partition_cols, time_col, value.alias(value_col))
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    *,
+    bucket_ns: int,
+    time_col: str = "log_time",
+    value_expr: str = "value",
+    partition_cols: Sequence[str] = ("producer", "topic"),
+) -> DataFrame:
+    """Time-weighted average per (partition, bucket) — the hypertable
+    `time_weight` aggregate: each sample holds until the next sample in
+    its partition, and a bucket averages values weighted by hold
+    duration.  Intervals are attributed to the bucket their sample
+    STARTS in (an interval crossing a bucket boundary is not split —
+    documented simplification); each partition's last sample has no
+    successor and contributes nothing.
+
+    Exactness: weights are µs integers and `value_expr` should yield an
+    integer fixed-point (e.g. cents) so numerator/denominator are exact
+    int64 sums — order-independent at any parallelism, and a SQL oracle
+    reproduces them bit-for-bit.  The only float is the final single
+    division.  One lead() window per partition (sorted once), then a
+    map-combinable groupBy."""
+    parts = [F.col(c) for c in partition_cols]
+    # callers must ensure one sample per (partition, time) — pre-aggregate
+    # duplicates first, or lead() order under ties is nondeterministic
+    w = Window.partitionBy(*parts).orderBy(F.col(time_col))
+    stepped = df.select(
+        *partition_cols,
+        F.col(time_col),
+        F.expr(value_expr).cast("long").alias("__v"),
+    ).withColumn("__next_t", F.lead(time_col).over(w))
+    dt_us = F.expr(f"(__next_t - {time_col}) div 1000")  # integer, exact
+    return (
+        stepped.filter(F.col("__next_t").isNotNull())
+        .withColumn("__dt", dt_us)
+        .groupBy(
+            *partition_cols,
+            F.expr(f"({time_col} div {bucket_ns}) * {bucket_ns}")
+            .cast("long")
+            .alias("bucket_start"),
+        )
+        .agg(
+            F.sum(F.col("__dt") * F.col("__v")).cast("long").alias("weighted_sum"),
+            F.sum("__dt").cast("long").alias("total_dt_us"),
+            F.count("*").cast("long").alias("n_intervals"),
+        )
+        .withColumn(
+            "twa",
+            F.col("weighted_sum").cast("double") / F.col("total_dt_us").cast("double"),
+        )
+    )

@@ -598,6 +598,52 @@ def stat_resample_hourly(spark, sf_dir):
 
 
 @register(
+    "stat_twa_daily",
+    f"""
+    with base as ({EV_BASE}),
+    ev as (
+      select producer, topic, log_time,
+             max(cast(round(value * 100) as bigint)) as v
+      from base where topic = 'click'
+      group by 1, 2, 3
+    ),
+    led as (
+      select *, lead(log_time) over (partition by producer, topic
+                                     order by log_time) as nt
+      from ev
+    )
+    select producer, topic,
+           (log_time // {DAY_NS}) * {DAY_NS} as bucket_start,
+           cast(sum(((nt - log_time) // 1000) * v) as bigint) as weighted_sum,
+           cast(sum((nt - log_time) // 1000) as bigint) as total_dt_us,
+           cast(count(*) as bigint) as n_intervals,
+           cast(sum(((nt - log_time) // 1000) * v) as double)
+             / cast(sum((nt - log_time) // 1000) as double) as twa
+    from led where nt is not null
+    group by 1, 2, 3
+    """,
+)
+def stat_twa_daily(spark, sf_dir):
+    """Time-weighted average per (producer, day) — the hypertable
+    time_weight aggregate (operators/resample.time_weighted_avg): each
+    sample holds until the next, weights in exact µs integers, value in
+    exact cents, so numerator/denominator are order-independent int64
+    sums and the single final division is the only float."""
+    from dp3_spark.operators.resample import time_weighted_avg
+
+    store = events_log_store(spark, sf_dir, us_truncate=True)
+    ev = (
+        store.normalized()
+        .filter(F.col("topic") == "click")
+        .groupBy("producer", "topic", "log_time")
+        .agg(
+            F.max(F.expr("cast(round(value * 100) as bigint)")).alias("v_cents")
+        )
+    )
+    return time_weighted_avg(ev, bucket_ns=DAY_NS, value_expr="v_cents")
+
+
+@register(
     "stat_resample_lerp",
     f"""
     with base as ({EV_BASE}),

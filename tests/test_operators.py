@@ -1012,3 +1012,21 @@ def test_decoders_robust_to_malformed_bytes():
     assert trunc is None or len(trunc) <= 4
     for b in (b"", b"RIFF", wav[:20], b"RIFF\x00\x00\x00\x00WAVE"):
         assert MM.decode_wav_pcm(b) is None
+
+
+def test_time_weighted_avg(spark):
+    from dp3_spark.operators.resample import time_weighted_avg
+
+    # samples at t=0 (v=10) and t=6000ns (v=30), next at 10000ns: TWA of
+    # bucket [0, 10000) = (6us*10 + 4us*30) / 10us = 18
+    data = spark.createDataFrame(
+        [("p", "t", 0, 10), ("p", "t", 6000, 30), ("p", "t", 10000, 99)],
+        "producer string, topic string, log_time long, v long",
+    )
+    out = time_weighted_avg(data, bucket_ns=10000, value_expr="v").collect()
+    by_bucket = {r["bucket_start"]: r for r in out}
+    r = by_bucket[0]
+    assert (r["weighted_sum"], r["total_dt_us"], r["n_intervals"]) == (180, 10, 2)
+    assert r["twa"] == 18.0
+    # last sample (t=10000) has no successor: bucket 10000 absent
+    assert set(by_bucket) == {0}
