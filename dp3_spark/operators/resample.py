@@ -238,3 +238,73 @@ def time_weighted_avg(
             F.col("weighted_sum").cast("double") / F.col("total_dt_us").cast("double"),
         )
     )
+
+
+def detect_gaps(
+    df: DataFrame,
+    *,
+    threshold_ns: int,
+    time_col: str = "log_time",
+    partition_cols: Sequence[str] = ("producer", "topic"),
+) -> DataFrame:
+    """Heartbeat-gap detection: intervals between consecutive samples
+    longer than threshold_ns, per partition — the "did the sensor go
+    quiet" query robotics log analytics runs constantly.  One lead()
+    window over the partition sort; output (partition, gap_start,
+    gap_end, gap_ns) in exact int64."""
+    parts = [F.col(c) for c in partition_cols]
+    w = Window.partitionBy(*parts).orderBy(F.col("gap_start"))
+    return (
+        df.select(*partition_cols, F.col(time_col).alias("gap_start"))
+        .withColumn("gap_end", F.lead("gap_start").over(w))
+        .withColumn("gap_ns", F.col("gap_end") - F.col("gap_start"))
+        .filter(F.col("gap_ns") > threshold_ns)
+        .select(*partition_cols, "gap_start", "gap_end", "gap_ns")
+    )
+
+
+def counter_delta(
+    df: DataFrame,
+    *,
+    bucket_ns: int,
+    time_col: str = "log_time",
+    value_expr: str = "value",
+    partition_cols: Sequence[str] = ("producer", "topic"),
+) -> DataFrame:
+    """Monotonic-counter increase per (partition, bucket) with reset
+    handling (the hypertable counter_agg / PromQL `increase` semantics):
+    the per-interval contribution is max(next - current, 0), so a
+    counter reset (next < current) contributes the post-reset growth
+    only instead of a negative spike.  Intervals attribute to the bucket
+    they START in (same convention as time_weighted_avg); exact int64
+    when value_expr is integer fixed-point.  Callers pre-aggregate
+    duplicate timestamps (lead() tie order)."""
+    parts = [F.col(c) for c in partition_cols]
+    w = Window.partitionBy(*parts).orderBy(F.col(time_col))
+    stepped = (
+        df.select(
+            *partition_cols,
+            F.col(time_col),
+            F.expr(value_expr).cast("long").alias("__v"),
+        )
+        .withColumn("__nv", F.lead("__v").over(w))
+        .withColumn("__nt", F.lead(time_col).over(w))
+        .filter(F.col("__nt").isNotNull())
+    )
+    return (
+        stepped.groupBy(
+            *partition_cols,
+            F.expr(f"({time_col} div {bucket_ns}) * {bucket_ns}")
+            .cast("long")
+            .alias("bucket_start"),
+        )
+        .agg(
+            F.sum(F.greatest(F.col("__nv") - F.col("__v"), F.lit(0)))
+            .cast("long")
+            .alias("increase"),
+            F.sum(
+                F.when(F.col("__nv") < F.col("__v"), 1).otherwise(0)
+            ).cast("long").alias("n_resets"),
+            F.count("*").cast("long").alias("n_intervals"),
+        )
+    )

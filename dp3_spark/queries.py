@@ -644,6 +644,86 @@ def stat_twa_daily(spark, sf_dir):
 
 
 @register(
+    "stat_gaps",
+    f"""
+    with base as ({EV_BASE}),
+    ev as (select distinct producer, topic, log_time from base
+           where topic = 'click'),
+    led as (
+      select producer, topic, log_time as gap_start,
+             lead(log_time) over (partition by producer, topic
+                                  order by log_time) as gap_end
+      from ev
+    )
+    select producer, topic, gap_start, gap_end,
+           gap_end - gap_start as gap_ns
+    from led
+    where gap_end - gap_start > {2 * HOUR_NS}
+    """,
+)
+def stat_gaps(spark, sf_dir):
+    """Heartbeat-gap detection (operators/resample.detect_gaps): click
+    intervals longer than 2 h per producer — the 'did the sensor go
+    quiet' scan, one lead() window, exact int64 output."""
+    from dp3_spark.operators.resample import detect_gaps
+
+    store = events_log_store(spark, sf_dir, us_truncate=True)
+    ev = (
+        store.normalized()
+        .filter(F.col("topic") == "click")
+        .select("producer", "topic", "log_time")
+        .distinct()
+    )
+    return detect_gaps(ev, threshold_ns=2 * HOUR_NS)
+
+
+@register(
+    "stat_counter_daily",
+    f"""
+    with base as ({EV_BASE}),
+    ev as (
+      select producer, topic, log_time,
+             max(cast(round(value * 100) as bigint)) as v
+      from base where topic = 'click'
+      group by 1, 2, 3
+    ),
+    led as (
+      select *, lead(v) over (partition by producer, topic
+                              order by log_time) as nv,
+                lead(log_time) over (partition by producer, topic
+                                     order by log_time) as nt
+      from ev
+    )
+    select producer, topic,
+           (log_time // {DAY_NS}) * {DAY_NS} as bucket_start,
+           cast(sum(greatest(nv - v, 0)) as bigint) as increase,
+           cast(sum(case when nv < v then 1 else 0 end) as bigint) as n_resets,
+           cast(count(*) as bigint) as n_intervals
+    from led where nt is not null
+    group by 1, 2, 3
+    """,
+)
+def stat_counter_daily(spark, sf_dir):
+    """Counter-increase aggregate with reset handling (operators/
+    resample.counter_delta — counter_agg / PromQL `increase` semantics):
+    per-interval contribution max(next - current, 0) in exact cents, so
+    resets never produce negative spikes; daily buckets by interval
+    start."""
+    from dp3_spark.operators.resample import counter_delta
+
+    store = events_log_store(spark, sf_dir, us_truncate=True)
+    ev = (
+        store.normalized()
+        .filter(F.col("topic") == "click")
+        .groupBy("producer", "topic", "log_time")
+        .agg(
+            F.max(F.expr("cast(round(value * 100) as bigint)")).alias("v_cents")
+        )
+    )
+    return counter_delta(ev, bucket_ns=DAY_NS, value_expr="v_cents")
+
+
+@register(
     "stat_resample_lerp",
     f"""
     with base as ({EV_BASE}),

@@ -1030,3 +1030,20 @@ def test_time_weighted_avg(spark):
     assert r["twa"] == 18.0
     # last sample (t=10000) has no successor: bucket 10000 absent
     assert set(by_bucket) == {0}
+
+
+def test_detect_gaps_and_counter_delta(spark):
+    from dp3_spark.operators.resample import counter_delta, detect_gaps
+
+    data = spark.createDataFrame(
+        [("p", "t", 0, 100), ("p", "t", 50, 150), ("p", "t", 500, 20),
+         ("p", "t", 520, 70)],
+        "producer string, topic string, log_time long, v long",
+    )
+    gaps = detect_gaps(data, threshold_ns=100).collect()
+    assert [(g["gap_start"], g["gap_end"], g["gap_ns"]) for g in gaps] == [
+        (50, 500, 450)
+    ]
+    # increases: +50, reset (150->20: 0, one reset), +50 -> 100 total
+    r = counter_delta(data, bucket_ns=1_000_000, value_expr="v").collect()[0]
+    assert (r["increase"], r["n_resets"], r["n_intervals"]) == (100, 1, 3)
