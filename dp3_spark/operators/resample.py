@@ -187,6 +187,22 @@ def resample_linear(
     )
 
 
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_integral(df: DataFrame, value_expr: str, op: str) -> None:
+    """The exactness contract of the bucket aggregates needs integer
+    fixed-point values — a double would silently TRUNCATE under the
+    long cast (0.7 -> 0).  Fail loudly instead."""
+    dt = df.select(F.expr(value_expr).alias("__v")).schema[0].dataType
+    if dt.simpleString() not in _INTEGRAL:
+        raise ValueError(
+            f"{op} needs an integer fixed-point value_expr (got "
+            f"{dt.simpleString()}); scale first, e.g. "
+            f"'cast(round({value_expr} * 100) as bigint)' for 2-decimal cents"
+        )
+
+
 def time_weighted_avg(
     df: DataFrame,
     *,
@@ -209,6 +225,7 @@ def time_weighted_avg(
     reproduces them bit-for-bit.  The only float is the final single
     division.  One lead() window per partition (sorted once), then a
     map-combinable groupBy."""
+    _require_integral(df, value_expr, "time_weighted_avg")
     parts = [F.col(c) for c in partition_cols]
     # callers must ensure one sample per (partition, time) — pre-aggregate
     # duplicates first, or lead() order under ties is nondeterministic
@@ -273,12 +290,14 @@ def counter_delta(
 ) -> DataFrame:
     """Monotonic-counter increase per (partition, bucket) with reset
     handling (the hypertable counter_agg / PromQL `increase` semantics):
-    the per-interval contribution is max(next - current, 0), so a
-    counter reset (next < current) contributes the post-reset growth
-    only instead of a negative spike.  Intervals attribute to the bucket
-    they START in (same convention as time_weighted_avg); exact int64
-    when value_expr is integer fixed-point.  Callers pre-aggregate
-    duplicate timestamps (lead() tie order)."""
+    a non-reset interval contributes next - current; a reset interval
+    (next < current) assumes the counter restarted from zero and
+    contributes the post-reset value `next` — never a negative spike.
+    Intervals attribute to the bucket they START in (same convention as
+    time_weighted_avg); exact int64 when value_expr is integer
+    fixed-point.  Callers pre-aggregate duplicate timestamps (lead() tie
+    order)."""
+    _require_integral(df, value_expr, "counter_delta")
     parts = [F.col(c) for c in partition_cols]
     w = Window.partitionBy(*parts).orderBy(F.col(time_col))
     stepped = (
@@ -299,7 +318,11 @@ def counter_delta(
             .alias("bucket_start"),
         )
         .agg(
-            F.sum(F.greatest(F.col("__nv") - F.col("__v"), F.lit(0)))
+            F.sum(
+                F.when(
+                    F.col("__nv") >= F.col("__v"), F.col("__nv") - F.col("__v")
+                ).otherwise(F.col("__nv"))  # reset: restarted from zero
+            )
             .cast("long")
             .alias("increase"),
             F.sum(

@@ -597,16 +597,33 @@ def stat_resample_hourly(spark, sf_dir):
     )
 
 
-@register(
-    "stat_twa_daily",
-    f"""
+# exactness-critical prologue shared by the bucket aggregates: one sample
+# per (producer, topic, ts) — max under ties — in exact int64 cents
+_CENTS_CTE = f"""
     with base as ({EV_BASE}),
     ev as (
       select producer, topic, log_time,
              max(cast(round(value * 100) as bigint)) as v
       from base where topic = 'click'
       group by 1, 2, 3
-    ),
+    )"""
+
+
+def _click_cents(spark, sf_dir):
+    store = events_log_store(spark, sf_dir, us_truncate=True)
+    return (
+        store.normalized()
+        .filter(F.col("topic") == "click")
+        .groupBy("producer", "topic", "log_time")
+        .agg(
+            F.max(F.expr("cast(round(value * 100) as bigint)")).alias("v_cents")
+        )
+    )
+
+
+@register(
+    "stat_twa_daily",
+    f"""{_CENTS_CTE},
     led as (
       select *, lead(log_time) over (partition by producer, topic
                                      order by log_time) as nt
@@ -631,16 +648,9 @@ def stat_twa_daily(spark, sf_dir):
     sums and the single final division is the only float."""
     from dp3_spark.operators.resample import time_weighted_avg
 
-    store = events_log_store(spark, sf_dir, us_truncate=True)
-    ev = (
-        store.normalized()
-        .filter(F.col("topic") == "click")
-        .groupBy("producer", "topic", "log_time")
-        .agg(
-            F.max(F.expr("cast(round(value * 100) as bigint)")).alias("v_cents")
-        )
+    return time_weighted_avg(
+        _click_cents(spark, sf_dir), bucket_ns=DAY_NS, value_expr="v_cents"
     )
-    return time_weighted_avg(ev, bucket_ns=DAY_NS, value_expr="v_cents")
 
 
 @register(
@@ -679,14 +689,7 @@ def stat_gaps(spark, sf_dir):
 
 @register(
     "stat_counter_daily",
-    f"""
-    with base as ({EV_BASE}),
-    ev as (
-      select producer, topic, log_time,
-             max(cast(round(value * 100) as bigint)) as v
-      from base where topic = 'click'
-      group by 1, 2, 3
-    ),
+    f"""{_CENTS_CTE},
     led as (
       select *, lead(v) over (partition by producer, topic
                               order by log_time) as nv,
@@ -696,7 +699,7 @@ def stat_gaps(spark, sf_dir):
     )
     select producer, topic,
            (log_time // {DAY_NS}) * {DAY_NS} as bucket_start,
-           cast(sum(greatest(nv - v, 0)) as bigint) as increase,
+           cast(sum(case when nv >= v then nv - v else nv end) as bigint) as increase,
            cast(sum(case when nv < v then 1 else 0 end) as bigint) as n_resets,
            cast(count(*) as bigint) as n_intervals
     from led where nt is not null
@@ -706,21 +709,14 @@ def stat_gaps(spark, sf_dir):
 def stat_counter_daily(spark, sf_dir):
     """Counter-increase aggregate with reset handling (operators/
     resample.counter_delta — counter_agg / PromQL `increase` semantics):
-    per-interval contribution max(next - current, 0) in exact cents, so
-    resets never produce negative spikes; daily buckets by interval
-    start."""
+    non-reset intervals contribute next - current, resets contribute the
+    post-reset value (counter restarted from zero) in exact cents; daily
+    buckets by interval start."""
     from dp3_spark.operators.resample import counter_delta
 
-    store = events_log_store(spark, sf_dir, us_truncate=True)
-    ev = (
-        store.normalized()
-        .filter(F.col("topic") == "click")
-        .groupBy("producer", "topic", "log_time")
-        .agg(
-            F.max(F.expr("cast(round(value * 100) as bigint)")).alias("v_cents")
-        )
+    return counter_delta(
+        _click_cents(spark, sf_dir), bucket_ns=DAY_NS, value_expr="v_cents"
     )
-    return counter_delta(ev, bucket_ns=DAY_NS, value_expr="v_cents")
 
 
 @register(
@@ -2138,8 +2134,6 @@ def mm_audio_features(spark, sf_dir):
     integer-exact features (sum of squares, peak, zero crossings)
     straight from the sample formula.  Any WAV encode/parse/decode
     corruption breaks the hash."""
-    import struct
-
     import numpy as np
     import pandas as pd
 
@@ -2151,13 +2145,7 @@ def mm_audio_features(spark, sf_dir):
             for did in pdf["doc_id"]:
                 i = np.arange(_WAV_N, dtype=np.int64)
                 x = ((int(did) * 2654435761 + i * 40503) % 65536) - 32768
-                pcm = x.astype("<i2").tobytes()
-                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
-                body = (
-                    b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-                    + b"data" + struct.pack("<I", len(pcm)) + pcm
-                )
-                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+                payloads.append(MM.encode_wav_pcm(x))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )

@@ -77,15 +77,36 @@ class McapReader(DataSourceReader):
         self.files = _expand_paths(path)
         self.producer = options.get("producer", "")
         # honor a user-supplied .schema(): read() emits tuples in the
-        # requested field order (subset/reorder allowed, unknown names
-        # rejected) — positional mapping would otherwise silently
-        # misassign columns
-        unknown = [f for f in fields if f not in _FIELDS]
+        # requested field order (subset/reorder allowed; unknown names
+        # and wrong types rejected DRIVER-side) — positional mapping
+        # would silently misassign columns, and a type mismatch would
+        # otherwise surface as an opaque executor-side Arrow error
+        # simpleString spellings of MCAP_SCHEMA (long == bigint)
+        expected = {
+            "producer": "string",
+            "topic": "string",
+            "log_time": "bigint",
+            "sequence": "bigint",
+            "schema_name": "string",
+            "schema_hash": "string",
+            "data": "binary",
+        }
+        if isinstance(fields, dict):
+            names, types = list(fields), fields
+        else:
+            names, types = list(fields), {}
+        unknown = [f for f in names if f not in expected]
         if unknown:
             raise ValueError(
                 f"mcap source has no column(s) {unknown}; available: {list(_FIELDS)}"
             )
-        self.fields = tuple(fields)
+        bad = {n: t for n, t in types.items() if t != expected[n]}
+        if bad:
+            raise ValueError(
+                f"mcap source column type mismatch {bad}; expected "
+                f"{ {n: expected[n] for n in bad} }"
+            )
+        self.fields = tuple(names)
 
     def partitions(self):
         from dp3_spark.sources.mcap import plan_mcap_units
@@ -111,7 +132,9 @@ class McapDataSource(DataSource):
         return MCAP_SCHEMA
 
     def reader(self, schema) -> McapReader:
-        fields = tuple(schema.fieldNames()) if schema is not None else _FIELDS
+        if schema is None:
+            return McapReader(self.options)
+        fields = {f.name: f.dataType.simpleString() for f in schema.fields}
         return McapReader(self.options, fields)
 
 

@@ -521,3 +521,22 @@ def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(feats, AUDIO_FEATURE_SCHEMA)
+
+
+def encode_wav_pcm(samples, *, rate: int = 8000, channels: int = 1) -> bytes:
+    """int16 samples (flat, interleaved) -> 16-bit PCM RIFF/WAV bytes —
+    decode_wav_pcm's inverse (the encode_bmp/decode_bmp pairing pattern);
+    used by fixtures/queries that need genuine WAV containers."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    block = 2 * channels
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -281,25 +281,28 @@ class VersionedLogTable:
             return 0
         from dp3_spark.operators.trigram import build_trigram_index, indexed_files
 
-        indexed: set[str] = set()
-        try:
-            indexed = indexed_files(
-                self.spark, self.trigram_index_path, self.trigram_cols[0]
-            )
-        except Exception:
-            pass
-        new = [
-            p for p in self._list_data_files() if f"file://{p}" not in indexed
-        ]
-        if new:
-            build_trigram_index(
-                self.spark,
-                new,
-                list(self.trigram_cols),
-                self.trigram_index_path,
-                write_mode="append",
-            )
-        return len(new)
+        files = self._list_data_files()
+        total = 0
+        # diff PER COLUMN: adding a new name to trigram_cols on an
+        # existing table back-fills that column's rows for every file the
+        # index already covers for the others
+        for col in self.trigram_cols:
+            covered: set[str] = set()
+            try:
+                covered = indexed_files(self.spark, self.trigram_index_path, col)
+            except Exception:
+                pass
+            new = [p for p in files if f"file://{p}" not in covered]
+            if new:
+                build_trigram_index(
+                    self.spark,
+                    new,
+                    [col],
+                    self.trigram_index_path,
+                    write_mode="append",
+                )
+            total += len(new)
+        return total
 
     def read_string_probe(
         self,

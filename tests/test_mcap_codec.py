@@ -279,3 +279,15 @@ def test_python_datasource_user_schema_subset_reorder(spark, tmp_path):
     rows = sorted(tuple(r) for r in df.collect())
     assert rows[0] == ("/fix", 0, "r2")
     assert len(rows) == 5
+
+
+def test_python_datasource_rejects_wrong_type(spark, tmp_path):
+    from dp3_spark.sources.mcap_datasource import register
+
+    p = tmp_path / "t.mcap"
+    p.write_bytes(fix_mcap_bytes(3))
+    register(spark)
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="type mismatch"):
+        spark.read.format("mcap").schema("log_time string").load(str(p)).collect()

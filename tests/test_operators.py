@@ -1044,6 +1044,8 @@ def test_detect_gaps_and_counter_delta(spark):
     assert [(g["gap_start"], g["gap_end"], g["gap_ns"]) for g in gaps] == [
         (50, 500, 450)
     ]
-    # increases: +50, reset (150->20: 0, one reset), +50 -> 100 total
+    # increases: +50, reset (150->20: counter restarted from zero, so the
+    # interval contributes the post-reset value 20), +50 -> 120 total
+    # (PromQL `increase` / counter_agg semantics)
     r = counter_delta(data, bucket_ns=1_000_000, value_expr="v").collect()[0]
-    assert (r["increase"], r["n_resets"], r["n_intervals"]) == (100, 1, 3)
+    assert (r["increase"], r["n_resets"], r["n_intervals"]) == (120, 1, 3)

@@ -276,3 +276,28 @@ def test_probe_correct_with_stale_and_missing_index(spark, tmp_path):
     # repair then prune again
     assert vt.update_trigram_index() > 0
     assert [r["sequence"] for r in vt.read_string_probe("props", "beta").collect()] == [2]
+
+
+def test_trigram_cols_backfill_new_column(spark, tmp_path):
+    """Adding a column to trigram_cols on an existing table back-fills
+    its index rows on the next update (per-column diff)."""
+    from dp3_spark.streaming.lifecycle import VersionedLogTable
+
+    root = str(tmp_path / "vt")
+    vt = VersionedLogTable(spark, root, trigram_cols=("props",))
+    vt.append(
+        spark.createDataFrame(
+            [("p1", "click", 100, 1, "alpha", "x1")],
+            "producer string, topic string, log_time long, sequence long, "
+            "props string, extra string",
+        )
+    )
+    # reopen with a second indexed column: next update back-fills it
+    vt2 = VersionedLogTable(spark, root, trigram_cols=("props", "extra"))
+    assert vt2.update_trigram_index() > 0
+    assert vt2.update_trigram_index() == 0  # then idempotent
+    out = vt2.read_string_probe("extra", "x1").collect()
+    assert [r["sequence"] for r in out] == [1]
+    from dp3_spark.operators import trigram as TG
+
+    assert TG.indexed_files(spark, vt2.trigram_index_path, "extra")
