@@ -42,6 +42,7 @@ HEADLINE = [
     "stat_quantiles_hourly",  # quantile stats
     "stat_hll_daily",         # mergeable HLL distinct-count sketch
     "stat_resample_hourly",   # zero-order-hold grid resample (no-join plan)
+    "stat_twa_daily",         # time-weighted avg (exact int64 weights)
     "events_sessionize",      # stateful sessionization
     "tpch_q1_pricing",        # wide aggregation
     "tpch_q3_shipping",       # join + top-k
