@@ -215,3 +215,87 @@ def hll_estimate_expr(p: int = HLL_P) -> Column:
         (raw <= F.lit(2.5 * m)) & (v > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
     ).otherwise(raw)
+
+
+# ---------------------------------------------------------------------------
+# CountMin sketch: the mergeable heavy-hitters / frequency sketch that
+# completes the summary-column family (count/sum + quantile sketch + HLL +
+# frequency).  Same portability discipline as HLL: md5-derived row hashes
+# so a DuckDB oracle computes the IDENTICAL table, and merge is a pure
+# elementwise vector add — associative/commutative, so daily sketches roll
+# up to weekly/monthly exactly like the reference merges its per-child
+# statistics (nodestore/statistics.go Add/Merge).
+# ---------------------------------------------------------------------------
+
+CMS_WIDTH = 64
+CMS_DEPTH = 4
+
+
+def cms_pos_expr(value_col: str, d: int, width: int = CMS_WIDTH) -> tuple[str, str]:
+    """(spark_sql, duck_sql) for hash-row d's slot of a value: low 8 hex
+    chars of md5('d|value') mod width — engine-identical by md5
+    bit-stability."""
+    spark = (
+        f"cast(conv(substring(md5(concat('{d}|', cast({value_col} as string))), 1, 8), 16, 10) "
+        f"as bigint) % {width}"
+    )
+    duck = (
+        f"cast(('0x' || substr(md5('{d}|' || cast({value_col} as varchar)), 1, 8)) as bigint) "
+        f"% {width}"
+    )
+    return spark, duck
+
+
+def cms_sketch(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    value_col: str,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Per-group CountMin sketch column `cms`: array<long> of length
+    width*depth, slot d*width + pos_d(v) accumulating occurrences.  Build
+    is one explode (depth rows per input row, each two small ints) into a
+    map-side-combinable (keys, slot) count, then one per-group array
+    assembly — the corpus's value column itself never rides the shuffle
+    twice."""
+    slots = F.array(
+        *[
+            F.expr(f"{d} * {width} + ({cms_pos_expr(value_col, d, width)[0]})")
+            for d in range(depth)
+        ]
+    )
+    per = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, F.explode(slots).alias("slot"))
+        .groupBy(*keys, "slot")
+        .agg(F.count("*").alias("c"))
+    )
+    n = width * depth
+    return per.groupBy(*keys).agg(
+        F.expr(
+            f"transform(sequence(0, {n - 1}), i -> "
+            f"coalesce(map_from_entries(collect_list(struct(slot, c)))[cast(i as bigint)], 0L))"
+        ).alias("cms")
+    )
+
+
+def cms_merge_expr(a: str = "a.cms", b: str = "b.cms") -> str:
+    """Merged sketch = elementwise sum (vector add): zip_with(+)."""
+    return f"zip_with({a}, {b}, (x, y) -> x + y)"
+
+
+def cms_estimate_expr(
+    value_col: str, *, width: int = CMS_WIDTH, depth: int = CMS_DEPTH,
+    cms_col: str = "cms",
+) -> tuple[str, str]:
+    """(spark_sql, duck_sql) point-frequency estimate: min over the depth
+    rows of the value's slots — an upper bound on the true count, exact
+    when the value's slots are collision-free."""
+    s_terms, d_terms = [], []
+    for d in range(depth):
+        s_pos, d_pos = cms_pos_expr(value_col, d, width)
+        s_terms.append(f"{cms_col}[cast({d} * {width} + ({s_pos}) as int)]")
+        d_terms.append(f"{cms_col}[cast({d} * {width} + ({d_pos}) as int) + 1]")
+    return f"least({', '.join(s_terms)})", f"least({', '.join(d_terms)})"

@@ -719,6 +719,69 @@ def stat_counter_daily(spark, sf_dir):
     )
 
 
+_CMS_PROBES = [str(i) for i in range(10)]
+
+
+@register(
+    "stat_cms_daily",
+    f"""
+    with base as ({EV_BASE}),
+    rows_ as (
+      select (log_time // {DAY_NS}) * {DAY_NS} as day, producer from base
+    ),
+    counts as (
+      select day, d * 64 + pos as slot, count(*) as c
+      from (
+        select day, t.d,
+               cast(('0x' || substr(md5(cast(t.d as varchar) || '|' || producer), 1, 8))
+                    as bigint) % 64 as pos
+        from rows_, (values (0), (1), (2), (3)) t(d)
+      )
+      group by 1, 2
+    ),
+    probes as (
+      select day, p.producer
+      from (select distinct day from rows_),
+           (values {", ".join(f"('{p}')" for p in _CMS_PROBES)}) p(producer)
+    ),
+    pslots as (
+      select pr.day, pr.producer, t.d,
+             t.d * 64 +
+             cast(('0x' || substr(md5(cast(t.d as varchar) || '|' || pr.producer), 1, 8))
+                  as bigint) % 64 as slot
+      from probes pr, (values (0), (1), (2), (3)) t(d)
+    )
+    select ps.day, ps.producer as probe,
+           cast(min(coalesce(c.c, 0)) as bigint) as est
+    from pslots ps left join counts c on c.day = ps.day and c.slot = ps.slot
+    group by 1, 2
+    """,
+)
+def stat_cms_daily(spark, sf_dir):
+    """CountMin frequency sketch per day (operators/sketch.cms_sketch):
+    the mergeable heavy-hitters summary completing the sketch-column
+    family.  Probe estimates for ten producers come from the sketch's
+    min-over-rows rule; the oracle recomputes the identical md5-derived
+    table in SQL.  All integer-exact."""
+    from dp3_spark.operators.sketch import cms_estimate_expr, cms_sketch
+
+    store = events_log_store(spark, sf_dir, us_truncate=True)
+    rows = store.normalized().select(
+        F.expr(f"(log_time div {DAY_NS}) * {DAY_NS}").alias("day"), "producer"
+    )
+    sk = cms_sketch(rows, keys=["day"], value_col="producer")
+    pes = [
+        F.struct(
+            F.lit(p).alias("probe"),
+            F.expr(cms_estimate_expr(f"'{p}'")[0]).alias("est"),
+        )
+        for p in _CMS_PROBES
+    ]
+    return sk.select("day", F.explode(F.array(*pes)).alias("pe")).select(
+        "day", "pe.probe", "pe.est"
+    )
+
+
 @register(
     "stat_resample_lerp",
     f"""

@@ -122,3 +122,39 @@ def test_hll_null_values_skipped(spark):
         .collect()[0]
     )
     assert out["est"] == pytest.approx(2.0, rel=0.01)
+
+
+def test_cms_exact_when_collision_free_and_merge(spark):
+    """CountMin: estimates equal true counts when slots are collision-free
+    (tiny vocab), and the merged sketch equals the sketch of the union
+    (vector-add associativity)."""
+    from pyspark.sql import functions as F
+
+    from dp3_spark.operators.sketch import (
+        cms_estimate_expr,
+        cms_merge_expr,
+        cms_sketch,
+    )
+
+    d1 = spark.createDataFrame(
+        [("g1", "a")] * 3 + [("g1", "b")] * 2, "g string, v string"
+    )
+    d2 = spark.createDataFrame(
+        [("g2", "a")] * 5 + [("g2", "c")] * 1, "g string, v string"
+    )
+    u = d1.unionByName(d2)
+    sk = cms_sketch(u, keys=["g"], value_col="v")
+    est_a = cms_estimate_expr("'a'")[0]
+    got = {r["g"]: r["e"] for r in sk.selectExpr("g", f"{est_a} as e").collect()}
+    assert got == {"g1": 3, "g2": 5}
+    # merge: g1 + g2 sketches == sketch of everything under one key
+    merged = (
+        sk.filter("g = 'g1'").alias("a")
+        .crossJoin(sk.filter("g = 'g2'").alias("b"))
+        .selectExpr(f"{cms_merge_expr()} as cms")
+    )
+    whole = cms_sketch(
+        u.withColumn("g", F.lit("all")), keys=["g"], value_col="v"
+    ).select("cms")
+    assert merged.collect()[0]["cms"] == whole.collect()[0]["cms"]
+    assert merged.selectExpr(f"{est_a} as e").collect()[0]["e"] == 8
