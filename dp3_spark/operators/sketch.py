@@ -273,17 +273,29 @@ def cms_sketch(
         .agg(F.count("*").alias("c"))
     )
     n = width * depth
-    return per.groupBy(*keys).agg(
+    # aggregate the slot map ONCE, then densify in a separate projection —
+    # building the map inside the transform lambda would re-evaluate it
+    # per array element (width*depth times per group)
+    m = per.groupBy(*keys).agg(
+        F.expr("map_from_entries(collect_list(struct(slot, c)))").alias("__m")
+    )
+    return m.select(
+        *keys,
         F.expr(
             f"transform(sequence(0, {n - 1}), i -> "
-            f"coalesce(map_from_entries(collect_list(struct(slot, c)))[cast(i as bigint)], 0L))"
-        ).alias("cms")
+            f"coalesce(__m[cast(i as bigint)], 0L))"
+        ).alias("cms"),
     )
 
 
 def cms_merge_expr(a: str = "a.cms", b: str = "b.cms") -> str:
-    """Merged sketch = elementwise sum (vector add): zip_with(+)."""
-    return f"zip_with({a}, {b}, (x, y) -> x + y)"
+    """Merged sketch = elementwise sum (vector add).  Sketches are only
+    mergeable at IDENTICAL geometry — zip_with would silently null-pad a
+    shorter array, so a size mismatch raises instead."""
+    return (
+        f"case when size({a}) = size({b}) then zip_with({a}, {b}, (x, y) -> x + y) "
+        f"else raise_error(concat('cms geometry mismatch: ', size({a}), ' vs ', size({b}))) end"
+    )
 
 
 def cms_estimate_expr(

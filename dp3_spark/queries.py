@@ -720,6 +720,12 @@ def stat_counter_daily(spark, sf_dir):
 
 
 _CMS_PROBES = [str(i) for i in range(10)]
+# oracle geometry comes from the SAME module constants the engine uses
+# (the HLL-oracle pattern) — tuning width/depth cannot desync the two
+from dp3_spark.operators.sketch import CMS_DEPTH as _CMS_D
+from dp3_spark.operators.sketch import CMS_WIDTH as _CMS_W
+
+_CMS_DVALS = ", ".join(f"({d})" for d in range(_CMS_D))
 
 
 @register(
@@ -730,12 +736,12 @@ _CMS_PROBES = [str(i) for i in range(10)]
       select (log_time // {DAY_NS}) * {DAY_NS} as day, producer from base
     ),
     counts as (
-      select day, d * 64 + pos as slot, count(*) as c
+      select day, d * {_CMS_W} + pos as slot, count(*) as c
       from (
         select day, t.d,
                cast(('0x' || substr(md5(cast(t.d as varchar) || '|' || producer), 1, 8))
-                    as bigint) % 64 as pos
-        from rows_, (values (0), (1), (2), (3)) t(d)
+                    as bigint) % {_CMS_W} as pos
+        from rows_, (values {_CMS_DVALS}) t(d)
       )
       group by 1, 2
     ),
@@ -746,10 +752,10 @@ _CMS_PROBES = [str(i) for i in range(10)]
     ),
     pslots as (
       select pr.day, pr.producer, t.d,
-             t.d * 64 +
+             t.d * {_CMS_W} +
              cast(('0x' || substr(md5(cast(t.d as varchar) || '|' || pr.producer), 1, 8))
-                  as bigint) % 64 as slot
-      from probes pr, (values (0), (1), (2), (3)) t(d)
+                  as bigint) % {_CMS_W} as slot
+      from probes pr, (values {_CMS_DVALS}) t(d)
     )
     select ps.day, ps.producer as probe,
            cast(min(coalesce(c.c, 0)) as bigint) as est

@@ -158,3 +158,39 @@ def test_cms_exact_when_collision_free_and_merge(spark):
     ).select("cms")
     assert merged.collect()[0]["cms"] == whole.collect()[0]["cms"]
     assert merged.selectExpr(f"{est_a} as e").collect()[0]["e"] == 8
+
+
+def test_cms_duck_estimate_expr_parity(spark):
+    """The DuckDB half of cms_estimate_expr must read a Spark-built
+    sketch identically (1-based list indexing, same md5 slot math) —
+    exercised here so the helper cannot drift unvalidated."""
+    import duckdb
+
+    from dp3_spark.operators.sketch import cms_estimate_expr, cms_sketch
+
+    df = spark.createDataFrame(
+        [("g", "a")] * 4 + [("g", "b")] * 7, "g string, v string"
+    )
+    pdf = cms_sketch(df, keys=["g"], value_col="v").toPandas()
+    con = duckdb.connect()
+    con.register("sk", pdf)
+    for probe, want in [("a", 4), ("b", 7)]:
+        duck = cms_estimate_expr(f"'{probe}'")[1]
+        assert con.execute(f"select {duck} from sk").fetchone()[0] == want
+
+
+def test_cms_merge_rejects_geometry_mismatch(spark):
+    from dp3_spark.operators.sketch import cms_merge_expr, cms_sketch
+
+    a = cms_sketch(
+        spark.createDataFrame([("g", "x")], "g string, v string"),
+        keys=["g"], value_col="v",
+    ).alias("a")
+    b = cms_sketch(
+        spark.createDataFrame([("g", "x")], "g string, v string"),
+        keys=["g"], value_col="v", width=32,
+    ).alias("b")
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="geometry mismatch"):
+        a.crossJoin(b).selectExpr(f"{cms_merge_expr()} as m").collect()
