@@ -789,6 +789,87 @@ def stat_cms_daily(spark, sf_dir):
 
 
 @register(
+    "stat_cms_weekly_rollup",
+    f"""
+    with base as ({EV_BASE}),
+    rows_ as (
+      select (log_time // {7 * DAY_NS}) * {7 * DAY_NS} as week, producer
+      from base
+    ),
+    counts as (
+      select week, d * {_CMS_W} + pos as slot, count(*) as c
+      from (
+        select week, t.d,
+               cast(('0x' || substr(md5(cast(t.d as varchar) || '|' || producer), 1, 8))
+                    as bigint) % {_CMS_W} as pos
+        from rows_, (values {_CMS_DVALS}) t(d)
+      )
+      group by 1, 2
+    ),
+    probes as (
+      select week, p.producer
+      from (select distinct week from rows_),
+           (values {", ".join(f"('{p}')" for p in _CMS_PROBES)}) p(producer)
+    ),
+    pslots as (
+      select pr.week, pr.producer, t.d,
+             t.d * {_CMS_W} +
+             cast(('0x' || substr(md5(cast(t.d as varchar) || '|' || pr.producer), 1, 8))
+                  as bigint) % {_CMS_W} as slot
+      from probes pr, (values {_CMS_DVALS}) t(d)
+    )
+    select ps.week, ps.producer as probe,
+           cast(min(coalesce(c.c, 0)) as bigint) as est
+    from pslots ps left join counts c on c.week = ps.week and c.slot = ps.slot
+    group by 1, 2
+    """,
+)
+def stat_cms_weekly_rollup(spark, sf_dir):
+    """The MERGE path under the driver gate: weekly estimates come from
+    vector-adding the seven DAILY sketches (aggregate + zip_with fold),
+    while the oracle builds the weekly table directly from the raw rows —
+    merged-sketch == direct-sketch is exactly the mergeability property
+    the summary-table design rests on (nodestore/statistics.go Add/Merge
+    parity)."""
+    from dp3_spark.operators.sketch import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_estimate_expr,
+        cms_sketch,
+    )
+
+    store = events_log_store(spark, sf_dir, us_truncate=True)
+    rows = store.normalized().select(
+        F.expr(f"(log_time div {DAY_NS}) * {DAY_NS}").alias("day"), "producer"
+    )
+    daily = cms_sketch(rows, keys=["day"], value_col="producer")
+    n = CMS_WIDTH * CMS_DEPTH
+    weekly = (
+        daily.withColumn(
+            "week", F.expr(f"(day div {7 * DAY_NS}) * {7 * DAY_NS}")
+        )
+        .groupBy("week")
+        .agg(
+            F.expr(
+                f"aggregate(collect_list(cms), "
+                f"transform(sequence(0, {n - 1}), i -> 0L), "
+                f"(acc, x) -> zip_with(acc, x, (a, b) -> a + b))"
+            ).alias("cms")
+        )
+    )
+    pes = [
+        F.struct(
+            F.lit(p).alias("probe"),
+            F.expr(cms_estimate_expr(f"'{p}'")[0]).alias("est"),
+        )
+        for p in _CMS_PROBES
+    ]
+    return weekly.select("week", F.explode(F.array(*pes)).alias("pe")).select(
+        "week", "pe.probe", "pe.est"
+    )
+
+
+@register(
     "stat_resample_lerp",
     f"""
     with base as ({EV_BASE}),
