@@ -2174,18 +2174,31 @@ def mm_decode_meta(spark, sf_dir):
 @register(
     "mm_frame_sample",
     """
-    select doc_id,
-           generate_series(0, greatest(0, octet_length(encode(text)) - 1), 64)
-             as sample_offsets
-    from documents
+    select d.doc_id,
+           cast(u.off // 64 as bigint) as frame_idx,
+           cast(u.off as bigint) as sample_offset
+    from documents d,
+         unnest(generate_series(
+             0, greatest(0, octet_length(encode(d.text)) - 1), 64)) as u(off)
     """,
 )
 def mm_frame_sample(spark, sf_dir):
     """Keyframe-offset plan for each binary payload — pure built-ins
-    (sequence), no Python; the heavy decode consumes these offsets inside
-    mapInPandas (multimodal.frame_sample_plan)."""
+    (sequence + posexplode), no Python; the heavy decode consumes these
+    offsets inside mapInPandas (multimodal.frame_sample_plan).  Exploded to
+    one scalar row per (doc, frame): the driver's canonicalizer hashes
+    scalar cells only (array columns are unhashable in its pandas sort —
+    the r03 red row).  frame_idx == offset // stride because the plan's
+    offsets are exactly the stride grid, which the oracle mirrors."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return MM.frame_sample_plan(MM.with_binary_payload(docs))
+    plan = MM.frame_sample_plan(MM.with_binary_payload(docs))
+    return plan.select(
+        "doc_id", F.posexplode("sample_offsets").alias("frame_idx", "sample_offset")
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("sample_offset").cast("long").alias("sample_offset"),
+    )
 
 
 _BMP_W, _BMP_H = 8, 8
@@ -3053,71 +3066,77 @@ _PRIORITY_ORDER = [
     "ql_merge_playback",
     "ql_skeleton",
     "ql_where_split",
-    "ql_where_regex",
-    "ql_between_iso8601",
     "ql_where_trigram_pruned",
     "ql_asof_precedes",
     "ql_asof_unbounded",
-    # (ql_asof_immediate / ql_asof_succeeds trail at 51+: same operator,
-    # driver-green in r01 AND r02 — their slots go to the real-decode
-    # multimodal gates)
+    # (ql_where_regex / ql_between_iso8601 rotate to 51+ after being
+    # driver-green r01-r03: their operators — regex filter, ISO8601
+    # between — stay pinned locally; ql_asof_immediate / ql_asof_succeeds
+    # likewise trail, driver-green in r01 AND r02)
     "mm_audio_features",
     "mm_bmp_decode",
+    "mm_png_decode",
     # statistics service (SURVEY §2.4)
     "stat_range_hourly",
     "stat_rollup_daily",
     "stat_quantiles_hourly",
-    "stat_range_by_producer",
     "stat_sketch_daily",
     "stat_catalog_tables",
     "stat_by_schema",
     "stat_hll_daily",
+    # (stat_range_by_producer rotates to 51+: 4th stat_range variant,
+    # driver-green r01-r03)
+    # signal analytics (round-3 family, first driver rows this round;
+    # reference lineage nodestore/statistics.go mergeable aggregates)
+    "stat_resample_hourly",
+    "stat_resample_lerp",
+    "stat_twa_daily",
+    "stat_counter_daily",
+    "stat_gaps",
+    "stat_cms_daily",
+    "stat_cms_weekly_rollup",
     # lifecycle (SURVEY §2.5)
     "lifecycle_delete_versions",
     "events_sessionize",
-    # text analysis
+    "events_props_json",
+    # text analysis (text_langid / text_fingerprint rotate to 51+ after
+    # three green rounds; gopher-quality flags take their slot)
     "text_metrics",
-    "text_langid",
-    "text_fingerprint",
-    # (text_repetition / text_vocab_topk follow at 51+: the text family
-    # keeps three windowed rows; their slots go to the round-3 operator
-    # families below)
-    "stat_resample_hourly",
+    "text_gopher_flags",
     "dedup_paragraphs",
-    # dedup family
+    # dedup family (dedup_ngram_jaccard — the quadratic oracle-baseline —
+    # rotates to 51+ after three green rounds; MinHash is the scale path)
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_minhash_capped",
     "dedup_incremental",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_clusters",
-    # similarity search
+    # similarity search (sim_dup_pairs brute rotates to 51+, its LSH
+    # sibling stays; sim_ivf_recall replaces rows-only sim_ivf_topk with
+    # a full-oracle recall gate)
     "sim_cosine_topk",
     "sim_knn_classify",
-    "sim_dup_pairs",
     "sim_dup_pairs_lsh",
-    # sim_ivf_topk keeps the window's ANN-recall (rows-only) row;
-    # sim_lsh_topk (also rows-only by design) trails at 51+
-    "sim_ivf_topk",
+    "sim_ivf_recall",
     "sem_dedup",
-    # multimodal + MCAP round-trip
-    "mm_decode_meta",
+    # multimodal + MCAP round-trip (mm_decode_meta rotates to 51+; the mm
+    # family keeps four real-decode rows in-window)
     "mm_frame_sample",
     "mcap_roundtrip_agg",
     # packing / splits / curation / decontamination / mixing
+    # (mix_domains rotates to 51+ after two green rounds; the sampling
+    # family keeps split_train_test)
     "pack_sequences",
     "pack_greedy_bins",
     "split_train_test",
     "curate_corpus",
     "decontam_check",
-    "mix_domains",
     # ---- position 51+ (this list is exactly 50 names): everything below
-    # is pinned by the local oracle suite and was driver-green in r02
-    # (tpch_q1 and the other TPC-H / relational shapes follow in source
-    # order — each was driver-green in r01 AND r02, so the window slots
-    # go to rows that have not yet earned a driver row) ----
+    # is pinned by the local oracle suite; rotated-out rows above were
+    # each driver-green at least two consecutive rounds (tpch_q1 and the
+    # other TPC-H / relational shapes follow in source order) ----
 ]
 
 
