@@ -529,15 +529,26 @@ def ivf_topk(
     k_clusters: int = 16,
     nprobe: int = 4,
     iters: int = 3,
+    assign: str = "numpy",
 ) -> DataFrame:
     """IVF approximate top-k: exact cosine rerank inside the query's
     `nprobe` nearest inverted lists.  Output matches cosine_topk:
-    (query_id, neighbor_id, cosine, rank)."""
+    (query_id, neighbor_id, cosine, rank).
+
+    assign='numpy' (default): BLAS matmul assignment via mapInPandas.
+    assign='sql': the codegen sequential-fold assignment
+    (_assign_clusters_sql) — bit-reproducible in DuckDB, which together
+    with iters=0 (seeded centroids, no Lloyd refinement) makes the whole
+    IVF pipeline closed-form and exactly oracle-able (the sem_dedup
+    construction)."""
+    if assign not in ("numpy", "sql"):
+        raise ValueError(f"unknown assign mode {assign!r}: expected numpy|sql")
     cents = ivf_fit_centroids(
         corpus, id_col=id_col, vec_col=vec_col, k_clusters=k_clusters, iters=iters
     )
-    c_assign = _assign_clusters(corpus, cents, id_col, vec_col).withColumnRenamed("id", "neighbor_id")
-    q_assign = _assign_clusters(queries, cents, id_col, vec_col, nprobe=nprobe).withColumnRenamed(
+    assign_fn = _assign_clusters_sql if assign == "sql" else _assign_clusters
+    c_assign = assign_fn(corpus, cents, id_col, vec_col).withColumnRenamed("id", "neighbor_id")
+    q_assign = assign_fn(queries, cents, id_col, vec_col, nprobe=nprobe).withColumnRenamed(
         "id", "query_id"
     )
     base = _with_norm(corpus, vec_col).select(
@@ -566,6 +577,25 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def topk_recall(exact: DataFrame, approx: DataFrame, *, k: int) -> DataFrame:
+    """Per-query recall@k of an ANN result against the exact top-k: the
+    publishable quality gate for lsh_topk / ivf_topk.  Both inputs are
+    (query_id, neighbor_id, ...) top-k frames; output is one scalar row
+    per query — (query_id, hits, recall) with recall = |approx ∩ exact|/k.
+
+    Scale shape: one equi-join on (query_id, neighbor_id) + a
+    map-combinable count — both sides are k rows per query, so this is
+    query-cardinality work, independent of corpus size."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1))
+    return (
+        e.join(a, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("hits"))
+        .withColumn("recall", F.col("hits") / F.lit(float(k)))
     )
 
 
@@ -629,7 +659,8 @@ def embedding_dup_pairs(
 
 
 def _assign_clusters_sql(
-    df: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str
+    df: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str,
+    *, nprobe: int = 1
 ) -> DataFrame:
     """Cluster assignment as a pure codegen expression: per-centroid
     squared-L2 distance is a sequential zip_with/aggregate double fold over
@@ -650,10 +681,20 @@ def _assign_clusters_sql(
             f"cast(0.0 as double), (a, b) -> a + b)"
         )
         structs.append(f"struct({d2} as d2, {ci} as cluster)")
-    expr = f"array_sort(array({', '.join(structs)}))[0].cluster"
-    return df.select(
-        F.col(id_col).alias("id"), F.expr(expr).cast("int").alias("cluster")
+    if nprobe <= 1:
+        expr = f"array_sort(array({', '.join(structs)}))[0].cluster"
+        return df.select(
+            F.col(id_col).alias("id"), F.expr(expr).cast("int").alias("cluster")
+        )
+    # nprobe nearest clusters: slice the sorted (d2, cluster) structs and
+    # explode — same tie rule (lower cluster id wins) as the top-1 path
+    expr = (
+        f"transform(slice(array_sort(array({', '.join(structs)})), 1, {int(nprobe)}), "
+        f"s -> s.cluster)"
     )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.expr(expr)).alias("cluster")
+    ).select("id", F.col("cluster").cast("int").alias("cluster"))
 
 
 def semantic_dedup(

@@ -1919,7 +1919,9 @@ def dedup_incremental(spark, sf_dir):
     )
 
 
-def _simhash_oracle(bits: int) -> str:
+def _simhash_sig_ctes(bits: int) -> str:
+    """CTE chain ending in sig(doc_id, simhash) — shared by the signature
+    oracle and the pairs oracle."""
     votes = ", ".join(
         f"list_reduce(list_prepend(cast(0 as bigint), "
         f"list_transform(hs, x -> case when (x // {1 << k}) % 2 = 1 then 1 else -1 end)), "
@@ -1927,11 +1929,32 @@ def _simhash_oracle(bits: int) -> str:
         for k in range(bits)
     )
     sig = " + ".join(f"case when v{k} > 0 then {1 << k} else 0 end" for k in range(bits))
-    return f"""
-    with {_SH_CTE},
+    return f"""{_SH_CTE},
     sh as (select doc_id, hs from sh_base),
-    votes as (select doc_id, {votes} from sh)
-    select doc_id, cast({sig} as bigint) as simhash from votes
+    votes as (select doc_id, {votes} from sh),
+    sig as (select doc_id, cast({sig} as bigint) as simhash from votes)"""
+
+
+def _simhash_oracle(bits: int) -> str:
+    return f"""
+    with {_simhash_sig_ctes(bits)}
+    select doc_id, simhash from sig
+    """
+
+
+def _simhash_pairs_oracle(bits: int, max_hamming: int) -> str:
+    """Full-value oracle for the blocked hamming join: with
+    nseg = max_hamming + 1 signature segments, any pair at distance
+    d <= max_hamming differs in at most max_hamming segments, so by
+    pigeonhole >= 1 segment matches exactly — the blocking is LOSSLESS
+    and the operator's output equals the plain quadratic hamming join,
+    which DuckDB re-derives directly (no need to mirror the band rule)."""
+    return f"""
+    with {_simhash_sig_ctes(bits)}
+    select a.doc_id as id_a, b.doc_id as id_b,
+           cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
+    from sig a join sig b on a.doc_id < b.doc_id
+    where bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
 
 
@@ -1941,8 +1964,11 @@ def dedup_simhash(spark, sf_dir):
     return DD.simhash(docs, "doc_id", "text", bits=24).withColumnRenamed("id", "doc_id")
 
 
-@register("dedup_simhash_pairs", None)  # rows-only: blocked hamming join
+@register("dedup_simhash_pairs", _simhash_pairs_oracle(24, 3))
 def dedup_simhash_pairs(spark, sf_dir):
+    """Was rows-only through r03; the pigeonhole-losslessness argument
+    (see _simhash_pairs_oracle) makes the quadratic DuckDB join an exact
+    oracle for the blocked equi-join plan."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return DD.simhash_dup_pairs(docs, "doc_id", "text", bits=24, max_hamming=3)
 
@@ -2071,10 +2097,96 @@ def sim_lsh_topk(spark, sf_dir):
     return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
+def _lsh_sig_sql(alias: str, planes: int = 16) -> str:
+    """DuckDB mirror of similarity.hyperplane_lsh_signature: per-plane
+    sequential fold over the same LCG-derived weights (identical summation
+    order — the sign bit of a projection decides band membership, and float
+    addition is not associative)."""
+    mul, add, mod = SIM._LCG31_MUL, SIM._LCG31_ADD, SIM._LCG31_MOD
+    terms = []
+    for p in range(planes):
+        w = (
+            f"cast(({mul}::bigint * (({p}::bigint * 65537 + (i - 1)) % {mod}) "
+            f"+ {add}) % {mod} % 2001 - 1000 as double) / 1000.0"
+        )
+        proj = (
+            f"list_reduce(list_prepend(cast(0.0 as double), "
+            f"list_transform(range(1, len({alias}.embedding) + 1), i -> "
+            f"cast({alias}.embedding[i] as double) * ({w}))), (a, b) -> a + b)"
+        )
+        terms.append(f"case when ({proj}) > 0 then {1 << p} else 0 end")
+    return f"cast({' + '.join(terms)} as bigint)"
+
+
+_LSH_RECALL_K = 5
+
+
+@register(
+    "sim_lsh_recall",
+    f"""
+    with csig as (
+      select e.vec_id, {_lsh_sig_sql('e')} as sig from embeddings e
+    ),
+    cb as (
+      select c.vec_id as c_id, bb.b as band, (c.sig >> (bb.b * 4)) & 15 as key
+      from csig c, unnest(generate_series(0, 3)) bb(b)
+    ),
+    qb as (
+      select q.vec_id as q_id, bb.b as band, (q.sig >> (bb.b * 4)) & 15 as key
+      from csig q, unnest(generate_series(0, 3)) bb(b)
+      where q.vec_id < 20
+    ),
+    cand as (
+      select distinct qb.q_id, cb.c_id
+      from qb join cb on qb.band = cb.band and qb.key = cb.key
+      where qb.q_id != cb.c_id
+    ),
+    lsh as (
+      select q_id as query_id, c_id as neighbor_id from (
+        select cand.q_id, cand.c_id,
+               row_number() over (partition by cand.q_id
+                                  order by {_COS_D} desc, cand.c_id) as rank
+        from cand join embeddings a on a.vec_id = cand.q_id
+                  join embeddings b on b.vec_id = cand.c_id) t
+      where rank <= {_LSH_RECALL_K}
+    ),
+    brute as (
+      select query_id, neighbor_id from (
+        select a.vec_id as query_id, b.vec_id as neighbor_id,
+               row_number() over (partition by a.vec_id
+                                  order by {_COS_D} desc, b.vec_id) as rank
+        from embeddings a join embeddings b on a.vec_id != b.vec_id
+        where a.vec_id < 20) t
+      where rank <= {_LSH_RECALL_K}
+    )
+    select b.query_id, cast(count(l.neighbor_id) as bigint) as hits,
+           cast(count(l.neighbor_id) as double) / {_LSH_RECALL_K}.0 as recall
+    from brute b left join lsh l
+      on l.query_id = b.query_id and l.neighbor_id = b.neighbor_id
+    group by b.query_id
+    """,
+)
+def sim_lsh_recall(spark, sf_dir):
+    """ANN-recall gate for hyperplane LSH, full oracle (r3 verdict ask #7):
+    the deterministic LCG hyperplanes make signature, banding, candidate
+    set and rerank all closed-form — DuckDB re-derives the identical
+    16-plane signature with the same sequential fold, so the driver
+    hash-checks LSH recall itself (bands=4, rows=4, k=5 — the sim_lsh_topk
+    parameterization)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = SIM.cosine_topk(emb, q, k=_LSH_RECALL_K)
+    approx = SIM.lsh_topk(emb, q, k=_LSH_RECALL_K, planes=16, bands=4)
+    return SIM.topk_recall(exact, approx, k=_LSH_RECALL_K)
+
+
 @register("sim_ivf_topk", None)  # rows-only: iterative k-means training
 def sim_ivf_topk(spark, sf_dir):
     """IVF coarse-quantizer ANN (the second at-scale family next to
-    hyperplane LSH); recall vs brute pinned in tests/test_operators.py."""
+    hyperplane LSH); recall vs brute pinned in tests/test_operators.py.
+    The Lloyd-refined variant (iters=2, numpy assignment) — the library
+    default; the closed-form seeded variant is driver-proven end-to-end
+    by sim_ivf_recall."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, k_clusters=8, nprobe=3, iters=2)
 
@@ -2141,6 +2253,84 @@ def sem_dedup(spark, sf_dir):
         )
         .withColumnRenamed("id", "vec_id")
     )
+
+
+_IVF_RECALL_K = 5
+
+
+@register(
+    "sim_ivf_recall",
+    f"""
+    with cents as (
+      select row_number() over (order by vec_id) - 1 as cluster,
+             embedding as cvec
+      from (select vec_id, embedding from embeddings
+            where embedding is not null order by vec_id limit {_SEM_DEDUP_K})
+    ),
+    ca as (
+      select vec_id, cluster from (
+        select e.vec_id, c.cluster,
+               row_number() over (partition by e.vec_id
+                                  order by {_SEM_D2}, c.cluster) as rn
+        from embeddings e cross join cents c
+        where e.embedding is not null) t
+      where rn = 1
+    ),
+    qa as (
+      select vec_id as query_id, cluster from (
+        select e.vec_id, c.cluster,
+               row_number() over (partition by e.vec_id
+                                  order by {_SEM_D2}, c.cluster) as rn
+        from embeddings e cross join cents c
+        where e.vec_id < 20 and e.embedding is not null) t
+      where rn <= 2
+    ),
+    cand as (
+      select distinct qa.query_id, ca.vec_id as neighbor_id
+      from qa join ca on qa.cluster = ca.cluster
+      where qa.query_id != ca.vec_id
+    ),
+    ivf as (
+      select query_id, neighbor_id from (
+        select cand.query_id, cand.neighbor_id,
+               row_number() over (partition by cand.query_id
+                                  order by {_COS_D} desc, cand.neighbor_id) as rank
+        from cand join embeddings a on a.vec_id = cand.query_id
+                  join embeddings b on b.vec_id = cand.neighbor_id) t
+      where rank <= {_IVF_RECALL_K}
+    ),
+    brute as (
+      select query_id, neighbor_id from (
+        select a.vec_id as query_id, b.vec_id as neighbor_id,
+               row_number() over (partition by a.vec_id
+                                  order by {_COS_D} desc, b.vec_id) as rank
+        from embeddings a join embeddings b on a.vec_id != b.vec_id
+        where a.vec_id < 20) t
+      where rank <= {_IVF_RECALL_K}
+    )
+    select b.query_id, cast(count(i.neighbor_id) as bigint) as hits,
+           cast(count(i.neighbor_id) as double) / {_IVF_RECALL_K}.0 as recall
+    from brute b left join ivf i
+      on i.query_id = b.query_id and i.neighbor_id = b.neighbor_id
+    group by b.query_id
+    """,
+)
+def sim_ivf_recall(spark, sf_dir):
+    """ANN-recall GATE with a full oracle (r3 verdict ask #7): per-query
+    recall@k of the closed-form IVF (seeded k-lowest-id centroids, iters=0,
+    codegen SQL assignment — the sem_dedup construction, bit-reproducible
+    in DuckDB) against the exact cosine top-k.  The driver hash-checks the
+    recall contract itself, not just row counts — so quantizer assignment,
+    probe selection, in-list rerank AND the brute baseline are all proven
+    end-to-end."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = SIM.cosine_topk(emb, q, k=_IVF_RECALL_K)
+    approx = SIM.ivf_topk(
+        emb, q, k=_IVF_RECALL_K, k_clusters=_SEM_DEDUP_K, nprobe=2,
+        iters=0, assign="sql",
+    )
+    return SIM.topk_recall(exact, approx, k=_IVF_RECALL_K)
 
 
 # =========================================================================
