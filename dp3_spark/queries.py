@@ -2453,6 +2453,80 @@ def mm_bmp_decode(spark, sf_dir):
     )
 
 
+# 16 rows = three full cycles of the encoder's row-filter rotation
+# (None/Sub/Up/Average/Paeth), so the round-trip exercises every
+# unfilter branch on every document
+_PNG_W, _PNG_H = 12, 16
+
+
+@register(
+    "mm_png_decode",
+    f"""
+    with px as (
+      select d.doc_id,
+             ((d.doc_id * 17 + r.r * 11 + c.c * 5 + ch.ch * 29) % 256) as v,
+             ((r.r * {_PNG_W} + c.c) * 3 + ch.ch + 1) as wgt, ch.ch
+      from documents d,
+           unnest(generate_series(0, {_PNG_H - 1})) r(r),
+           unnest(generate_series(0, {_PNG_W - 1})) c(c),
+           unnest(generate_series(0, 2)) ch(ch)
+    )
+    select doc_id,
+           cast(sum(case when ch = 0 then v else 0 end) as bigint) as sum_r,
+           cast(sum(case when ch = 1 then v else 0 end) as bigint) as sum_g,
+           cast(sum(case when ch = 2 then v else 0 end) as bigint) as sum_b,
+           cast(sum(v * wgt) as bigint) as pos_check
+    from px group by doc_id
+    """,
+)
+def mm_png_decode(spark, sf_dir):
+    """REAL PNG pixel decode in the driver gate (r3 verdict ask #6): each
+    document rasterizes a deterministic {_PNG_H}x{_PNG_W} RGB gradient,
+    round-trips through actual zlib-deflated PNG bytes (encode_png ->
+    decode_png; the encoder cycles row filters None/Sub/Up/Average/Paeth
+    so all five unfilter branches run), and reports integer-exact channel
+    sums plus a position-weighted checksum (catches flips/transpositions
+    that channel sums alone would miss); the oracle computes them from
+    the pixel formula directly."""
+    import numpy as np
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def run(batches):
+        wgt = (
+            (np.arange(_PNG_H).reshape(-1, 1, 1) * _PNG_W
+             + np.arange(_PNG_W).reshape(1, -1, 1)) * 3
+            + np.arange(3).reshape(1, 1, -1) + 1
+        ).astype(np.int64)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                r = np.arange(_PNG_H).reshape(-1, 1, 1)
+                c = np.arange(_PNG_W).reshape(1, -1, 1)
+                ch = np.arange(3).reshape(1, 1, -1)
+                img = ((int(did) * 17 + r * 11 + c * 5 + ch * 29) % 256).astype(
+                    np.uint8
+                )
+                back = MM.decode_png(MM.encode_png(img)).astype(np.int64)
+                rows.append(
+                    (
+                        int(did),
+                        int(back[..., 0].sum()),
+                        int(back[..., 1].sum()),
+                        int(back[..., 2].sum()),
+                        int((back * wgt).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sum_r", "sum_g", "sum_b", "pos_check"]
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, sum_r long, sum_g long, sum_b long, pos_check long"
+    )
+
+
 _WAV_N = 64  # samples per synthesized doc waveform
 
 

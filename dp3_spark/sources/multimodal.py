@@ -15,6 +15,7 @@ the JVM->Python boundary exactly once, vectorized.
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -426,6 +427,150 @@ def encode_bmp(arr) -> bytes:
     return header + raw
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9, public): nearest of left/up/up-left
+    to the linear gradient p = a + b - c, ties left > up > up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes):
+    """8-bit truecolor PNG -> (h, w, 3) uint8 RGB array, or None if not a
+    PNG this decoder covers (color type 2, bit depth 8, no interlace).
+    Pure stdlib zlib + numpy: walk chunks, inflate the concatenated IDAT
+    stream, then undo the per-row filter (None/Sub/Up/Average/Paeth).
+    Sub/Up unfilter vectorized (mod-256 cumsum / row add); Average/Paeth
+    need the sequential scan the spec defines.  RGBA (color type 6)
+    decodes too — alpha dropped — since encoders commonly emit it."""
+    import numpy as np
+
+    if len(data) < 8 + 25 or not data.startswith(_PNG_SIG):
+        return None
+    pos, w = 8, None
+    idat = bytearray()
+    h = bit_depth = color = interlace = None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            return None
+        if typ == b"IHDR":
+            if ln < 13:
+                return None
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            bit_depth, color = body[8], body[9]
+            interlace = body[12]
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + crc (crc not verified: not integrity-critical here)
+    if w is None or not idat or bit_depth != 8 or color not in (2, 6) or interlace != 0:
+        return None
+    if w <= 0 or h <= 0:
+        return None
+    bpp = 3 if color == 2 else 4
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride + 1, offset=y * (stride + 1))
+        ftype, filt = row[0], row[1:]
+        if ftype == 0:  # None
+            rec = filt.copy()
+        elif ftype == 1:  # Sub: mod-256 prefix sum per byte lane
+            lanes = filt.reshape(w, bpp).astype(np.uint64)
+            rec = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up
+            rec = filt + prev
+        elif ftype == 3:  # Average
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(filt[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(filt[x]) + _paeth(left, int(prev[x]), ul)) & 0xFF
+            rec = np.asarray(rec, dtype=np.uint8)
+        else:
+            return None
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, bpp)
+    return px[..., :3].copy() if bpp == 4 else px.reshape(h, w, 3)
+
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    return (
+        len(body).to_bytes(4, "big") + typ + body
+        + zlib.crc32(typ + body).to_bytes(4, "big")
+    )
+
+
+def encode_png(arr) -> bytes:
+    """(h, w, 3) uint8 RGB -> 8-bit truecolor PNG bytes — decode_png's
+    inverse.  Each row is filtered with type (row % 5), deliberately
+    cycling through None/Sub/Up/Average/Paeth so a round-trip exercises
+    every unfilter branch (the mm_png_decode driver gate relies on this)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    bpp = 3
+    flat = a.reshape(h, w * bpp).astype(np.int32)
+    lines = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        ftype = y % 5
+        if ftype == 0:
+            filt = cur.copy()
+        elif ftype == 1:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+            filt = cur - left
+        elif ftype == 2:
+            filt = cur - prev
+        elif ftype == 3:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+            filt = cur - (left + prev) // 2
+        else:
+            filt = np.empty(w * bpp, dtype=np.int32)
+            for x in range(w * bpp):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                filt[x] = cur[x] - _paeth(left, int(prev[x]), ul)
+        lines.append(ftype)
+        lines += (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, truecolor, deflate, adaptive, no interlace
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_wav_pcm(data: bytes):
     """16-bit PCM WAV -> (n_frames, channels) int16 numpy array, or None.
     One shared chunk walk (_wav_layout) locates the data chunk; samples
@@ -447,12 +592,13 @@ def decode_wav_pcm(data: bytes):
 
 def resize_image(df: DataFrame, *, width: int = 64, height: int = 64,
                  id_col: str = "doc_id") -> DataFrame:
-    """REAL resize for decodable payloads: 24bpp BMPs decode to pixel
-    arrays, resample nearest-neighbor (pure numpy index math), and
-    re-encode as BMP thumbnails; everything else falls back to the
-    deterministic stub bytes.  Same schema/batching as resize_stub, so
-    the two are drop-in interchangeable — format coverage is the only
-    difference."""
+    """REAL resize for decodable payloads: 24bpp BMPs and 8-bit truecolor
+    PNGs decode to pixel arrays, resample nearest-neighbor (pure numpy
+    index math), and re-encode as BMP thumbnails; everything else
+    (incl. JPEG — no codec lib in this environment, documented stub)
+    falls back to the deterministic stub bytes.  Same schema/batching as
+    resize_stub, so the two are drop-in interchangeable — format coverage
+    is the only difference."""
     import numpy as np
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -461,6 +607,8 @@ def resize_image(df: DataFrame, *, width: int = 64, height: int = 64,
             for p in pdf["payload"]:
                 b = _payload_bytes(p)
                 img = decode_bmp(b)
+                if img is None:
+                    img = decode_png(b)
                 if img is not None:
                     ys = (np.arange(height) * img.shape[0]) // height
                     xs = (np.arange(width) * img.shape[1]) // width

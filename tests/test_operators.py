@@ -965,6 +965,70 @@ def test_bmp_pixel_roundtrip_and_real_resize(spark):
     assert (meta["format"], meta["width"], meta["height"]) == ("bmp", 4, 2)
 
 
+def test_png_pixel_roundtrip_and_real_resize(spark):
+    import zlib as _zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # every (h, w) here spans at least one full filter-rotation cycle in
+    # encode_png (row filter = y % 5), so Sub/Up/Average/Paeth all run
+    for h, w in [(1, 1), (5, 3), (8, 8), (16, 11)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        raw = MM.encode_png(img)
+        assert MM.parse_image_dims(raw) == ("png", w, h)
+        assert np.array_equal(MM.decode_png(raw), img)
+    # decoder correctness independent of the encoder: hand-assembled
+    # filter-0 PNG (raw scanlines through zlib, no filtering to invert)
+    h, w = 4, 3
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    raw_lines = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    png = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", _zlib.compress(raw_lines))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(MM.decode_png(png), px)
+    # multi-IDAT streams concatenate; RGBA (color type 6) drops alpha
+    body = _zlib.compress(raw_lines)
+    png_multi = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", body[:5])
+        + MM._png_chunk(b"IDAT", body[5:])
+        + MM._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(MM.decode_png(png_multi), px)
+    # real resize through the Spark operator now covers PNG payloads
+    img = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    docs = spark.createDataFrame(
+        [(1, bytearray(MM.encode_png(img)))], "doc_id long, payload binary"
+    )
+    row = MM.resize_image(docs, width=2, height=1).collect()[0]
+    thumb = MM.decode_bmp(bytes(row["thumb"]))
+    assert np.array_equal(thumb[0, 0], img[0, 0])
+    assert np.array_equal(thumb[0, 1], img[0, 2])
+
+
+def test_png_decoder_robust_to_malformed_bytes():
+    import numpy as np
+
+    good = MM.encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    for b in (
+        b"", MM._PNG_SIG,                      # empty / signature only
+        good[:20], good[:-6],                  # truncated chunks
+        good[: len(good) - 20] + b"\xff" * 20,  # corrupted IDAT tail
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 40,   # nonsense chunk layout
+    ):
+        out = MM.decode_png(b)
+        assert out is None or isinstance(out, np.ndarray)
+    # unsupported shapes refuse cleanly: 16-bit depth, paletted, interlaced
+    ihdr16 = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
+    assert MM.decode_png(MM._PNG_SIG + MM._png_chunk(b"IHDR", ihdr16)) is None
+
+
 def test_wav_pcm_decode_and_audio_features(spark):
     import math
 
