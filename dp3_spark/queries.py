@@ -1406,6 +1406,63 @@ where s.s_suppkey in (
 """
 _REGISTRY["tpch_q20_volume_suppliers"] = _sql_pair(_Q20)
 
+# partsupp is absent from the fixtures; q2/q11 derive it DETERMINISTICALLY
+# from lineitem (distinct (partkey, suppkey) + formula availqty/supplycost
+# in integer cents) — the same CTE text runs in both engines, so the
+# derivation itself is part of what the oracle proves.  Keys cover every
+# (part, supplier) pair that ever traded, which is the join surface the
+# real partsupp provides.
+_PARTSUPP_CTE = """partsupp as (
+  select l_partkey as ps_partkey, l_suppkey as ps_suppkey,
+         cast(1 + (l_partkey * 31 + l_suppkey * 7) % 9999 as bigint) as ps_availqty,
+         cast(100 + (l_partkey * 13 + l_suppkey * 17) % 99900 as bigint) as ps_supplycost_c
+  from (select distinct l_partkey, l_suppkey from lineitem) base
+)"""
+
+# q2: minimum-cost supplier per part in a region — the correlated scalar
+# MIN subquery over partsupp x supplier x nation x region that made q2
+# famous, on the derived partsupp.
+_Q2 = f"""
+with {_PARTSUPP_CTE}
+select s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+       cast(ps.ps_supplycost_c as double) / 100.0 as supplycost
+from part p
+join partsupp ps on ps.ps_partkey = p.p_partkey
+join supplier s on s.s_suppkey = ps.ps_suppkey
+join nation n on n.n_nationkey = s.s_nationkey
+join region r on r.r_regionkey = n.n_regionkey
+where p.p_size = 4 and p.p_type = 'STANDARD' and r.r_name = 'ASIA'
+  and ps.ps_supplycost_c = (
+    select min(ps2.ps_supplycost_c)
+    from partsupp ps2
+    join supplier s2 on s2.s_suppkey = ps2.ps_suppkey
+    join nation n2 on n2.n_nationkey = s2.s_nationkey
+    join region r2 on r2.r_regionkey = n2.n_regionkey
+    where ps2.ps_partkey = p.p_partkey and r2.r_name = 'ASIA'
+  )
+"""
+_REGISTRY["tpch_q2_min_cost_supp"] = _sql_pair(_Q2)
+
+# q11: important stock — per-part inventory value within one nation vs a
+# scaled uncorrelated total.  Threshold comparison stays in exact integer
+# cents (value_c * 1000 > total_c  <=>  value > 0.1% of total), so both
+# engines compare bit-identical numbers.
+_Q11 = f"""
+with {_PARTSUPP_CTE},
+natps as (
+  select ps.ps_partkey, ps.ps_supplycost_c * ps.ps_availqty as v_c
+  from partsupp ps
+  join supplier s on s.s_suppkey = ps.ps_suppkey
+  join nation n on n.n_nationkey = s.s_nationkey
+  where n.n_name = 'NATION_3'
+)
+select ps_partkey, cast(sum(v_c) as double) / 100.0 as value
+from natps
+group by ps_partkey
+having sum(v_c) * 1000 > (select sum(v_c) from natps)
+"""
+_REGISTRY["tpch_q11_important_stock"] = _sql_pair(_Q11)
+
 # q22: idle high-balance customers by nation (reference buckets by phone
 # country code; fixtures have no phone) — anti-join + uncorrelated scalar
 # average.  The average is taken over exact cents so both engines compare
