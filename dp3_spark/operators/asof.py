@@ -46,6 +46,36 @@ _MATCHED = "__matched__"
 _SLICE = "__slice__"
 _CARRIED = "__carried__"
 
+# Auto skew guard: when any single producer's merged run exceeds this many
+# rows, the window stage would serialize that producer onto one task —
+# switch to the time-sliced path.  Same auto-dispatch idiom as
+# similarity.BROADCAST_VERIFY_MAX_ROWS: a module constant callers (and
+# tests) can tune.  2M rows ≈ a few hundred MB of log rows, the point
+# where one sorted run stops fitting a task comfortably.
+AUTO_SLICE_MAX_ROWS = 2_000_000
+
+
+def _auto_time_slices(u: DataFrame, partition_cols: Sequence[str]) -> int | None:
+    """Rows-per-producer heuristic for `time_slices='auto'`: one
+    map-combinable count over the (already-constructed) merged union —
+    cheap relative to the window sort it guards, and the same number a
+    catalog row-count statistic would supply at 100 TB.  Returns the slice
+    count K (ceil(max_run / AUTO_SLICE_MAX_ROWS), capped at the cluster
+    parallelism) or None when no producer's run is long enough."""
+    import math
+
+    row = (
+        u.groupBy(*partition_cols)
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()
+    )
+    max_run = int(row["mx"] or 0)
+    if max_run <= AUTO_SLICE_MAX_ROWS:
+        return None
+    par = max(2, u.sparkSession.sparkContext.defaultParallelism)
+    return min(math.ceil(max_run / AUTO_SLICE_MAX_ROWS), par)
+
 
 def dp3_asof_join(
     left: DataFrame,
@@ -57,7 +87,7 @@ def dp3_asof_join(
     seq_col: str = "sequence",
     partition_cols: Sequence[str] = ("producer",),
     child_col: str = "__child__",
-    time_slices: int | None = None,
+    time_slices: int | str | None = "auto",
 ) -> DataFrame:
     """dp3 `precedes` join.  For `succeeds`, call with the inputs swapped.
 
@@ -70,7 +100,10 @@ def dp3_asof_join(
     time_slices: when one producer dominates (a single partition would
     serialize the whole stream onto one task), split each producer's run
     into this many equal-width time slices processed in parallel; output
-    is identical to the default path (parity pinned in tests).
+    is identical to the default path (parity pinned in tests).  The
+    default 'auto' counts rows per producer (one map-combinable agg) and
+    slices only when some run exceeds AUTO_SLICE_MAX_ROWS; pass None to
+    force the single-run path or an int to force a slice count.
     """
     has_child = child_col in left.columns or child_col in right.columns
     lhs = left if child_col in left.columns else left.withColumn(child_col, F.lit(0))
@@ -79,6 +112,11 @@ def dp3_asof_join(
     rhs = rhs.withColumn(_SIDE, F.lit(1))
 
     u = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    if time_slices == "auto":
+        time_slices = _auto_time_slices(u, partition_cols)
+    elif isinstance(time_slices, str):
+        raise ValueError(f"unknown time_slices mode {time_slices!r}")
 
     if time_slices is not None and time_slices > 1:
         return _asof_time_sliced(

@@ -96,6 +96,33 @@ def test_sliced_immediate_first_match_crosses_boundary(spark):
     assert {r[3] for r in _rows(sliced)} == {1, 2}  # left + first right only
 
 
+def test_auto_slice_guard_engages_without_caller_optin(spark, monkeypatch):
+    """The r3 verdict ask: a pathological single-producer stream must plan
+    >1 task in the window stage WITHOUT the caller passing time_slices.
+    Tune the dispatch constant down (the BROADCAST_VERIFY_MAX_ROWS test
+    idiom) so the 600-row fixture counts as 'skewed', and pin both the
+    engaged plan and exact output parity with the unsliced path."""
+    from dp3_spark.operators import asof as asof_mod
+
+    left, right = _frames(spark)
+    baseline = dp3_asof_join(left, right, time_slices=None)
+
+    monkeypatch.setattr(asof_mod, "AUTO_SLICE_MAX_ROWS", 100)
+    auto = dp3_asof_join(left, right)  # no time_slices argument at all
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "__slice__" in plan and "hashpartitioning" in plan
+    assert _rows(auto) == _rows(baseline)
+
+
+def test_auto_slice_guard_stays_off_for_short_runs(spark):
+    # default threshold: 600 rows per producer is nowhere near 2M — the
+    # auto path must NOT add slice machinery (or its extra shuffles)
+    left, right = _frames(spark)
+    auto = dp3_asof_join(left, right)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "__slice__" not in plan
+
+
 def test_sliced_plan_partitions_by_slice(spark):
     # the point of the path: the window stage partitions on (producer,
     # __slice__), so one producer no longer serializes onto one task —
