@@ -42,6 +42,8 @@ HEADLINE = [
     "stat_quantiles_hourly",  # quantile stats
     "stat_hll_daily",         # mergeable HLL distinct-count sketch
     "stat_resample_hourly",   # zero-order-hold grid resample (no-join plan)
+    "stat_resample_lerp",     # linear-interpolation resample (same no-join plan)
+    "stat_cms_weekly_rollup", # CountMin daily build + mergeable weekly rollup
     "stat_twa_daily",         # time-weighted avg (exact int64 weights)
     "events_sessionize",      # stateful sessionization
     "tpch_q1_pricing",        # wide aggregation
@@ -136,6 +138,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        # r3 -> r4 deltas are attributable to plan changes only: same
+        # fresh-session-per-query subprocess, two untimed warmups, min of
+        # runs 3-4 as BENCH_r03 (methodology unchanged since r3)
+        "methodology": "unchanged since r03: fresh session per query, "
+        "2 untimed warmups, min of 2 timed runs",
     }
     print(json.dumps(out))
 
