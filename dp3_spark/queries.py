@@ -1753,6 +1753,35 @@ order by doc_freq desc, tok limit 100
 """
 _REGISTRY["text_vocab_topk"] = _sql_pair(_VOCAB_SPARK, _VOCAB_DUCK)
 
+# PII scrubbing (functions/text.py redact_pii / pii_count): the fixture
+# text carries no PII, so each document is augmented with a synthetic
+# email + IPv4 derived from its id — IN SQL, identically in both engines —
+# making the gate non-vacuous: n_pii counts the planted matches and
+# redacted_hash proves the regexp_replace chain rewrote them (map-only,
+# pure codegen, zero Python).
+_PII_AUG_S = (
+    "concat(text, ' contact user', cast(doc_id as string), "
+    "'@example.com from 10.0.', cast(doc_id % 256 as string), '.7 ok')"
+)
+_PII_AUG_D = (
+    "concat(text, ' contact user', cast(doc_id as varchar), "
+    "'@example.com from 10.0.', cast(doc_id % 256 as varchar), '.7 ok')"
+)
+_PII_CNT_S, _PII_CNT_D = TXT.pii_count("aug")
+_PII_RED_S, _PII_RED_D = TXT.redact_pii("aug")
+_PII_HASH_S = TXT.poly_hash(f"({_PII_RED_S})")[0]
+_PII_HASH_D = TXT.poly_hash(f"({_PII_RED_D})")[1]
+_REGISTRY["text_pii_scrub"] = _sql_pair(
+    f"""
+    select doc_id, {_PII_CNT_S} as n_pii, {_PII_HASH_S} as redacted_hash
+    from (select doc_id, {_PII_AUG_S} as aug from documents) a
+    """,
+    f"""
+    select doc_id, {_PII_CNT_D} as n_pii, {_PII_HASH_D} as redacted_hash
+    from (select doc_id, {_PII_AUG_D} as aug from documents) a
+    """,
+)
+
 
 # =========================================================================
 # Deduplication family (beyond-reference; operators/dedup.py)
