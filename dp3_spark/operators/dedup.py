@@ -700,6 +700,69 @@ def simhash_dup_pairs(
     )
 
 
+def duplicated_window_flags(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 10,
+) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499 — the
+    ExactSubstr criterion, token-windowed): fingerprint every w-token
+    window; a window whose fingerprint occurs MORE THAN ONCE in the corpus
+    (across or within documents) is duplicated, and each document reports
+    how much of it that covers.
+
+    Output: (id_col, n_windows, n_dup_windows, dup_frac) — one row per
+    document, n_windows = max(len(tokens) - w + 1, 0).
+
+    Scale shape: the window explode is a map-only ~w x token-volume pass
+    emitting (doc, md5) fingerprints only (never window text); the
+    occurrence count is one map-combinable groupBy(fp); the flag join is
+    an equi-join on fp (fingerprints are uniform 128-bit, so no skew
+    beyond genuinely ubiquitous boilerplate — AQE's skew split covers
+    those); the per-doc rollup is map-combinable.  Nothing corpus-sized
+    is collected or broadcast."""
+    toks_s, _ = TXT.tokens(text_col)
+    t = docs.select(
+        F.col(id_col).alias("id"), F.expr(toks_s).alias("toks")
+    ).withColumn("nw", F.greatest(F.size("toks") - F.lit(w) + 1, F.lit(0)))
+    wins = t.filter(F.col("nw") > 0).select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, nw), i -> "
+                f"md5(concat_ws(' ', slice(toks, i, {w}))))"
+            )
+        ).alias("fp"),
+    )
+    cnt = wins.groupBy("fp").agg(F.count("*").alias("c"))
+    perdoc = (
+        wins.join(cnt, "fp")
+        .groupBy("id")
+        .agg(
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows")
+        )
+    )
+    return (
+        t.join(perdoc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("nw").cast("long").alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.when(
+                F.col("nw") > 0,
+                F.coalesce(F.col("n_dup_windows"), F.lit(0)) / F.col("nw"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame,
     *,

@@ -1859,6 +1859,51 @@ def dedup_paragraphs(spark, sf_dir):
     return DD.paragraph_dedup(chunked, sep="\n")
 
 
+_DWF_W = 10
+
+
+@register(
+    "dedup_substring_flags",
+    f"""
+    with t as (
+      select doc_id, string_split_regex(trim(text), '\\s+') as toks
+      from documents
+    ),
+    tt as (
+      select doc_id, toks, greatest(len(toks) - {_DWF_W} + 1, 0) as nw from t
+    ),
+    wins as (
+      select doc_id,
+             md5(array_to_string(toks[i : i + {_DWF_W - 1}], ' ')) as fp
+      from tt, unnest(range(1, nw + 1)) r(i)
+      where nw > 0
+    ),
+    cnt as (select fp, count(*) as c from wins group by fp),
+    perdoc as (
+      select doc_id,
+             sum(case when c >= 2 then 1 else 0 end) as nd
+      from wins join cnt using (fp) group by doc_id
+    )
+    select tt.doc_id, cast(tt.nw as bigint) as n_windows,
+           cast(coalesce(pd.nd, 0) as bigint) as n_dup_windows,
+           case when tt.nw > 0
+                then cast(coalesce(pd.nd, 0) as double) / tt.nw
+                else 0.0 end as dup_frac
+    from tt left join perdoc pd on pd.doc_id = tt.doc_id
+    """,
+)
+def dedup_substring_flags(spark, sf_dir):
+    """Exact-substring duplication flags (operators/dedup.py
+    duplicated_window_flags — the Lee et al. arXiv:2107.06499 ExactSubstr
+    criterion, token-windowed): every {_DWF_W}-token window fingerprint
+    occurring >1x in the corpus is duplicated; per-document coverage
+    reported.  Non-vacuous on the fixture (the near-dup documents share
+    hundreds of windows).  md5 window fingerprints are engine-identical,
+    so the oracle re-derives the full pipeline."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.duplicated_window_flags(docs, w=_DWF_W)
+
+
 _SH_S, _SH_D = TXT.shingle_hashes("text", 3)
 # fast-path shingle CTE for oracles: normalization evaluated once per row
 _NORM_D = TXT.normalize("text")[1]
