@@ -718,12 +718,13 @@ def duplicated_window_flags(
     document, n_windows = max(len(tokens) - w + 1, 0).
 
     Scale shape: the window explode is a map-only ~w x token-volume pass
-    emitting (doc, md5) fingerprints only (never window text); the
-    occurrence count is one map-combinable groupBy(fp); the flag join is
-    an equi-join on fp (fingerprints are uniform 128-bit, so no skew
-    beyond genuinely ubiquitous boilerplate — AQE's skew split covers
-    those); the per-doc rollup is map-combinable.  Nothing corpus-sized
-    is collected or broadcast."""
+    emitting (doc, md5) fingerprints only (never window text); occurrence
+    counting is ONE count().over(partitionBy(fp)) window — a single
+    fingerprint shuffle, no count-table self-join (which would either
+    broadcast a corpus-scale table or recompute the explode lineage
+    twice); fingerprints are uniform 128-bit, so no skew beyond genuinely
+    ubiquitous boilerplate; the per-doc rollup is map-combinable.
+    Nothing corpus-sized is collected or broadcast."""
     toks_s, _ = TXT.tokens(text_col)
     t = docs.select(
         F.col(id_col).alias("id"), F.expr(toks_s).alias("toks")
@@ -737,9 +738,8 @@ def duplicated_window_flags(
             )
         ).alias("fp"),
     )
-    cnt = wins.groupBy("fp").agg(F.count("*").alias("c"))
     perdoc = (
-        wins.join(cnt, "fp")
+        wins.withColumn("c", F.count("*").over(Window.partitionBy("fp")))
         .groupBy("id")
         .agg(
             F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
