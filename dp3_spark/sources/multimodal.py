@@ -478,12 +478,18 @@ def decode_png(data: bytes):
     if w <= 0 or h <= 0:
         return None
     bpp = 3 if color == 2 else 4
+    stride = w * bpp
+    need = h * (stride + 1)
+    if need > 256 * 1024 * 1024:  # refuse absurd declared dimensions
+        return None
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bounded inflate: payloads are untrusted corpus bytes, and a
+        # ~100-byte deflate bomb would otherwise allocate gigabytes —
+        # never decompress more than the h x stride the header declares
+        raw = zlib.decompressobj().decompress(bytes(idat), need)
     except zlib.error:
         return None
-    stride = w * bpp
-    if len(raw) < h * (stride + 1):
+    if len(raw) < need:
         return None
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
