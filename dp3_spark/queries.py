@@ -2584,6 +2584,59 @@ def mm_bmp_decode(spark, sf_dir):
     )
 
 
+_FEAT_DIM = 16
+_FEAT_COS = VEC.cosine("a.femb", "b.femb")[1]
+
+
+@register(
+    "mm_feature_topk",
+    f"""
+    with f as (
+      select doc_id,
+             list_transform(range(0, {_FEAT_DIM}), b ->
+               len(list_filter(range(1, length(text) + 1),
+                               i -> ascii(substr(text, i, 1)) % {_FEAT_DIM} = b))) as hist
+      from documents
+    ),
+    fn as (
+      select doc_id, hist,
+             sqrt(list_reduce(list_prepend(cast(0.0 as double),
+                  list_transform(hist, h -> cast(h as double) * cast(h as double))),
+                  (x, y) -> x + y)) as nrm
+      from f
+    ),
+    e as (
+      select doc_id,
+             list_transform(hist, h -> cast(cast(h as double) / nrm as float)) as femb
+      from fn
+    )
+    select query_id, neighbor_id, cosine, rank from (
+      select a.doc_id as query_id, b.doc_id as neighbor_id,
+             {_FEAT_COS} as cosine,
+             row_number() over (partition by a.doc_id
+                                order by {_FEAT_COS} desc, b.doc_id) as rank
+      from e a join e b on a.doc_id != b.doc_id
+      where a.doc_id < 20
+    ) t where rank <= 3
+    """,
+)
+def mm_feature_topk(spark, sf_dir):
+    """The brief's multimodal -> embedding -> similarity composition,
+    driver-gated end to end: binary payloads flow through the
+    mapInPandas feature extractor (multimodal.extract_features — byte
+    histogram folded to {_FEAT_DIM} buckets, L2-normalized float32) and
+    the resulting genuine array<float> column feeds cosine_topk
+    unchanged.  Closed-form oracle: for the fixture's ASCII payloads the
+    byte histogram equals the codepoint histogram, the float32 cast is
+    IEEE round-to-nearest in both engines, and the cosine fold is the
+    shared sequential double fold — so ANN over EXTRACTED features
+    hash-matches, not just over the pre-built embeddings table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = MM.extract_features(MM.with_binary_payload(docs), dim=_FEAT_DIM)
+    q = feats.filter(F.col("doc_id") < 20)
+    return SIM.cosine_topk(feats, q, id_col="doc_id", vec_col="features", k=3)
+
+
 # 16 rows = three full cycles of the encoder's row-filter rotation
 # (None/Sub/Up/Average/Paeth), so the round-trip exercises every
 # unfilter branch on every document
