@@ -2711,6 +2711,86 @@ def mm_png_decode(spark, sf_dir):
     )
 
 
+# 64-color palette x 16x12 indexed raster: enough codes that the LZW
+# table genuinely grows past the initial width during encode
+_GIF_W, _GIF_H, _GIF_NCOL = 12, 16, 64
+_GIF_KS = (37, 59, 83)  # per-channel palette multipliers
+
+
+@register(
+    "mm_gif_decode",
+    f"""
+    with px as (
+      select d.doc_id,
+             ((d.doc_id * 7 + r.r * 5 + c.c * 3) % {_GIF_NCOL}) as idx,
+             ((r.r * {_GIF_W} + c.c) * 3 + ch.ch + 1) as wgt, ch.ch
+      from documents d,
+           unnest(generate_series(0, {_GIF_H - 1})) r(r),
+           unnest(generate_series(0, {_GIF_W - 1})) c(c),
+           unnest(generate_series(0, 2)) ch(ch)
+    ),
+    v as (
+      select doc_id, ch, wgt,
+             (idx * (case ch when 0 then {_GIF_KS[0]}
+                             when 1 then {_GIF_KS[1]}
+                             else {_GIF_KS[2]} end)) % 256 as v
+      from px
+    )
+    select doc_id,
+           cast(sum(case when ch = 0 then v else 0 end) as bigint) as sum_r,
+           cast(sum(case when ch = 1 then v else 0 end) as bigint) as sum_g,
+           cast(sum(case when ch = 2 then v else 0 end) as bigint) as sum_b,
+           cast(sum(v * wgt) as bigint) as pos_check
+    from v group by doc_id
+    """,
+)
+def mm_gif_decode(spark, sf_dir):
+    """REAL GIF decode in the driver gate: each document rasterizes a
+    deterministic {_GIF_H}x{_GIF_W} indexed image over a {_GIF_NCOL}-color
+    formula palette, round-trips through actual GIF89a bytes (encode_gif
+    -> decode_gif: real LZW compress/decompress with width growth, color
+    table, sub-block framing), and reports integer-exact channel sums +
+    position-weighted checksum; the oracle computes them from the
+    palette/index formulas directly."""
+    import numpy as np
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def run(batches):
+        i = np.arange(_GIF_NCOL)
+        pal = np.stack([(i * k) % 256 for k in _GIF_KS], axis=1).astype(np.uint8)
+        wgt = (
+            (np.arange(_GIF_H).reshape(-1, 1, 1) * _GIF_W
+             + np.arange(_GIF_W).reshape(1, -1, 1)) * 3
+            + np.arange(3).reshape(1, 1, -1) + 1
+        ).astype(np.int64)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                r = np.arange(_GIF_H).reshape(-1, 1)
+                c = np.arange(_GIF_W).reshape(1, -1)
+                idx = (int(did) * 7 + r * 5 + c * 3) % _GIF_NCOL
+                img = pal[idx]
+                back = MM.decode_gif(MM.encode_gif(img, palette=pal)).astype(np.int64)
+                rows.append(
+                    (
+                        int(did),
+                        int(back[..., 0].sum()),
+                        int(back[..., 1].sum()),
+                        int(back[..., 2].sum()),
+                        int((back * wgt).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sum_r", "sum_g", "sum_b", "pos_check"]
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, sum_r long, sum_g long, sum_b long, pos_check long"
+    )
+
+
 _WAV_N = 64  # samples per synthesized doc waveform
 
 

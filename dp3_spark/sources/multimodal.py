@@ -523,6 +523,229 @@ def decode_png(data: bytes):
     return px[..., :3].copy() if bpp == 4 else px.reshape(h, w, 3)
 
 
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF-variant LZW decode (spec appendix F, public): variable-width
+    codes starting at min_code_size+1 bits, CLEAR resets the table, EOI
+    ends the stream; output is bounded by max_pixels so malformed streams
+    can't balloon."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit reader: GIF packs codes LSB-first
+    acc = nbits = pos = 0
+
+    def read(width):
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    prev = None
+    while True:
+        code = read(width)
+        if code is None or code == eoi:
+            break
+        if code == clear:
+            table = table[: clear + 2]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None  # corrupt stream
+        out += entry
+        if len(out) >= max_pixels:
+            break
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:max_pixels])
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encode — _lzw_decode's inverse (textbook greedy
+    longest-match with the GIF width-growth and CLEAR-at-4096 rules)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        run = bytes([b])
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes):
+    """First frame of a GIF87a/GIF89a -> (h, w, 3) uint8 RGB array, or
+    None.  Pure python/numpy: logical screen + color tables + sub-block
+    concatenation + LZW decode + optional deinterlace.  Extensions
+    (graphic control, comments, application) are skipped; animations
+    yield their first image descriptor."""
+    import numpy as np
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(data):
+            return None
+        gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            return None
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            return None
+        # image descriptor
+        if pos + 10 > len(data):
+            return None
+        w = int.from_bytes(data[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(data[pos + 7 : pos + 9], "little")
+        ipk = data[pos + 9]
+        pos += 10
+        pal = gct
+        if ipk & 0x80:
+            n = 2 << (ipk & 0x07)
+            if pos + 3 * n > len(data):
+                return None
+            pal = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None or w <= 0 or h <= 0 or w * h > 64 * 1024 * 1024:
+            return None
+        if pos >= len(data):
+            return None
+        mcs = data[pos]
+        pos += 1
+        if not (2 <= mcs <= 11):
+            return None
+        stream = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            ln = data[pos]
+            stream += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _lzw_decode(bytes(stream), mcs, w * h)
+        if idx is None or len(idx) < w * h:
+            return None
+        arr = np.frombuffer(idx, np.uint8, w * h).reshape(h, w)
+        if ipk & 0x40:  # interlaced: rows arrive in 4 passes
+            rows = []
+            for start, step in _GIF_INTERLACE_PASSES:
+                rows.extend(range(start, h, step))
+            de = np.empty_like(arr)
+            de[rows] = arr
+            arr = de
+        if int(arr.max()) >= len(pal):
+            return None
+        return pal[arr]
+    return None
+
+
+def encode_gif(arr, *, palette=None) -> bytes:
+    """(h, w, 3) uint8 RGB -> single-frame GIF89a — decode_gif's inverse.
+    The image must use <= 256 distinct colors (true for synthesized
+    gates); `palette` pre-pins the color order for determinism, else
+    colors are indexed in first-seen scan order."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    flat = a.reshape(-1, 3)
+    if palette is None:
+        _, first = np.unique(
+            flat.view([("", np.uint8)] * 3), return_index=True
+        )
+        palette = flat[np.sort(first)]
+    pal = np.asarray(palette, dtype=np.uint8)
+    if len(pal) > 256:
+        raise ValueError("encode_gif needs <= 256 distinct colors")
+    lut = {tuple(c): i for i, c in enumerate(pal)}
+    idx = bytes(lut[tuple(px)] for px in flat)
+    bits = max(2, int(len(pal) - 1).bit_length())
+    n_pal = 1 << bits
+    table = np.zeros((n_pal, 3), dtype=np.uint8)
+    table[: len(pal)] = pal
+    mcs = bits
+    lzw = _lzw_encode(idx, mcs)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | (bits - 1), 0, 0])
+        + table.tobytes()
+        + b"\x2C" + b"\x00" * 4
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + b"\x00"
+        + bytes([mcs])
+        + bytes(blocks)
+        + b"\x3B"
+    )
+
+
 def _png_chunk(typ: bytes, body: bytes) -> bytes:
     return (
         len(body).to_bytes(4, "big") + typ + body
@@ -598,11 +821,12 @@ def decode_wav_pcm(data: bytes):
 
 def resize_image(df: DataFrame, *, width: int = 64, height: int = 64,
                  id_col: str = "doc_id") -> DataFrame:
-    """REAL resize for decodable payloads: 24bpp BMPs and 8-bit truecolor
-    PNGs decode to pixel arrays, resample nearest-neighbor (pure numpy
-    index math), and re-encode as BMP thumbnails; everything else
-    (incl. JPEG — no codec lib in this environment, documented stub)
-    falls back to the deterministic stub bytes.  Same schema/batching as
+    """REAL resize for decodable payloads: 24bpp BMPs, 8-bit truecolor
+    PNGs, and paletted GIFs decode to pixel arrays, resample
+    nearest-neighbor (pure numpy index math), and re-encode as BMP
+    thumbnails; everything else (incl. JPEG — no codec lib in this
+    environment, documented stub) falls back to the deterministic stub
+    bytes.  Same schema/batching as
     resize_stub, so the two are drop-in interchangeable — format coverage
     is the only difference."""
     import numpy as np
@@ -615,6 +839,8 @@ def resize_image(df: DataFrame, *, width: int = 64, height: int = 64,
                 img = decode_bmp(b)
                 if img is None:
                     img = decode_png(b)
+                if img is None:
+                    img = decode_gif(b)
                 if img is not None:
                     ys = (np.arange(height) * img.shape[0]) // height
                     xs = (np.arange(width) * img.shape[1]) // width

@@ -1012,6 +1012,73 @@ def test_png_pixel_roundtrip_and_real_resize(spark):
     assert np.array_equal(thumb[0, 1], img[0, 2])
 
 
+def test_gif_lzw_roundtrip_and_real_resize(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    for h, w, ncol in [(1, 1, 2), (5, 7, 16), (16, 16, 256)]:
+        pal = np.unique(
+            rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8).view(
+                [("", np.uint8)] * 3
+            )
+        )[:ncol].view(np.uint8).reshape(-1, 3)
+        img = pal[rng.integers(0, len(pal), size=(h, w))]
+        raw = MM.encode_gif(img, palette=pal)
+        assert MM.parse_image_dims(raw) == ("gif", w, h)
+        assert np.array_equal(MM.decode_gif(raw), img)
+    # big enough that the LZW table grows past 4096 and CLEARs mid-stream
+    pal = np.stack(
+        [np.arange(256), (np.arange(256) * 7) % 256, (np.arange(256) * 13) % 256],
+        axis=1,
+    ).astype(np.uint8)
+    idx = (np.arange(300 * 200) % 200).astype(np.uint8).reshape(300, 200)
+    img = pal[idx]
+    assert np.array_equal(MM.decode_gif(MM.encode_gif(img, palette=pal)), img)
+    # real resize through the Spark operator covers GIF payloads
+    img4 = pal[np.arange(4 * 2).reshape(2, 4) % 8]
+    docs = spark.createDataFrame(
+        [(1, bytearray(MM.encode_gif(img4, palette=pal)))],
+        "doc_id long, payload binary",
+    )
+    row = MM.resize_image(docs, width=2, height=1).collect()[0]
+    thumb = MM.decode_bmp(bytes(row["thumb"]))
+    assert np.array_equal(thumb[0, 0], img4[0, 0])
+    assert np.array_equal(thumb[0, 1], img4[0, 2])
+
+
+def test_gif_interlaced_decode_and_malformed():
+    """Interlace is decode-only (the encoder emits progressive), so pin it
+    with a hand-assembled file: rows permuted into the spec's 4-pass
+    order, interlace bit set — decode must restore original row order."""
+    import numpy as np
+
+    h, w = 11, 4
+    pal = np.stack([np.arange(16) * 16] * 3, axis=1).astype(np.uint8)
+    idx = (np.arange(h * w) % 16).astype(np.uint8).reshape(h, w)
+    rows = []
+    for start, step in MM._GIF_INTERLACE_PASSES:
+        rows.extend(range(start, h, step))
+    lzw = MM._lzw_encode(bytes(idx[rows].reshape(-1)), 4)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        blocks.append(len(lzw[i : i + 255]))
+        blocks += lzw[i : i + 255]
+    blocks.append(0)
+    raw = (
+        b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | 3, 0, 0]) + pal.tobytes()
+        + b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x40])  # interlace flag, no local table
+        + bytes([4]) + bytes(blocks) + b"\x3b"
+    )
+    assert np.array_equal(MM.decode_gif(raw), pal[idx])
+    good = MM.encode_gif(pal[idx], palette=pal)
+    for b in (b"", b"GIF89a", good[:30], good[:-8],
+              b"GIF89a" + b"\xff" * 30):
+        out = MM.decode_gif(b)
+        assert out is None or isinstance(out, np.ndarray)
+
+
 def test_png_decoder_robust_to_malformed_bytes():
     import numpy as np
 
