@@ -2711,6 +2711,93 @@ def mm_png_decode(spark, sf_dir):
     )
 
 
+# JPEG gate: one solid-color 16x16 frame per doc.  A constant block is
+# DC-only, and the codec computes the DC term EXACTLY (sum/8 — see
+# jpeg.py), so encode -> decode is the closed-form chain
+# RGB -> YCbCr round -> quantize/dequantize round -> +128 round -> RGB
+# round, every rounding floor(x+0.5) — an arithmetic oracle proves real
+# Huffman + DCT machinery end to end.  (AC fidelity is pinned by PSNR +
+# property tests, which no hash gate can express.)
+_JPG_QY, _JPG_QC = 16, 17  # Annex-K DC quantizers (luma / chroma)
+
+
+def _jpg_rh(x: str) -> str:
+    return f"floor(({x}) + 0.5)"
+
+
+def _jpg_clip(x: str) -> str:
+    return f"least(greatest({x}, 0.0), 255.0)"
+
+
+def _jpg_dc(v: str, q: int) -> str:
+    inner = _jpg_rh(f"8.0 * (({v}) - 128.0) / {q}.0")
+    return _jpg_clip(_jpg_rh(f"{q}.0 * ({inner}) / 8.0 + 128.0"))
+
+
+def _jpg_oracle() -> str:
+    y = _jpg_clip(_jpg_rh("0.299 * r + 0.587 * g + 0.114 * b"))
+    cb = _jpg_clip(_jpg_rh("-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0"))
+    cr = _jpg_clip(_jpg_rh("0.5 * r - 0.418688 * g - 0.081312 * b + 128.0"))
+    y2, cb2, cr2 = _jpg_dc(y, _JPG_QY), _jpg_dc(cb, _JPG_QC), _jpg_dc(cr, _JPG_QC)
+    return f"""
+    with rgb as (
+      select doc_id,
+             cast((doc_id * 31) % 256 as double) as r,
+             cast((doc_id * 57) % 256 as double) as g,
+             cast((doc_id * 91) % 256 as double) as b
+      from documents
+    ),
+    dec as (
+      select doc_id, {y2} as y2, {cb2} as cb2, {cr2} as cr2 from rgb
+    )
+    select doc_id,
+           cast({_jpg_clip(_jpg_rh('y2 + 1.402 * (cr2 - 128.0)'))} as bigint) as dec_r,
+           cast({_jpg_clip(_jpg_rh('y2 - 0.344136 * (cb2 - 128.0) - 0.714136 * (cr2 - 128.0)'))} as bigint) as dec_g,
+           cast({_jpg_clip(_jpg_rh('y2 + 1.772 * (cb2 - 128.0)'))} as bigint) as dec_b,
+           cast(256 as bigint) as n_px
+    from dec
+    """
+
+
+@register("mm_jpeg_decode", _jpg_oracle())
+def mm_jpeg_decode(spark, sf_dir):
+    """REAL baseline JPEG decode in the driver gate (closes the last
+    multimodal stub): each document encodes a solid-color 16x16 frame
+    through actual JFIF bytes — markers, DQT, custom canonical DHT,
+    Huffman-coded MCUs with byte stuffing — and decodes them back
+    (generic DHT parse, Huffman decode, dequantize, IDCT, color
+    conversion).  Solid frames make the lossy chain closed-form (DC-only;
+    jpeg.py's exact-DC contract), so the oracle re-derives the decoded
+    RGB arithmetically.  n_px asserts the frame is uniform — a
+    non-constant decode fails the gate, not just the corner pixel."""
+    import numpy as np
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rgb = (did * 31 % 256, did * 57 % 256, did * 91 % 256)
+                img = np.full((16, 16, 3), rgb, dtype=np.uint8)
+                back = MM.decode_jpeg(MM.encode_jpeg(img))
+                px = back[0, 0]
+                uniform = int((back == px).all())
+                rows.append(
+                    (did, int(px[0]), int(px[1]), int(px[2]),
+                     uniform * back.shape[0] * back.shape[1])
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "dec_r", "dec_g", "dec_b", "n_px"]
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, dec_r long, dec_g long, dec_b long, n_px long"
+    )
+
+
 # 64-color palette x 16x12 indexed raster: enough codes that the LZW
 # table genuinely grows past the initial width during encode
 _GIF_W, _GIF_H, _GIF_NCOL = 12, 16, 64
@@ -3602,8 +3689,11 @@ _PRIORITY_ORDER = [
     # between — stay pinned locally; ql_asof_immediate / ql_asof_succeeds
     # likewise trail, driver-green in r01 AND r02)
     "mm_audio_features",
-    "mm_bmp_decode",
+    "mm_jpeg_decode",
     "mm_png_decode",
+    # (mm_bmp_decode rotates to 51+ after its green r03 row: the BMP
+    # decode is the simplest of the four real codecs, and the JPEG gate —
+    # the format that was a stub through r3 — takes the driver slot)
     # statistics service (SURVEY §2.4)
     "stat_range_hourly",
     "stat_rollup_daily",

@@ -1,0 +1,470 @@
+"""Pure-python/numpy baseline JPEG codec (ITU-T T.81 public spec) — the
+last multimodal format to get REAL pixel decode (BMP/PNG/GIF/WAV already
+round-trip; reference parity: the dp3 reference stores camera topics as
+JPEG/PNG blobs and never decodes them server-side, so any decode here is
+beyond-reference capability for the pipeline operators).
+
+Scope: baseline sequential DCT, 8-bit, Huffman (generic DHT — both
+standard and custom tables), 1 or 3 components, sampling factors 1-2
+(4:4:4 / 4:2:2 / 4:2:0), restart intervals.  Progressive and arithmetic
+coding return None (documented: the resize/feature paths then use the
+deterministic stub).
+
+Determinism contract: every rounding in both encoder and decoder is
+floor(x + 0.5) — NOT numpy banker's rounding — so the DC-only path
+(solid-color blocks) is closed-form reproducible in SQL, which is what
+lets the mm_jpeg_decode driver gate hash-match an arithmetic oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# Annex K.1 quantization tables (quality 50 operating point)
+QTAB_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32).reshape(8, 8)
+QTAB_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32).reshape(8, 8)
+
+
+def _round_half_up(x):
+    """floor(x + 0.5) — the single rounding used everywhere (numpy
+    np.round would banker's-round, which SQL can't cheaply mirror)."""
+    return np.floor(x + 0.5)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis: D @ block @ D.T transforms."""
+    k = np.arange(8)
+    d = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    d[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return d
+
+
+_DCT = _dct_matrix()
+
+
+# ------------------------------------------------------------------ huffman
+
+def build_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """JPEG canonical Huffman: {symbol: (code, length)} from the DHT
+    BITS/HUFFVAL lists (T.81 Annex C code assignment)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    vi = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[vi]] = (code, ln)
+            code += 1
+            vi += 1
+        code <<= 1
+    return out
+
+
+# Custom flat-ish tables (valid canonical Huffman; the decoder is generic
+# so nothing depends on the standard Annex K tables): 12 DC symbols at
+# length 5, 162 AC symbols at length 9 — simple, spec-conformant, and no
+# code is the all-ones prefix at its length.
+_DC_SYMS = list(range(12))
+_DC_BITS = [0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_SYMS = [(r << 4) | s for r in range(16) for s in range(1, 11)] + [0x00, 0xF0]
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+            if nxt == 0x00:
+                self.pos += 1  # stuffed
+            else:
+                # marker: treat as end-of-entropy padding (caller handles
+                # restart markers explicitly)
+                self.pos -= 1
+                b = 0
+                raise _MarkerHit()
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self):
+        self.acc = 0
+        self.n = 0
+
+
+class _MarkerHit(Exception):
+    pass
+
+
+def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln <= 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((code, ln))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t-bit magnitude to signed value."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """Inverse of EXTEND: (size, t-bit code) for signed v."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    t = a.bit_length()
+    return t, (v if v > 0 else v + (1 << t) - 1)
+
+
+# ------------------------------------------------------------------ encode
+
+def _rgb_to_ycbcr(a: np.ndarray) -> np.ndarray:
+    r = a[..., 0].astype(np.float64)
+    g = a[..., 1].astype(np.float64)
+    b = a[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(_round_half_up(out), 0, 255).astype(np.uint8)
+
+
+def _ycbcr_to_rgb(p: np.ndarray) -> np.ndarray:
+    y = p[..., 0].astype(np.float64)
+    cb = p[..., 1].astype(np.float64) - 128.0
+    cr = p[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(_round_half_up(out), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg(arr) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes: 4:4:4, Annex-K quant
+    tables, custom canonical Huffman tables (emitted in DHT, so any
+    conformant decoder reads them)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    ycc = _rgb_to_ycbcr(a)
+    # pad to 8x8 multiples by edge replication
+    H = (h + 7) & ~7
+    W = (w + 7) & ~7
+    full = np.empty((H, W, 3), dtype=np.uint8)
+    full[:h, :w] = ycc
+    full[h:, :w] = ycc[h - 1 : h, :]
+    full[:, w:] = full[:, w - 1 : w]
+
+    dc_tab = build_canonical(_DC_BITS, _DC_SYMS)
+    ac_tab = build_canonical(_AC_BITS, _AC_SYMS)
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    qt = [QTAB_LUMA, QTAB_CHROMA, QTAB_CHROMA]
+    for by in range(0, H, 8):
+        for bx in range(0, W, 8):
+            for comp in range(3):
+                block = full[by : by + 8, bx : bx + 8, comp].astype(np.float64) - 128.0
+                coef = _DCT @ block @ _DCT.T
+                # the DC term is algebraically sum/8 — compute it exactly
+                # (integer sum, /8 exact in binary) instead of through the
+                # irrational basis products, so exact-half quantization
+                # boundaries round deterministically (the mm_jpeg gate's
+                # closed-form oracle depends on this)
+                coef[0, 0] = float(block.sum()) / 8.0
+                q = _round_half_up(coef / qt[comp]).astype(np.int64)
+                zz = q.reshape(-1)[ZIGZAG]
+                # DC
+                diff = int(zz[0]) - pred[comp]
+                pred[comp] = int(zz[0])
+                t, code = _magnitude(diff)
+                hc, hl = dc_tab[t]
+                bw.put(hc, hl)
+                if t:
+                    bw.put(code, t)
+                # AC
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        hc, hl = ac_tab[0xF0]
+                        bw.put(hc, hl)
+                        run -= 16
+                    t, code = _magnitude(v)
+                    hc, hl = ac_tab[(run << 4) | t]
+                    bw.put(hc, hl)
+                    bw.put(code, t)
+                    run = 0
+                if run:
+                    hc, hl = ac_tab[0x00]
+                    bw.put(hc, hl)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def dqt(tid: int, tab: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(int(x) for x in tab.reshape(-1)[ZIGZAG]))
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    sof = seg(
+        0xC0,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
+    )
+    # all three components share DC table 0 / AC table 0 (the only ones
+    # this encoder emits)
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + dqt(0, QTAB_LUMA) + dqt(1, QTAB_CHROMA)
+        + dht(0, 0, _DC_BITS, _DC_SYMS) + dht(1, 0, _AC_BITS, _AC_SYMS)
+        + sof + sos + bytes(bw.buf)
+        + b"\xff\xd9"
+    )
+
+
+# ------------------------------------------------------------------ decode
+
+def decode_jpeg(data: bytes):
+    """Baseline JFIF -> (h, w, 3) uint8 RGB (grayscale replicated), or
+    None for non-JPEG / progressive / arithmetic / unsupported shapes.
+    Generic DHT/DQT/SOF0/SOS/DRI parsing; sampling factors 1-2."""
+    try:
+        return _decode_jpeg_inner(data)
+    except Exception:
+        return None
+
+
+def _decode_jpeg_inner(data: bytes):
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps = None  # list of (cid, hs, vs, qid)
+    h = w = None
+    restart = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            return None
+        ln = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            bpos = 0
+            while bpos < len(body):
+                pq, tid = body[bpos] >> 4, body[bpos] & 0x0F
+                n = 128 if pq else 64
+                raw = body[bpos + 1 : bpos + 1 + n]
+                vals = (
+                    np.frombuffer(raw, ">u2") if pq else np.frombuffer(raw, np.uint8)
+                ).astype(np.int32)
+                tab = np.zeros(64, np.int32)
+                tab[ZIGZAG] = vals
+                qtabs[tid] = tab.reshape(8, 8)
+                bpos += 1 + n
+        elif marker == 0xC4:
+            bpos = 0
+            while bpos < len(body):
+                cls, tid = body[bpos] >> 4, body[bpos] & 0x0F
+                bits = list(body[bpos + 1 : bpos + 17])
+                nv = sum(bits)
+                vals = list(body[bpos + 17 : bpos + 17 + nv])
+                fw = build_canonical(bits, vals)
+                htabs[(cls, tid)] = {(c, l): s for s, (c, l) in fw.items()}
+                bpos += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if nc not in (1, 3):
+                return None
+            comps = []
+            for i in range(nc):
+                cid = body[6 + 3 * i]
+                hv = body[7 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * i]))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / arithmetic / hierarchical
+        elif marker == 0xDD:
+            restart = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:
+            if comps is None or h is None or not h or not w:
+                return None
+            ns = body[0]
+            scan = {}
+            for i in range(ns):
+                scan[body[1 + 2 * i]] = (body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
+            return _decode_scan(
+                data, pos + 2 + ln, h, w, comps, scan, qtabs, htabs, restart
+            )
+        pos += 2 + ln
+    return None
+
+
+def _decode_scan(data, pos, h, w, comps, scan, qtabs, htabs, restart):
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+        return None
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    if mcux * mcuy > 4 * 1024 * 1024:
+        return None
+    planes = []
+    for cid, hs, vs, qid in comps:
+        planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8), np.float64))
+    br = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_i and mcu_i % restart == 0:
+                # RSTn marker: aligned, two bytes
+                br.align()
+                p = br.pos
+                while p + 1 < len(data) and data[p] == 0xFF and data[p + 1] == 0xFF:
+                    p += 1
+                if p + 1 < len(data) and data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7:
+                    br.pos = p + 2
+                pred = [0] * len(comps)
+            for ci, (cid, hs, vs, qid) in enumerate(comps):
+                dct, act = scan.get(cid, (0, 0))
+                dtab = htabs.get((0, dct))
+                atab = htabs.get((1, act))
+                q = qtabs.get(qid)
+                if dtab is None or atab is None or q is None:
+                    return None
+                for by in range(vs):
+                    for bx in range(hs):
+                        try:
+                            zz = _decode_block(br, dtab, atab)
+                        except _MarkerHit:
+                            zz = np.zeros(64, np.int64)
+                        pred[ci] += int(zz[0])
+                        coefs = np.zeros(64, np.int64)
+                        coefs[ZIGZAG] = zz
+                        coefs[ZIGZAG[0]] = pred[ci]
+                        blk = (coefs.reshape(8, 8) * q).astype(np.float64)
+                        # mirror the encoder's exact-DC path: IDCT the AC
+                        # part through the basis, add DC/8 exactly
+                        dc = blk[0, 0]
+                        blk[0, 0] = 0.0
+                        px = _DCT.T @ blk @ _DCT + dc / 8.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_i += 1
+    out = []
+    for ci, (cid, hs, vs, qid) in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        out.append(p[:h, :w])
+    ycc = np.stack(out if len(out) == 3 else [out[0]] * 3, axis=-1)
+    ycc = np.clip(_round_half_up(ycc + 128.0), 0, 255).astype(np.uint8)
+    if len(comps) == 1:
+        return np.repeat(ycc[..., :1], 3, axis=-1)
+    return _ycbcr_to_rgb(ycc)
+
+
+def _decode_block(br, dtab, atab):
+    zz = np.zeros(64, np.int64)
+    t = _decode_symbol(br, dtab)
+    zz[0] = _extend(br.bits(t), t) if t else 0
+    k = 1
+    while k < 64:
+        rs = _decode_symbol(br, atab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run overflow")
+        zz[k] = _extend(br.bits(s), s)
+        k += 1
+    return zz

@@ -20,6 +20,8 @@ from collections.abc import Iterator
 
 import pandas as pd
 
+from dp3_spark.sources.jpeg import decode_jpeg, encode_jpeg  # noqa: F401
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -822,11 +824,10 @@ def decode_wav_pcm(data: bytes):
 def resize_image(df: DataFrame, *, width: int = 64, height: int = 64,
                  id_col: str = "doc_id") -> DataFrame:
     """REAL resize for decodable payloads: 24bpp BMPs, 8-bit truecolor
-    PNGs, and paletted GIFs decode to pixel arrays, resample
-    nearest-neighbor (pure numpy index math), and re-encode as BMP
-    thumbnails; everything else (incl. JPEG — no codec lib in this
-    environment, documented stub) falls back to the deterministic stub
-    bytes.  Same schema/batching as
+    PNGs, paletted GIFs, and baseline JPEGs decode to pixel arrays,
+    resample nearest-neighbor (pure numpy index math), and re-encode as
+    BMP thumbnails; everything else (progressive JPEG, compressed
+    audio/video) falls back to the deterministic stub bytes.  Same schema/batching as
     resize_stub, so the two are drop-in interchangeable — format coverage
     is the only difference."""
     import numpy as np
@@ -841,6 +842,8 @@ def resize_image(df: DataFrame, *, width: int = 64, height: int = 64,
                     img = decode_png(b)
                 if img is None:
                     img = decode_gif(b)
+                if img is None:
+                    img = decode_jpeg(b)
                 if img is not None:
                     ys = (np.arange(height) * img.shape[0]) // height
                     xs = (np.arange(width) * img.shape[1]) // width

@@ -50,9 +50,31 @@ def test_lzw_identity_random(mcs, data):
     assert out == idx
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_total_and_bounded(h, w, seed):
+    """JPEG is lossy, so the property is totality + boundedness: decode of
+    encode always succeeds with the right shape, and for a SOLID frame the
+    round-trip error is bounded by the DC quantizer chain (~12 levels)."""
+    from dp3_spark.sources import jpeg as J
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    back = J.decode_jpeg(J.encode_jpeg(img))
+    assert back is not None and back.shape == (h, w, 3)
+    solid = np.full((h, w, 3), rng.integers(0, 256, 3), dtype=np.uint8)
+    sback = J.decode_jpeg(J.encode_jpeg(solid))
+    assert (sback == sback[0, 0]).all()
+    assert int(np.abs(sback.astype(int) - solid.astype(int)).max()) <= 40
+
+
 @settings(max_examples=60, deadline=None)
 @given(
-    which=st.sampled_from(["png", "gif", "bmp", "wav"]),
+    which=st.sampled_from(["png", "gif", "bmp", "wav", "jpeg"]),
     cut=st.integers(0, 200),
     flips=st.lists(st.tuples(st.integers(0, 199), st.integers(0, 255)), max_size=4),
 )
@@ -66,6 +88,7 @@ def test_decoders_total_on_corrupted_bytes(which, cut, flips):
         "gif": MM.encode_gif(pal[np.arange(30).reshape(6, 5) % 16], palette=pal),
         "bmp": MM.encode_bmp(img),
         "wav": MM.encode_wav_pcm(np.arange(64, dtype=np.int16)),
+        "jpeg": MM.encode_jpeg(img),
     }[which]
     b = bytearray(raw[: max(1, len(raw) - cut)])
     for pos, val in flips:
@@ -76,6 +99,7 @@ def test_decoders_total_on_corrupted_bytes(which, cut, flips):
         "gif": MM.decode_gif,
         "bmp": MM.decode_bmp,
         "wav": MM.decode_wav_pcm,
+        "jpeg": MM.decode_jpeg,
     }[which]
     out = dec(bytes(b))
     assert out is None or isinstance(out, np.ndarray)

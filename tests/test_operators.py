@@ -1079,6 +1079,84 @@ def test_gif_interlaced_decode_and_malformed():
         assert out is None or isinstance(out, np.ndarray)
 
 
+def _jpeg_expected_solid(r, g, b):
+    """The closed-form DC-only chain the mm_jpeg_decode oracle mirrors."""
+    import numpy as np
+
+    def rh(x):
+        return np.floor(x + 0.5)
+
+    y = np.clip(rh(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+    cb = np.clip(rh(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0), 0, 255)
+    cr = np.clip(rh(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0), 0, 255)
+
+    def dc(v, q):
+        return np.clip(rh(q * rh(8 * (v - 128.0) / q) / 8.0 + 128.0), 0, 255)
+
+    y2, cb2, cr2 = dc(y, 16.0), dc(cb, 17.0), dc(cr, 17.0)
+    return (
+        int(np.clip(rh(y2 + 1.402 * (cr2 - 128)), 0, 255)),
+        int(np.clip(rh(y2 - 0.344136 * (cb2 - 128) - 0.714136 * (cr2 - 128)), 0, 255)),
+        int(np.clip(rh(y2 + 1.772 * (cb2 - 128)), 0, 255)),
+    )
+
+
+def test_jpeg_solid_exact_and_fidelity(spark):
+    import numpy as np
+
+    from dp3_spark.sources import jpeg as J
+
+    rng = np.random.default_rng(0)
+    # solid frames: DC-only => decode matches the arithmetic chain exactly
+    for _ in range(40):
+        r, g, b = (int(x) for x in rng.integers(0, 256, 3))
+        img = np.full((16, 16, 3), (r, g, b), dtype=np.uint8)
+        back = J.decode_jpeg(J.encode_jpeg(img))
+        assert (back == back[0, 0]).all()
+        assert tuple(int(x) for x in back[0, 0]) == _jpeg_expected_solid(r, g, b)
+    # lossy fidelity on structured content
+    xx = np.linspace(0, 1, 64)[None, :, None]
+    yy = np.linspace(0, 1, 48)[:, None, None]
+    img = (255 * (0.5 + 0.4 * np.sin(6 * xx + 1) * np.cos(5 * yy))).clip(0, 255)
+    img = img.astype(np.uint8).repeat(3, axis=2)
+    back = J.decode_jpeg(J.encode_jpeg(img)).astype(np.float64)
+    psnr = 10 * np.log10(255 * 255 / ((back - img.astype(np.float64)) ** 2).mean())
+    assert psnr > 35, psnr
+    # non-multiple-of-8 dims crop correctly
+    img = rng.integers(0, 256, size=(13, 21, 3), dtype=np.uint8)
+    assert J.decode_jpeg(J.encode_jpeg(img)).shape == (13, 21, 3)
+    # header metadata path agrees
+    assert MM.parse_image_dims(J.encode_jpeg(img)) == ("jpeg", 21, 13)
+    # real resize through the Spark operator covers JPEG payloads
+    solid = np.full((8, 8, 3), (10, 200, 30), dtype=np.uint8)
+    docs = spark.createDataFrame(
+        [(1, bytearray(J.encode_jpeg(solid)))], "doc_id long, payload binary"
+    )
+    row = MM.resize_image(docs, width=2, height=2).collect()[0]
+    thumb = MM.decode_bmp(bytes(row["thumb"]))
+    assert tuple(int(x) for x in thumb[0, 0]) == _jpeg_expected_solid(10, 200, 30)
+
+
+def test_jpeg_decoder_robust_to_malformed_bytes():
+    import numpy as np
+
+    from dp3_spark.sources import jpeg as J
+
+    good = J.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+    for b in (
+        b"", b"\xff\xd8", good[:30], good[:-4],
+        good[:60] + b"\xff" * 40,
+        b"\xff\xd8" + b"\x00" * 30,
+    ):
+        out = J.decode_jpeg(b)
+        assert out is None or isinstance(out, np.ndarray)
+    # progressive SOF2 refuses cleanly (documented stub path)
+    prog = bytearray(good)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    assert J.decode_jpeg(bytes(prog)) is None
+
+
 def test_png_decoder_robust_to_malformed_bytes():
     import numpy as np
 
