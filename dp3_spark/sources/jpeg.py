@@ -214,66 +214,107 @@ def _ycbcr_to_rgb(p: np.ndarray) -> np.ndarray:
     return np.clip(_round_half_up(out), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg(arr) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF bytes: 4:4:4, Annex-K quant
-    tables, custom canonical Huffman tables (emitted in DHT, so any
-    conformant decoder reads them)."""
+def _encode_block(bw, block, qtab, pred, comp, dc_tab, ac_tab):
+    """DCT + quantize + Huffman-code one 8x8 block; returns new DC pred."""
+    coef = _DCT @ block @ _DCT.T
+    # the DC term is algebraically sum/8 — compute it exactly (integer
+    # sum, /8 exact in binary) instead of through the irrational basis
+    # products, so exact-half quantization boundaries round
+    # deterministically (the mm_jpeg gate's closed-form oracle depends
+    # on this)
+    coef[0, 0] = float(block.sum()) / 8.0
+    q = _round_half_up(coef / qtab).astype(np.int64)
+    zz = q.reshape(-1)[ZIGZAG]
+    diff = int(zz[0]) - pred[comp]
+    pred[comp] = int(zz[0])
+    t, code = _magnitude(diff)
+    hc, hl = dc_tab[t]
+    bw.put(hc, hl)
+    if t:
+        bw.put(code, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            hc, hl = ac_tab[0xF0]
+            bw.put(hc, hl)
+            run -= 16
+        t, code = _magnitude(v)
+        hc, hl = ac_tab[(run << 4) | t]
+        bw.put(hc, hl)
+        bw.put(code, t)
+        run = 0
+    if run:
+        hc, hl = ac_tab[0x00]
+        bw.put(hc, hl)
+
+
+def encode_jpeg(arr, *, subsample: str = "444", restart_interval: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes: Annex-K quant tables,
+    custom canonical Huffman tables (emitted in DHT, so any conformant
+    decoder reads them).
+
+    subsample: '444' (one 8x8 block per component per MCU) or '420'
+    (16x16 MCU: 4 luma blocks + 2x2-averaged chroma — exercises the
+    decoder's upsample path; solid frames stay closed-form because an
+    average of a constant is the constant).
+    restart_interval: emit DRI + RSTn markers every N MCUs (0 = none).
+    """
+    if subsample not in ("444", "420"):
+        raise ValueError(f"unsupported subsample {subsample!r}")
     a = np.asarray(arr, dtype=np.uint8)
     h, w, _ = a.shape
     ycc = _rgb_to_ycbcr(a)
-    # pad to 8x8 multiples by edge replication
-    H = (h + 7) & ~7
-    W = (w + 7) & ~7
+    mcu = 8 if subsample == "444" else 16
+    H = (h + mcu - 1) // mcu * mcu
+    W = (w + mcu - 1) // mcu * mcu
     full = np.empty((H, W, 3), dtype=np.uint8)
     full[:h, :w] = ycc
     full[h:, :w] = ycc[h - 1 : h, :]
     full[:, w:] = full[:, w - 1 : w]
+    if subsample == "420":
+        cf = full.astype(np.float64)
+        sub = np.clip(_round_half_up(
+            (cf[0::2, 0::2, 1:] + cf[0::2, 1::2, 1:]
+             + cf[1::2, 0::2, 1:] + cf[1::2, 1::2, 1:]) / 4.0
+        ), 0, 255)
 
     dc_tab = build_canonical(_DC_BITS, _DC_SYMS)
     ac_tab = build_canonical(_AC_BITS, _AC_SYMS)
     bw = _BitWriter()
     pred = [0, 0, 0]
     qt = [QTAB_LUMA, QTAB_CHROMA, QTAB_CHROMA]
-    for by in range(0, H, 8):
-        for bx in range(0, W, 8):
-            for comp in range(3):
-                block = full[by : by + 8, bx : bx + 8, comp].astype(np.float64) - 128.0
-                coef = _DCT @ block @ _DCT.T
-                # the DC term is algebraically sum/8 — compute it exactly
-                # (integer sum, /8 exact in binary) instead of through the
-                # irrational basis products, so exact-half quantization
-                # boundaries round deterministically (the mm_jpeg gate's
-                # closed-form oracle depends on this)
-                coef[0, 0] = float(block.sum()) / 8.0
-                q = _round_half_up(coef / qt[comp]).astype(np.int64)
-                zz = q.reshape(-1)[ZIGZAG]
-                # DC
-                diff = int(zz[0]) - pred[comp]
-                pred[comp] = int(zz[0])
-                t, code = _magnitude(diff)
-                hc, hl = dc_tab[t]
-                bw.put(hc, hl)
-                if t:
-                    bw.put(code, t)
-                # AC
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        hc, hl = ac_tab[0xF0]
-                        bw.put(hc, hl)
-                        run -= 16
-                    t, code = _magnitude(v)
-                    hc, hl = ac_tab[(run << 4) | t]
-                    bw.put(hc, hl)
-                    bw.put(code, t)
-                    run = 0
-                if run:
-                    hc, hl = ac_tab[0x00]
-                    bw.put(hc, hl)
+    mcu_i = 0
+    rst = 0
+    for by in range(0, H, mcu):
+        for bx in range(0, W, mcu):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0, 0, 0]
+            if subsample == "444":
+                for comp in range(3):
+                    block = full[by : by + 8, bx : bx + 8, comp].astype(np.float64) - 128.0
+                    _encode_block(bw, block, qt[comp], pred, comp, dc_tab, ac_tab)
+            else:
+                for dy in (0, 8):
+                    for dx in (0, 8):
+                        block = full[by + dy : by + dy + 8, bx + dx : bx + dx + 8, 0]
+                        _encode_block(
+                            bw, block.astype(np.float64) - 128.0, qt[0], pred, 0,
+                            dc_tab, ac_tab,
+                        )
+                for comp in (1, 2):
+                    block = sub[by // 2 : by // 2 + 8, bx // 2 : bx // 2 + 8, comp - 1]
+                    _encode_block(
+                        bw, block.astype(np.float64) - 128.0, qt[comp], pred, comp,
+                        dc_tab, ac_tab,
+                    )
+            mcu_i += 1
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -285,20 +326,20 @@ def encode_jpeg(arr) -> bytes:
     def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
         return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
 
+    ly = 0x11 if subsample == "444" else 0x22
     sof = seg(
         0xC0,
         bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
-        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
+        + bytes([1, ly, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
     )
-    # all three components share DC table 0 / AC table 0 (the only ones
-    # this encoder emits)
+    dri = seg(0xDD, restart_interval.to_bytes(2, "big")) if restart_interval else b""
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     return (
         b"\xff\xd8"
         + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
         + dqt(0, QTAB_LUMA) + dqt(1, QTAB_CHROMA)
         + dht(0, 0, _DC_BITS, _DC_SYMS) + dht(1, 0, _AC_BITS, _AC_SYMS)
-        + sof + sos + bytes(bw.buf)
+        + dri + sof + sos + bytes(bw.buf)
         + b"\xff\xd9"
     )
 

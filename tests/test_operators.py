@@ -1137,6 +1137,37 @@ def test_jpeg_solid_exact_and_fidelity(spark):
     assert tuple(int(x) for x in thumb[0, 0]) == _jpeg_expected_solid(10, 200, 30)
 
 
+def test_jpeg_420_and_restart_paths():
+    """The decoder's 2x2-sampling upsample and RSTn-resync paths, driven
+    by the encoder's subsample='420' / restart_interval options: solid
+    frames stay exact (an average of a constant is the constant; restart
+    resets DC predictors identically on both sides), smooth content keeps
+    reasonable fidelity through chroma subsampling."""
+    import numpy as np
+
+    from dp3_spark.sources import jpeg as J
+
+    rng = np.random.default_rng(2)
+    for kw in (
+        {"subsample": "420"},
+        {"restart_interval": 2},
+        {"subsample": "420", "restart_interval": 1},
+    ):
+        for _ in range(10):
+            r, g, b = (int(x) for x in rng.integers(0, 256, 3))
+            img = np.full((24, 40, 3), (r, g, b), dtype=np.uint8)
+            back = J.decode_jpeg(J.encode_jpeg(img, **kw))
+            assert back.shape == img.shape and (back == back[0, 0]).all()
+            assert tuple(int(x) for x in back[0, 0]) == _jpeg_expected_solid(r, g, b)
+    xx = np.linspace(0, 1, 64)[None, :, None]
+    yy = np.linspace(0, 1, 48)[:, None, None]
+    img = (255 * (0.5 + 0.4 * np.sin(6 * xx + 1) * np.cos(5 * yy))).clip(0, 255)
+    img = img.astype(np.uint8).repeat(3, axis=2)
+    back = J.decode_jpeg(J.encode_jpeg(img, subsample="420")).astype(np.float64)
+    psnr = 10 * np.log10(255 * 255 / ((back - img.astype(np.float64)) ** 2).mean())
+    assert psnr > 30, psnr
+
+
 def test_jpeg_decoder_robust_to_malformed_bytes():
     import numpy as np
 
