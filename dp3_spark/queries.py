@@ -2759,6 +2759,83 @@ def _jpg_oracle() -> str:
     """
 
 
+def _jpg_dec_cols() -> str:
+    return f"""
+           cast({_jpg_clip(_jpg_rh('y2 + 1.402 * (cr2 - 128.0)'))} as bigint) as dec_r,
+           cast({_jpg_clip(_jpg_rh('y2 - 0.344136 * (cb2 - 128.0) - 0.714136 * (cr2 - 128.0)'))} as bigint) as dec_g,
+           cast({_jpg_clip(_jpg_rh('y2 + 1.772 * (cb2 - 128.0)'))} as bigint) as dec_b"""
+
+
+def _jpg_chain_sql(rgb_cte: str, key_cols: str) -> str:
+    """Shared closed-form JPEG DC chain: `rgb_cte` must yield
+    (key_cols..., r, g, b) doubles; output is key cols + decoded RGB."""
+    y = _jpg_clip(_jpg_rh("0.299 * r + 0.587 * g + 0.114 * b"))
+    cb = _jpg_clip(_jpg_rh("-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0"))
+    cr = _jpg_clip(_jpg_rh("0.5 * r - 0.418688 * g - 0.081312 * b + 128.0"))
+    y2, cb2, cr2 = _jpg_dc(y, _JPG_QY), _jpg_dc(cb, _JPG_QC), _jpg_dc(cr, _JPG_QC)
+    return f"""
+    with rgb as ({rgb_cte}),
+    dec as (
+      select {key_cols}, {y2} as y2, {cb2} as cb2, {cr2} as cr2 from rgb
+    )
+    select {key_cols}, {_jpg_dec_cols()}
+    """
+
+
+@register(
+    "mm_video_frames",
+    _jpg_chain_sql(
+        """
+      select d.doc_id, f.f as frame_idx,
+             cast((d.doc_id * 31 + f.f * 11) % 256 as double) as r,
+             cast((d.doc_id * 57 + f.f * 23) % 256 as double) as g,
+             cast((d.doc_id * 91 + f.f * 47) % 256 as double) as b
+      from documents d, unnest(generate_series(0, 3)) f(f)
+        """,
+        "doc_id, frame_idx",
+    )
+    + " from dec",
+)
+def mm_video_frames(spark, sf_dir):
+    """REAL video frame extraction: each document synthesizes a 4-frame
+    solid-color MJPEG AVI (colors from a per-frame formula), round-trips
+    through actual RIFF/AVI bytes (encode_avi_mjpeg -> parse_avi_frames
+    -> decode_avi_frame: container walk + per-frame JPEG decode), and
+    emits the decoded RGB of EVERY frame; the oracle re-derives each
+    frame through the closed-form JPEG DC chain.  This is the
+    frame-sample plan's heavy-decode consumer made real."""
+    import numpy as np
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = [
+                    np.full(
+                        (16, 16, 3),
+                        ((did * 31 + f * 11) % 256, (did * 57 + f * 23) % 256,
+                         (did * 91 + f * 47) % 256),
+                        dtype=np.uint8,
+                    )
+                    for f in range(4)
+                ]
+                avi = MM.encode_avi_mjpeg(frames)
+                for f in range(4):
+                    px = MM.decode_avi_frame(avi, f)[0, 0]
+                    rows.append((did, f, int(px[0]), int(px[1]), int(px[2])))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "dec_r", "dec_g", "dec_b"]
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, frame_idx long, dec_r long, dec_g long, dec_b long"
+    )
+
+
 @register("mm_jpeg_decode", _jpg_oracle())
 def mm_jpeg_decode(spark, sf_dir):
     """REAL baseline JPEG decode in the driver gate (closes the last

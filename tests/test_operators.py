@@ -1168,6 +1168,27 @@ def test_jpeg_420_and_restart_paths():
     assert psnr > 30, psnr
 
 
+def test_avi_mjpeg_frame_extraction():
+    import numpy as np
+
+    colors = [(10, 200, 30), (255, 0, 0), (0, 0, 255), (128, 128, 128)]
+    frames = [np.full((16, 16, 3), c, dtype=np.uint8) for c in colors]
+    avi = MM.encode_avi_mjpeg(frames)
+    idx = MM.parse_avi_frames(avi)
+    assert len(idx) == 4
+    for i, c in enumerate(colors):
+        px = MM.decode_avi_frame(avi, i)
+        assert (px == px[0, 0]).all()
+        assert tuple(int(x) for x in px[0, 0]) == _jpeg_expected_solid(*c)
+    # out-of-range frame, non-AVI RIFF, truncation: total, never raise
+    assert MM.decode_avi_frame(avi, 9) is None
+    assert MM.parse_avi_frames(b"RIFF\x04\x00\x00\x00WAVE") is None
+    assert MM.parse_avi_frames(avi[:40]) in (None, [])
+    for cut in (50, 200, len(avi) // 2):
+        out = MM.parse_avi_frames(avi[:cut])
+        assert out is None or isinstance(out, list)
+
+
 def test_jpeg_decoder_robust_to_malformed_bytes():
     import numpy as np
 
