@@ -1,11 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed with Arrow-batched `mapInPandas`.
 
-The real decode step (image/audio/video libraries) is STUBBED — the
-container has no codec libs — but everything Spark-side is real and tested:
-the binary column schema, the mapInPandas batch shape, partition-preserving
-metadata extraction, and deterministic pseudo-decoding so downstream
-operators (resize plans, frame sampling, feature join) have stable inputs.
+The decode step is REAL for every container this repo can reach without
+codec libraries — and that turned out to be all of them: BMP, PNG
+(stdlib zlib), GIF (pure-python LZW), baseline JPEG (pure-numpy DCT +
+Huffman, sources/jpeg.py), MJPEG-in-AVI video frames, 16-bit PCM and
+IMA-ADPCM WAV audio.  Only progressive/arithmetic JPEG and
+codec-library formats (H.264, MP3, ...) fall back to the deterministic
+stub, behind the same tested mapInPandas plumbing.
 
 At 100 TB: binary payloads stay columnar in Parquet (no row-group
 explosion: keep `spark.sql.files.maxPartitionBytes` moderate since rows are
@@ -427,6 +429,186 @@ def encode_bmp(arr) -> bytes:
         + b"\x00" * 16
     )
     return header + raw
+
+
+# ----------------------------------------------------------- adpcm audio
+# IMA ADPCM (DVI4, public spec — the WAV 0x0011 codec): 4-bit adaptive
+# differential PCM, pure integer step/index tables.  With this, the
+# "compressed audio" column is genuinely decodable, not a stub.
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_clamp16(v: int) -> int:
+    return -32768 if v < -32768 else (32767 if v > 32767 else v)
+
+
+def ima_adpcm_decode(nibbles, predictor: int, index: int):
+    """Decode a 4-bit IMA nibble stream given the block header's seed
+    (predictor, step index) -> int16 numpy array."""
+    import numpy as np
+
+    out = np.empty(len(nibbles), dtype=np.int16)
+    idx = max(0, min(88, index))
+    pred = _ima_clamp16(predictor)
+    for i, n in enumerate(nibbles):
+        step = _IMA_STEPS[idx]
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = _ima_clamp16(pred - diff if n & 8 else pred + diff)
+        idx = max(0, min(88, idx + _IMA_INDEX[n & 7]))
+        out[i] = pred
+    return out
+
+
+def ima_adpcm_encode(samples, *, predictor: int = 0, index: int = 0) -> bytes:
+    """Encode int16 samples to 4-bit IMA nibbles (packed little-endian,
+    two per byte) against the given seed — the seed MUST be the same
+    (predictor, step index) the block header hands the decoder, or the
+    reconstruction diverges from sample one."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16)
+    if len(s) == 0:
+        return b""
+    pred = _ima_clamp16(predictor)
+    idx = max(0, min(88, index))
+    nibbles = []
+    for v in s:
+        step = _IMA_STEPS[idx]
+        delta = int(v) - pred
+        n = 0
+        if delta < 0:
+            n = 8
+            delta = -delta
+        if delta >= step:
+            n |= 4
+            delta -= step
+        if delta >= step >> 1:
+            n |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            n |= 1
+        # reconstruct exactly as the decoder will
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = _ima_clamp16(pred - diff if n & 8 else pred + diff)
+        idx = max(0, min(88, idx + _IMA_INDEX[n & 7]))
+        nibbles.append(n)
+    packed = bytearray()
+    for i in range(0, len(nibbles) - 1, 2):
+        packed.append(nibbles[i] | (nibbles[i + 1] << 4))
+    if len(nibbles) & 1:
+        packed.append(nibbles[-1])
+    return bytes(packed)
+
+
+def decode_wav_adpcm(data: bytes):
+    """IMA-ADPCM WAV (format tag 0x11) -> (n, 1) int16 array, or None.
+    Mono, block-structured per spec: 4-byte header (predictor i16, step
+    index u8, pad) then packed nibbles."""
+    import numpy as np
+
+    lay = _wav_layout(data)
+    if lay is None:
+        return None
+    rate, channels, bits, n_frames, data_off, data_avail = lay
+    # _wav_layout reports bits-per-sample; ADPCM is tag 17, bits 4
+    if bits != 4 or channels != 1 or data_off is None:
+        return None
+    # block align + samples-per-block from the fmt chunk
+    fmt = _wav_fmt_block_align(data)
+    if fmt is None:
+        return None
+    block, spb = fmt
+    if not block or block < 5:
+        return None
+    chunks = []
+    pos = data_off
+    end = data_off + data_avail
+    while pos + 4 <= end:
+        blk = data[pos : min(pos + block, end)]
+        if len(blk) < 5:
+            break
+        pred = int.from_bytes(blk[0:2], "little", signed=True)
+        idx = blk[2]
+        nibbles = []
+        for b in blk[4:]:
+            nibbles.append(b & 0x0F)
+            nibbles.append(b >> 4)
+        dec = ima_adpcm_decode(nibbles, pred, idx)
+        out = np.concatenate([[np.int16(pred)], dec])
+        if spb:
+            out = out[:spb]  # drop the odd-nibble pad sample
+        chunks.append(out)
+        pos += block
+    if not chunks:
+        return None
+    return np.concatenate(chunks).reshape(-1, 1)
+
+
+def _wav_fmt_block_align(data: bytes):
+    """(block_align, samples_per_block) from the fmt chunk; the latter
+    from the ADPCM fmt extension (trims the odd-nibble pad), defaulting
+    to 0 = no trim."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        ln = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and ln >= 16:
+            ba = int.from_bytes(data[pos + 20 : pos + 22], "little")
+            spb = (
+                int.from_bytes(data[pos + 26 : pos + 28], "little")
+                if ln >= 20 else 0
+            )
+            return ba, spb
+        pos += 8 + ln + (ln & 1)
+    return None
+
+
+def encode_wav_adpcm(samples, *, rate: int = 8000) -> bytes:
+    """int16 mono samples -> IMA-ADPCM WAV (one block) — the compressed
+    sibling of encode_wav_pcm."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16)
+    seed = int(s[0]) if len(s) else 0
+    packed = ima_adpcm_encode(s[1:], predictor=seed, index=0) if len(s) > 1 else b""
+    body_data = struct.pack("<hBB", seed, 0, 0) + packed
+    block = len(body_data)
+    spf = len(s)  # true samples per block (excludes any odd-nibble pad)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, rate * block // max(spf, 1), block, 4, 2, spf
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body_data)) + body_data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 # ------------------------------------------------------------------ video
@@ -965,17 +1147,20 @@ AUDIO_FEATURE_SCHEMA = (
 
 
 def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """REAL signal features for 16-bit PCM WAV payloads (rms,
-    zero-crossing rate, peak — all vectorized numpy over the first
-    channel); non-WAV payloads yield null features but keep their row, so
-    the operator is total over mixed corpora."""
+    """REAL signal features for WAV payloads — 16-bit PCM and IMA-ADPCM
+    compressed (rms, zero-crossing rate, peak — all vectorized numpy over
+    the first channel); non-WAV payloads yield null features but keep
+    their row, so the operator is total over mixed corpora."""
     import numpy as np
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             nf, rms, zcr, peak = [], [], [], []
             for p in pdf["payload"]:
-                pcm = decode_wav_pcm(_payload_bytes(p))
+                raw = _payload_bytes(p)
+                pcm = decode_wav_pcm(raw)
+                if pcm is None:
+                    pcm = decode_wav_adpcm(raw)
                 if pcm is None:
                     nf.append(None); rms.append(None)
                     zcr.append(None); peak.append(None)

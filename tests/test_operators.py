@@ -1250,6 +1250,46 @@ def test_wav_pcm_decode_and_audio_features(spark):
     assert out[2]["rms"] is None and out[2]["n_frames"] is None
 
 
+def test_ima_adpcm_decode_and_features(spark):
+    """Compressed audio for real: IMA-ADPCM (WAV tag 0x11) round-trips
+    with SNR bounded by the 4-bit quantizer — exact first sample, spec
+    nibble reconstruction pinned by hand-computed vectors — and
+    audio_features accepts ADPCM payloads transparently."""
+    import numpy as np
+
+    # hand vectors: from (pred=0, idx=0), step=7 -> nibble 7 = +11, 0xF = -11
+    assert MM.ima_adpcm_decode([7], 0, 0)[0] == 11
+    assert MM.ima_adpcm_decode([0xF], 0, 0)[0] == -11
+    # step index walk: nibble 7 bumps index by +8 -> step 16; nibble 0 adds 16>>3=2
+    assert MM.ima_adpcm_decode([7, 0], 0, 0)[1] == 13
+    t = np.arange(800)
+    s = (12000 * np.sin(2 * np.pi * t / 50)).astype(np.int16)
+    wav = MM.encode_wav_adpcm(s, rate=8000)
+    back = MM.decode_wav_adpcm(wav)[:, 0][: len(s)]
+    assert back[0] == s[0] and len(back) == len(s)
+    err = back.astype(float) - s.astype(float)
+    snr = 10 * np.log10((s.astype(float) ** 2).mean() / (err**2).mean())
+    assert snr > 20, snr  # demanding content; gentle sine reaches ~54 dB
+    gentle = (6000 * np.sin(2 * np.pi * np.arange(2000) / 400)).astype(np.int16)
+    gback = MM.decode_wav_adpcm(MM.encode_wav_adpcm(gentle))[:, 0][: len(gentle)]
+    gerr = gback.astype(float) - gentle.astype(float)
+    gsnr = 10 * np.log10((gentle.astype(float) ** 2).mean() / (gerr**2).mean())
+    assert gsnr > 40, gsnr
+    # decoders don't cross-accept; malformed is total
+    assert MM.decode_wav_pcm(wav) is None
+    assert MM.decode_wav_adpcm(MM.encode_wav_pcm(s)) is None
+    for b in (b"", wav[:20], wav[:40], b"RIFF\x00\x00\x00\x00WAVE"):
+        assert MM.decode_wav_adpcm(b) is None
+    # Spark operator path: ADPCM payload produces real features
+    docs = spark.createDataFrame(
+        [(1, bytearray(wav))], "doc_id long, payload binary"
+    )
+    row = MM.audio_features(docs).collect()[0]
+    assert row["n_frames"] == len(s)
+    true_rms = float(np.sqrt(((s / 32768.0) ** 2).mean()))
+    assert row["rms"] == pytest.approx(true_rms, rel=0.1)
+
+
 def test_decoders_robust_to_malformed_bytes():
     """decode_bmp / decode_wav_pcm must return None (or truncate safely),
     never raise, on malformed input."""
