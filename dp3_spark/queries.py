@@ -3766,11 +3766,13 @@ _PRIORITY_ORDER = [
     # between — stay pinned locally; ql_asof_immediate / ql_asof_succeeds
     # likewise trail, driver-green in r01 AND r02)
     "mm_audio_features",
-    "mm_jpeg_decode",
+    "mm_video_frames",
     "mm_png_decode",
-    # (mm_bmp_decode rotates to 51+ after its green r03 row: the BMP
-    # decode is the simplest of the four real codecs, and the JPEG gate —
-    # the format that was a stub through r3 — takes the driver slot)
+    # (mm_bmp_decode rotates to 51+ after its green r03 row; the video
+    # gate takes the slot because it proves the most at once — the
+    # RIFF/AVI container walk AND the full JPEG chain, the format that
+    # was a stub through r3.  mm_jpeg_decode / mm_gif_decode stay
+    # oracle-pinned in the local suite at 51+.)
     # statistics service (SURVEY §2.4)
     "stat_range_hourly",
     "stat_rollup_daily",
