@@ -2,8 +2,9 @@
 Spark and its oracle_sql() through DuckDB on the same parquet, compare
 row-count + schema(column names) + order-insensitive values.
 
-Runs at sf0.001 for speed; the driver runs sf0.01 — scripts/oracle_check.py
-runs the full sf0.01 sweep.
+Runs at sf0.001 for speed; the driver runs sf0.01 — run the full
+gate-scale sweep with:
+    DP3_ORACLE_SF=/root/testdata/sf0.01 python -m pytest tests/test_oracle.py -q
 """
 
 import math
