@@ -25,6 +25,7 @@ from dp3_spark.catalog import LogStore, events_log_store, register_views
 from dp3_spark.functions import text as TXT
 from dp3_spark.functions import vectors as VEC
 from dp3_spark.operators import dedup as DD
+from dp3_spark.operators import lm as LM
 from dp3_spark.operators import similarity as SIM
 from dp3_spark.operators import stats as ST
 from dp3_spark.plans import Compiler
@@ -1752,6 +1753,41 @@ from ex group by tok
 order by doc_freq desc, tok limit 100
 """
 _REGISTRY["text_vocab_topk"] = _sql_pair(_VOCAB_SPARK, _VOCAB_DUCK)
+
+# Corpus char-trigram LM scoring (operators/lm.py — the CCNet
+# perplexity-filter stage with the corpus as its own model).  Integer
+# millinat terms make the order-independent sum hash-exact; ln/division
+# agreement between engines is exactly what the gate pins.
+_REGISTRY["text_lm_score"] = (
+    lambda spark, sf_dir: LM.lm_score(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ),
+    """
+    with tri as (
+      select doc_id, u.t as tri
+      from documents,
+           unnest(list_transform(range(1, greatest(length(text) - 2, 0) + 1),
+                                 i -> substr(text, i, 3))) u(t)
+    ),
+    c3 as (select tri, count(*) as c3 from tri group by tri),
+    c2 as (select substr(tri, 1, 2) as big, sum(c3) as c2 from c3 group by 1),
+    model as (
+      select c3.tri, c3.c3, c2.c2
+      from c3 join c2 on substr(c3.tri, 1, 2) = c2.big
+    ),
+    terms as (
+      select tri.doc_id,
+             cast(floor(1000.0 * ln(cast(m.c3 as double) / (cast(m.c2 as double) + 1.0))
+                  + 0.5) as bigint) as term
+      from tri join model m on tri.tri = m.tri
+    )
+    select doc_id, cast(count(*) as bigint) as n_terms,
+           cast(sum(term) as bigint) as sum_millinats,
+           cast(sum(term) as double) / (1000.0 * count(*)) as lm_score
+    from terms group by doc_id
+    """,
+)
+
 
 # PII scrubbing (functions/text.py redact_pii / pii_count): the fixture
 # text carries no PII, so each document is augmented with a synthetic

@@ -1315,6 +1315,35 @@ def test_decoders_robust_to_malformed_bytes():
         assert MM.decode_wav_pcm(b) is None
 
 
+def test_lm_trigram_score(spark):
+    """Corpus-LM fluency scoring: documents made of the corpus's common
+    patterns score higher than gibberish, a persisted counts model scores
+    new batches (the train-once deployment shape), and <3-char docs drop
+    out cleanly."""
+    from dp3_spark.operators.lm import lm_score, lm_trigram_counts
+
+    rows = [(i, "the cat sat on the mat ") for i in range(8)]
+    rows.append((100, "zqxjkvbwpf"))   # gibberish: rare trigrams
+    rows.append((101, "ab"))           # too short: no trigrams
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    assert 101 not in out
+    assert out[0]["lm_score"] > out[100]["lm_score"]
+    # mean log-prob is non-positive by construction
+    assert all(r["lm_score"] <= 0.0 for r in out.values())
+    # persisted-model path: score a NEW batch against the corpus counts
+    model = lm_trigram_counts(docs)
+    batch = spark.createDataFrame(
+        [(200, "the cat sat"), (201, "wpfzqx")], "doc_id long, text string"
+    )
+    scored = {r["doc_id"]: r for r in
+              lm_score(batch, counts=model).collect()}
+    assert scored[200]["lm_score"] > scored[201]["lm_score"]
+    # unseen trigrams in the batch are simply absent from the join:
+    # n_terms counts only model-known trigrams
+    assert scored[201]["n_terms"] <= 4
+
+
 def test_time_weighted_avg(spark):
     from dp3_spark.operators.resample import time_weighted_avg
 
