@@ -54,6 +54,7 @@ HEADLINE = [
     "events_retention",       # self-join on day buckets
     "text_metrics",           # text analysis over documents
     "text_gopher_flags",      # Gopher quality screen (map-only, pure codegen)
+    "text_lm_score",          # corpus char-trigram LM scoring (broadcast model)
     # broadcast-light pipeline ops before the dedup family: the dedup
     # queries intentionally leave cached signature tables + broadcasts in
     # the session (their persisted-index deployment story), which adds GC
