@@ -27,23 +27,36 @@ counter integer-exact oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def _trigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, tri) — one row per char-trigram occurrence (docs shorter than
     3 chars contribute none)."""
-    return df.select(
+    # Split to a char array FIRST, in its own projection: substring(text,
+    # i, 3) re-seeks the UTF-8 string from offset 0 on every call (O(len)
+    # each -> O(len^2) per doc — measured as 3/4 of the whole query), and
+    # a split() inside the lambda would not be hoisted out of the per-i
+    # evaluation.  slice() on the materialized array is O(3).
+    # sequence(1, 0) is DESCENDING in Spark, not empty — docs under
+    # 3 chars take the explicit empty branch.
+    # fat-per-row work: spread docs across the cluster first (a small
+    # parquet arrives as one input split; the explode multiplies each
+    # row ~300x — same repartition discipline as minhash_signatures)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    chars = df.repartition(par).select(
         F.col(id_col).alias("id"),
+        F.expr(f"split({text_col}, '')").alias("__ch"),
+    )
+    return chars.select(
+        "id",
         F.explode(
-            # sequence(1, 0) is DESCENDING in Spark, not empty — docs
-            # under 3 chars must take the explicit empty branch
             F.expr(
-                f"case when length({text_col}) >= 3 then "
-                f"transform(sequence(1, length({text_col}) - 2), "
-                f"i -> substring({text_col}, i, 3)) "
-                f"else array() end"
+                "case when size(__ch) >= 3 then "
+                "transform(sequence(1, size(__ch) - 2), "
+                "i -> concat_ws('', slice(__ch, i, 3))) "
+                "else array() end"
             )
         ).alias("tri"),
     )
@@ -54,16 +67,19 @@ def lm_trigram_counts(df: DataFrame, *, id_col: str = "doc_id",
     """The 'model': (tri, c3, c2) — trigram count and its context
     (leading-bigram) count.  c2 is the CONTEXT count (sum of c3 over the
     shared prefix), the denominator of the conditional MLE."""
-    c3 = _trigrams(df, id_col, text_col).groupBy("tri").agg(
-        F.count("*").alias("c3")
+    c3 = (
+        _trigrams(df, id_col, text_col)
+        .groupBy("tri")
+        .agg(F.count("*").alias("c3"))
+        # the count table is tiny (bounded by distinct trigrams) but its
+        # lineage is a full corpus pass — checkpoint it so the c2 window
+        # and the scoring broadcast don't re-run the explode (measured:
+        # 3 corpus scans -> 2, the theoretical minimum without caching
+        # the corpus itself)
+        .localCheckpoint(eager=True)
     )
-    c2 = (
-        c3.groupBy(F.substring("tri", 1, 2).alias("big"))
-        .agg(F.sum("c3").alias("c2"))
-    )
-    return c3.join(c2, F.substring("tri", 1, 2) == F.col("big")).select(
-        "tri", "c3", "c2"
-    )
+    w = Window.partitionBy(F.substring("tri", 1, 2))
+    return c3.withColumn("c2", F.sum("c3").over(w))
 
 
 def lm_score(df: DataFrame, *, id_col: str = "doc_id",
