@@ -726,7 +726,8 @@ def duplicated_window_flags(
     ubiquitous boilerplate; the per-doc rollup is map-combinable.
     Nothing corpus-sized is collected or broadcast."""
     toks_s, _ = TXT.tokens(text_col)
-    t = docs.select(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    t = docs.repartition(par).select(
         F.col(id_col).alias("id"), F.expr(toks_s).alias("toks")
     ).withColumn("nw", F.greatest(F.size("toks") - F.lit(w) + 1, F.lit(0)))
     wins = t.filter(F.col("nw") > 0).select(
