@@ -971,6 +971,72 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+@register(
+    "stream_sessionize_gap",
+    f"""
+    with t as (select user_id, epoch_ns(ts) as t from events),
+    l as (select *, lag(t) over (partition by user_id order by t) as pt from t),
+    s as (select *, case when pt is null or t - pt > {30 * 60 * NS} then 1 else 0 end as new_s from l),
+    sid as (select *, sum(new_s) over (partition by user_id order by t
+             rows between unbounded preceding and current row) as sess from s),
+    per as (select user_id, sess, min(t) as session_start, max(t) as session_end,
+            cast(count(*) as bigint) as n_events from sid group by 1, 2),
+    mx as (select user_id, max(sess) as last_sess from per group by 1)
+    select p.user_id, p.session_start, p.session_end, p.n_events,
+           'gap' as closed_by
+    from per p join mx on mx.user_id = p.user_id and p.sess < mx.last_sess
+    """,
+)
+def stream_sessionize_gap(spark, sf_dir):
+    """STREAMING under the hash gate: the applyInPandasWithState
+    sessionizer (streaming/sessionize.py) drains the events table as an
+    availableNow stream and the emitted gap-closed sessions are compared
+    against a batch re-derivation.  Deterministic by construction: the
+    drain runs in NoTimeout mode so only gap closes fire (a registered
+    processing-time timeout would also keep an availableNow drain alive
+    forever servicing state cleanup), each user's open tail session
+    stays in state (the oracle drops
+    each user's LAST session to mirror), and total_value — a float sum
+    whose within-tie order a stream doesn't pin — is projected away,
+    leaving integer-exact columns.  Upgrades streaming coverage from
+    'local tests only' to a full-oracle row."""
+    import uuid as _uuid
+
+    from dp3_spark.streaming.sessionize import sessionize_stream
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(batch.dtypes)["ts"]
+    # FileStreamSource requires a DIRECTORY; the fixture table is a bare
+    # file, so stream the parent dir with a glob pinned to it
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if ts_type.startswith("timestamp"):
+        ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    else:
+        ts_ns = F.col("ts") - F.col("ts") % 1000  # ns-typed file: µs truncate
+    ev = sdf.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        ts_ns.alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    sessions = sessionize_stream(ev, gap_ns=30 * 60 * NS, idle_timeout_ms=None)
+    name = f"stream_sessions_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"), "closed_by",
+    )
+
+
 # =========================================================================
 # Relational surface (Spark SQL native; SURVEY.md §2.1 notes the driver
 # harness exercises standard SQL).  TPC-H-shaped over the fixture schema.

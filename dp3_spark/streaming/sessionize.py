@@ -32,9 +32,15 @@ STATE_SCHEMA = "session_start long, last_ts long, n_events long, total_value dou
 COLUMNS = ["user_id", "session_start", "session_end", "n_events", "total_value", "closed_by"]
 
 
-def make_sessionizer(gap_ns: int, idle_timeout_ms: int = 30_000):
+def make_sessionizer(gap_ns: int, idle_timeout_ms: int | None = 30_000):
     """Build the applyInPandasWithState function (importable for unit
-    tests: it is pure Python over pandas batches + a GroupState)."""
+    tests: it is pure Python over pandas batches + a GroupState).
+
+    idle_timeout_ms=None disables the processing-time timeout entirely —
+    the bounded-drain mode: with a timeout registered, an availableNow
+    drain never terminates, because the runtime keeps scheduling empty
+    'cleaning up state' batches to service future timeouts while any
+    state exists."""
     import pandas as pd
 
     def fn(key, pdfs, state):
@@ -63,16 +69,19 @@ def make_sessionizer(gap_ns: int, idle_timeout_ms: int = 30_000):
             else:
                 lt, n, tv = ts, n + 1, tv + val
         state.update((ss, lt, n, tv))
-        state.setTimeoutDuration(idle_timeout_ms)
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         if out:
             yield pd.DataFrame(out, columns=COLUMNS)
 
     return fn
 
 
-def sessionize_stream(events, *, gap_ns: int, idle_timeout_ms: int = 30_000):
+def sessionize_stream(events, *, gap_ns: int, idle_timeout_ms: int | None = 30_000):
     """events: streaming DataFrame with (user_id long, ts long ns,
-    value double).  Returns the append-mode session stream."""
+    value double).  Returns the append-mode session stream.
+    idle_timeout_ms=None -> NoTimeout (the deterministic bounded-drain
+    mode; see make_sessionizer)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return events.groupBy("user_id").applyInPandasWithState(
@@ -80,5 +89,7 @@ def sessionize_stream(events, *, gap_ns: int, idle_timeout_ms: int = 30_000):
         OUTPUT_SCHEMA,
         STATE_SCHEMA,
         "append",
-        GroupStateTimeout.ProcessingTimeTimeout,
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout,
     )
