@@ -1004,6 +1004,9 @@ def stream_sessionize_gap(spark, sf_dir):
 
     from dp3_spark.streaming.sessionize import sessionize_stream
 
+    # fixtures have shipped ts as TIMESTAMP(NANOS) in some generations —
+    # readable only via nanosAsLong (the events_log_store discipline)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(batch.dtypes)["ts"]
     # FileStreamSource requires a DIRECTORY; the fixture table is a bare
@@ -3897,6 +3900,7 @@ _PRIORITY_ORDER = [
     # lifecycle (SURVEY §2.5)
     "lifecycle_delete_versions",
     "events_sessionize",
+    "stream_sessionize_gap",
     "events_props_json",
     # text analysis (text_langid / text_fingerprint rotate to 51+ after
     # three green rounds; gopher-quality flags take their slot)
@@ -3925,10 +3929,12 @@ _PRIORITY_ORDER = [
     "mm_frame_sample",
     "mcap_roundtrip_agg",
     # packing / splits / curation / decontamination / mixing
-    # (mix_domains rotates to 51+ after two green rounds; the sampling
-    # family keeps split_train_test)
+    # (mix_domains rotated to 51+ after two green rounds, the sampling
+    # family keeps split_train_test; pack_greedy_bins rotates to 51+
+    # after its green r03 row so the FIRST driver-proven STREAMING row —
+    # stream_sessionize_gap, upgrading the category from its rows-only
+    # carve-out — fits in the window)
     "pack_sequences",
-    "pack_greedy_bins",
     "split_train_test",
     "curate_corpus",
     "decontam_check",
