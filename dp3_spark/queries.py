@@ -2155,6 +2155,72 @@ def dedup_incremental(spark, sf_dir):
     )
 
 
+@register(
+    "stream_corpus_dedup",
+    f"""
+    with pairs as ({_minhash_oracle(128, 16, 0.7)}),
+    dropped as (
+      select distinct case
+        when id_a % 5 = 0 and id_b % 5 != 0 then id_a
+        when id_b % 5 = 0 and id_a % 5 != 0 then id_b
+        else id_b end as id
+      from pairs
+      where id_a % 5 = 0 or id_b % 5 = 0
+    )
+    select d.doc_id from documents d
+    where d.doc_id % 5 = 0
+      and d.doc_id not in (select id from dropped)
+    """,
+)
+def stream_corpus_dedup(spark, sf_dir):
+    """The SECOND streaming row under the hash gate: the corpus-refresh
+    dedup pipeline (streaming/dedup_stream.StreamingCorpusDedup) drains a
+    drop-directory batch through foreachBatch against a PERSISTED MinHash
+    signature index, and the surviving batch doc ids hash-match the batch
+    drop rule re-derived in DuckDB (a batch doc is dropped iff it
+    near-matches any indexed doc — index wins regardless of id order —
+    or a lower-id doc of its own batch; same full-corpus pair derivation
+    as dedup_incremental's oracle, threshold 0.7).  The index is
+    pre-seeded exactly as dedup_incremental models it (signatures of the
+    80% split persisted to parquet), so this gates the STREAMING
+    machinery — file-source micro-batch, checkpointing, idempotent
+    index/corpus appends — on top of the already-proven batch core."""
+    import shutil
+    import tempfile
+
+    from dp3_spark.streaming.dedup_stream import StreamingCorpusDedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    batch_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    par = spark.sparkContext.defaultParallelism
+    root = tempfile.mkdtemp(prefix="dp3_stream_dedup_")
+    try:
+        dd = StreamingCorpusDedup(
+            spark, root, n=3, num_hashes=128, bands=16, threshold=0.7
+        )
+        # pre-seed the persisted index: the corpus was signature-indexed
+        # in a previous life (the dedup_incremental deployment shape)
+        DD.minhash_signatures(
+            index_docs.repartition(par), "doc_id", "text", n=3, num_hashes=128
+        ).write.mode("overwrite").parquet(dd.index_path)
+        index_docs.write.mode("overwrite").parquet(dd.corpus_path)
+        drop_dir = f"{root}/incoming"
+        batch_docs.write.mode("overwrite").parquet(drop_dir)
+        q = dd.start(drop_dir, batch_docs.schema)
+        q.awaitTermination()
+        kept = (
+            spark.read.parquet(dd.corpus_path)
+            .filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id")
+        )
+        # materialize before the tmp dir disappears
+        rows = kept.collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long")
+
+
 def _simhash_sig_ctes(bits: int) -> str:
     """CTE chain ending in sig(doc_id, simhash) — shared by the signature
     oracle and the pairs oracle."""
