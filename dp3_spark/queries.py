@@ -2393,12 +2393,6 @@ def sim_dup_pairs_lsh(spark, sf_dir):
     return SIM.embedding_dup_pairs_lsh(emb, threshold=0.4)
 
 
-@register("sim_lsh_topk", None)  # rows-only; recall asserted in tests
-def sim_lsh_topk(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
-
-
 def _lsh_sig_sql(alias: str, planes: int = 16) -> str:
     """DuckDB mirror of similarity.hyperplane_lsh_signature: per-plane
     sequential fold over the same LCG-derived weights (identical summation
@@ -2422,10 +2416,10 @@ def _lsh_sig_sql(alias: str, planes: int = 16) -> str:
 
 _LSH_RECALL_K = 5
 
-
-@register(
-    "sim_lsh_recall",
-    f"""
+# shared candidate-generation CTE prefix for the two LSH driver gates:
+# bit-identical 16-plane signature -> 4 bands of 4 rows -> banded
+# candidate join (re-derived from scratch in DuckDB each time)
+_LSH_CAND_CTES = f"""
     with csig as (
       select e.vec_id, {_lsh_sig_sql('e')} as sig from embeddings e
     ),
@@ -2442,7 +2436,44 @@ _LSH_RECALL_K = 5
       select distinct qb.q_id, cb.c_id
       from qb join cb on qb.band = cb.band and qb.key = cb.key
       where qb.q_id != cb.c_id
-    ),
+    )"""
+
+
+@register(
+    "sim_lsh_topk",
+    f"""
+    {_LSH_CAND_CTES}
+    select query_id, neighbor_id, millicosine, rank from (
+      select cand.q_id as query_id, cand.c_id as neighbor_id,
+             cast(floor(({_COS_D}) * 1000.0 + 0.5) as bigint) as millicosine,
+             row_number() over (partition by cand.q_id
+                                order by {_COS_D} desc, cand.c_id) as rank
+      from cand join embeddings a on a.vec_id = cand.q_id
+                join embeddings b on b.vec_id = cand.c_id) t
+    where rank <= {_LSH_RECALL_K}
+    """,
+)
+def sim_lsh_topk(spark, sf_dir):
+    """Banded-LSH approximate top-k, FULL oracle (r4 verdict ask #4): the
+    deterministic LCG hyperplanes make signature, banding and candidate set
+    closed-form, the cosine rerank is the same sequential fold in both
+    engines, and the emitted cosine is quantized to int64 millicosine
+    (floor(x*1000+0.5) — the lm_score millinat discipline) so the rows
+    themselves hash-match, not just the recall contract."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    topk = SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=_LSH_RECALL_K)
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.expr("cast(floor(cosine * 1000.0 + 0.5) as bigint)").alias("millicosine"),
+        "rank",
+    )
+
+
+@register(
+    "sim_lsh_recall",
+    f"""
+    {_LSH_CAND_CTES},
     lsh as (
       select q_id as query_id, c_id as neighbor_id from (
         select cand.q_id, cand.c_id,
@@ -2480,17 +2511,6 @@ def sim_lsh_recall(spark, sf_dir):
     exact = SIM.cosine_topk(emb, q, k=_LSH_RECALL_K)
     approx = SIM.lsh_topk(emb, q, k=_LSH_RECALL_K, planes=16, bands=4)
     return SIM.topk_recall(exact, approx, k=_LSH_RECALL_K)
-
-
-@register("sim_ivf_topk", None)  # rows-only: iterative k-means training
-def sim_ivf_topk(spark, sf_dir):
-    """IVF coarse-quantizer ANN (the second at-scale family next to
-    hyperplane LSH); recall vs brute pinned in tests/test_operators.py.
-    The Lloyd-refined variant (iters=2, numpy assignment) — the library
-    default; the closed-form seeded variant is driver-proven end-to-end
-    by sim_ivf_recall."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, k_clusters=8, nprobe=3, iters=2)
 
 
 _SEM_DEDUP_K = 8
@@ -2559,10 +2579,10 @@ def sem_dedup(spark, sf_dir):
 
 _IVF_RECALL_K = 5
 
-
-@register(
-    "sim_ivf_recall",
-    f"""
+# shared candidate-generation CTE prefix for the two IVF driver gates:
+# seeded iters=0 centroids (k lowest-id vectors) + the bit-identical
+# sequential-fold cluster assignment, probe nprobe=2 lists
+_IVF_CAND_CTES = f"""
     with cents as (
       select row_number() over (order by vec_id) - 1 as cluster,
              embedding as cvec
@@ -2591,7 +2611,51 @@ _IVF_RECALL_K = 5
       select distinct qa.query_id, ca.vec_id as neighbor_id
       from qa join ca on qa.cluster = ca.cluster
       where qa.query_id != ca.vec_id
-    ),
+    )"""
+
+
+@register(
+    "sim_ivf_topk",
+    f"""
+    {_IVF_CAND_CTES}
+    select query_id, neighbor_id, millicosine, rank from (
+      select cand.query_id, cand.neighbor_id,
+             cast(floor(({_COS_D}) * 1000.0 + 0.5) as bigint) as millicosine,
+             row_number() over (partition by cand.query_id
+                                order by {_COS_D} desc, cand.neighbor_id) as rank
+      from cand join embeddings a on a.vec_id = cand.query_id
+                join embeddings b on b.vec_id = cand.neighbor_id) t
+    where rank <= {_IVF_RECALL_K}
+    """,
+)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN top-k, FULL oracle (r4 verdict ask #4).
+    Registered with the closed-form parameterization (seeded k-lowest-id
+    centroids, iters=0, codegen SQL assignment — the construction
+    sim_ivf_recall already proves end-to-end) and the emitted cosine
+    quantized to int64 millicosine so the raw top-k frame hash-matches.
+    The Lloyd-refined variant (iters>0, numpy matmul assignment) stays the
+    library default; its recall vs brute is pinned in
+    tests/test_operators.py (iterative float means are not
+    bit-reproducible across engines, so it cannot carry a value-hash
+    oracle — the quality gate covers it instead)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    topk = SIM.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=_IVF_RECALL_K,
+        k_clusters=_SEM_DEDUP_K, nprobe=2, iters=0, assign="sql",
+    )
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.expr("cast(floor(cosine * 1000.0 + 0.5) as bigint)").alias("millicosine"),
+        "rank",
+    )
+
+
+@register(
+    "sim_ivf_recall",
+    f"""
+    {_IVF_CAND_CTES},
     ivf as (
       select query_id, neighbor_id from (
         select cand.query_id, cand.neighbor_id,
