@@ -19,10 +19,45 @@ from pyspark.sql import functions as F
 
 from dp3_spark.functions import vectors as VEC
 
-# 31-bit LCG: all intermediates < 2^61, safe under ANSI overflow checking
+# 31-bit LCG + xorshift mixing: all intermediates < 2^62, safe under ANSI
+# overflow checking.  The xorshift/second-multiply steps are LOAD-BEARING:
+# a bare LCG is affine, so plane seeds differing by the constant stride
+# (p*65537) produce near-shifted weight sequences — measured plane-pair
+# |cosine| up to 0.975 (mean 0.44 vs the isotropic 0.10), which collapses
+# band keys to a fraction of their nominal bits and exploded the sf1
+# candidate join to ~35% of ALL pairs (round-5 scaling measurement).
+# With the non-linear mix: mean |cos| 0.098, max 0.43 — isotropic.
 _LCG31_MUL = 1_103_515_245
 _LCG31_ADD = 12_345
 _LCG31_MOD = 2_147_483_648
+_MIX_MUL = 1_597_334_677
+
+
+def plane_weight_spark(p: int, i_expr: str = "i") -> str:
+    """Spark SQL fragment for hyperplane weight w(p, i) in [-1, 1]:
+    lcg31(p*65537 + i) -> xorshift15 -> *MIX_MUL mod 2^31 -> xorshift12,
+    quantized to thousandths.  Exact-integer arithmetic, bit-identical to
+    plane_weight_duck / _np_plane_weights."""
+    h1 = (
+        f"(({_LCG31_MUL}L * (({p}L * 65537 + {i_expr}) % {_LCG31_MOD}L) "
+        f"+ {_LCG31_ADD}L) % {_LCG31_MOD}L)"
+    )
+    h2 = f"({h1} ^ shiftright({h1}, 15))"
+    h3 = f"(({_MIX_MUL}L * {h2}) % {_LCG31_MOD}L)"
+    h4 = f"({h3} ^ shiftright({h3}, 12))"
+    return f"(cast({h4} % 2001 - 1000 as double) / 1000.0)"
+
+
+def plane_weight_duck(p: int, i_expr: str) -> str:
+    """DuckDB mirror of plane_weight_spark (xor() function, >> operator)."""
+    h1 = (
+        f"(({_LCG31_MUL}::bigint * (({p}::bigint * 65537 + {i_expr}) % {_LCG31_MOD}) "
+        f"+ {_LCG31_ADD}) % {_LCG31_MOD})"
+    )
+    h2 = f"xor({h1}, {h1} >> 15)"
+    h3 = f"(({_MIX_MUL}::bigint * {h2}) % {_LCG31_MOD})"
+    h4 = f"xor({h3}, {h3} >> 12)"
+    return f"(cast({h4} % 2001 - 1000 as double) / 1000.0)"
 
 
 def _with_norm(df: DataFrame, vec_col: str) -> DataFrame:
@@ -125,13 +160,12 @@ def hyperplane_lsh_signature(df: DataFrame, vec_col: str, *, planes: int = 16) -
     never materializes, only sum_i v[i] * w(p, i)."""
     sig = F.lit(0).cast("long")
     for p in range(planes):
-        # w(p,i) = (lcg31(p * 65537 + i) % 2001 - 1000) / 1000.0
+        # w(p,i) = plane_weight_spark: mixed lcg31 of (p, i) in [-1, 1]
         proj = F.expr(
             "aggregate(zip_with({v}, sequence(0, size({v}) - 1), (x, i) -> "
-            "cast(x as double) * (cast(({mul}L * (({p}L * 65537 + i) % {mod}L) + {add}L) % {mod}L "
-            "% 2001 - 1000 as double) / 1000.0)), "
+            "cast(x as double) * {w}), "
             "cast(0.0 as double), (a, b) -> a + b)".format(
-                v=vec_col, p=p, mul=_LCG31_MUL, add=_LCG31_ADD, mod=_LCG31_MOD
+                v=vec_col, w=plane_weight_spark(p)
             )
         )
         sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
@@ -207,18 +241,22 @@ def _np_plane_weights(planes: int, dim: int):
     p = np.arange(planes, dtype=np.int64)[:, None]
     i = np.arange(dim, dtype=np.int64)[None, :]
     x = (p * 65537 + i) % _LCG31_MOD
-    # _LCG31_MUL * x < 2^62: no int64 overflow
-    w = ((_LCG31_MUL * x + _LCG31_ADD) % _LCG31_MOD) % 2001 - 1000
+    # all products < 2^62: no int64 overflow
+    h = (_LCG31_MUL * x + _LCG31_ADD) % _LCG31_MOD
+    h = h ^ (h >> 15)
+    h = (_MIX_MUL * h) % _LCG31_MOD
+    h = h ^ (h >> 12)
+    w = h % 2001 - 1000
     return w.astype(np.float64) / 1000.0
 
 
-def _np_sig_batch(V, W):
-    """Signatures for a (n, dim) float array under weights (planes, dim).
-
-    Accumulates SEQUENTIALLY across dims (vectorized across rows), so every
-    projection double is bit-identical to the SQL fold in
-    hyperplane_lsh_signature / the DuckDB oracle — float addition is not
-    associative, and the sign bit of a projection decides band membership."""
+def _np_proj_bits(V, W):
+    """Sign bits (n, planes) for a (n, dim) float array under weights
+    (planes, dim).  Accumulates SEQUENTIALLY across dims (vectorized
+    across rows), so every projection double is bit-identical to the SQL
+    fold in hyperplane_lsh_signature / the DuckDB oracle — float addition
+    is not associative, and the sign bit of a projection decides band
+    membership."""
     import numpy as np
 
     n, dim = V.shape
@@ -226,8 +264,17 @@ def _np_sig_batch(V, W):
     acc = np.zeros((n, planes), dtype=np.float64)
     for i in range(dim):
         acc += V[:, i].astype(np.float64)[:, None] * W[:, i][None, :]
+    return acc > 0
+
+
+def _np_sig_batch(V, W):
+    """Packed int64 signatures — requires planes <= 63 (the oracle-locked
+    geometries); wider geometries use per-band keys (_np_band_keys)."""
+    import numpy as np
+
+    planes = W.shape[0]
     bits = np.int64(1) << np.arange(planes, dtype=np.int64)
-    return ((acc > 0) * bits).sum(axis=1, dtype=np.int64)
+    return (_np_proj_bits(V, W) * bits).sum(axis=1, dtype=np.int64)
 
 
 def np_lsh_signatures(df: DataFrame, id_col: str, vec_col: str, *, planes: int = 16) -> DataFrame:
@@ -259,27 +306,45 @@ def np_lsh_signatures(df: DataFrame, id_col: str, vec_col: str, *, planes: int =
 
 
 def _banded_signature(df: DataFrame, id_col: str, vec_col: str, *, planes: int, bands: int) -> DataFrame:
-    """(id, band, key) rows: one per document per LSH band."""
+    """(id, band, key) rows: one per document per LSH band.
+
+    Band keys are packed per band inside the numpy kernel (rows <= 63
+    bits each), so total planes is unbounded — required since
+    lsh_geometry grows planes with corpus size (e.g. 90 planes at 20k
+    vectors).  For planes <= 63 the keys are bit-identical to slicing the
+    packed single-long signature (pinned in tests)."""
+    import numpy as np
+    import pandas as pd
+
     rows = planes // bands
-    mask = (1 << rows) - 1
-    sig = np_lsh_signatures(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
-        "id",
-        "vec",
-        planes=planes,
+
+    def gen(batches):
+        cache: dict[int, object] = {}
+        key_w = np.int64(1) << np.arange(rows, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf["id"].values
+            vecs = pdf["vec"].values
+            dims = np.array([len(v) for v in vecs])
+            keys = np.zeros((len(pdf), bands), dtype=np.int64)
+            for d in np.unique(dims):
+                m = dims == d
+                W = cache.get(int(d))
+                if W is None:
+                    W = cache[int(d)] = _np_plane_weights(planes, int(d))
+                V = np.stack(
+                    [np.asarray(v, dtype=np.float32) for v, k in zip(vecs, m) if k]
+                )
+                bits = _np_proj_bits(V, W)  # (n, planes)
+                for b in range(bands):
+                    keys[m, b] = (
+                        bits[:, b * rows : (b + 1) * rows] * key_w
+                    ).sum(axis=1, dtype=np.int64)
+            yield pd.DataFrame({"id": ids, "keys": list(keys)})
+
+    sig = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).mapInPandas(
+        gen, "id long, keys array<long>"
     )
-    parts = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                ((F.col("lsh_sig") / F.lit(1 << (b * rows))).cast("long") % F.lit(mask + 1)).alias("key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    return sig.select("id", F.explode(parts).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    return sig.select("id", F.posexplode("keys").alias("band", "key"))
 
 
 # vector table sizes beyond this switch the exact-cosine verify from a
@@ -371,14 +436,53 @@ def _verify_cosine_shuffle(cand: DataFrame, vecs: DataFrame, thr: float) -> Data
     )
 
 
+def lsh_geometry(
+    n_rows: int,
+    *,
+    design_cosine: float = 0.9,
+    base_rows: int = 6,
+    base_bands: int = 4,
+    target_occupancy: int = 32,
+) -> tuple[int, int]:
+    """(planes, bands) sized to the corpus — the scale knob the round-5
+    sf1 measurement showed is mandatory: with FIXED geometry (24/4 -> 64
+    keys per band) bucket occupancy grows linearly with corpus size, so
+    in-bucket candidate pairs grow QUADRATICALLY (measured 107x pairs and
+    36x wall-clock for 10x vectors).  rows-per-band grows as
+    log2(n / target_occupancy), which keeps expected null-collision
+    occupancy (and hence candidate volume per vector) ~constant; bands
+    then grows to hold recall at the design point (cosine-0.9 near-dups)
+    at the base geometry's level, per the standard banding analysis
+    (hit = 1 - (1 - p^rows)^bands, p = 1 - theta/pi).
+
+    Deterministic in n_rows and equal to the base (24, 4) for corpora
+    <= target_occupancy * 2^base_rows (= 2048) — which keeps every
+    fixture-scale driver oracle byte-identical."""
+    import math
+
+    rows = base_rows
+    if n_rows > target_occupancy:
+        rows = max(base_rows, math.ceil(math.log2(n_rows / target_occupancy)))
+    p = 1 - math.acos(design_cosine) / math.pi
+    if rows == base_rows:
+        bands = base_bands
+    else:
+        base_recall = 1 - (1 - p**base_rows) ** base_bands
+        bands = max(
+            base_bands,
+            math.ceil(math.log(1 - base_recall) / math.log(1 - p**rows)),
+        )
+    return rows * bands, bands
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    planes: int = 24,
-    bands: int = 4,
+    planes: int | None = None,
+    bands: int | None = None,
     verify: str = "auto",
 ) -> DataFrame:
     """Near-dup pairs via hyperplane-LSH banding: candidates = pairs sharing
@@ -398,9 +502,19 @@ def embedding_dup_pairs_lsh(
     0.857⁶, ≥1 of 4 bands), while random pairs collide at only
     (1/2)⁶ × 4 ≈ 6% — rows-per-band is the candidate-precision knob, same
     as in minhash LSH.  Brute (`embedding_dup_pairs(method='brute')`) is
-    the exact reference."""
+    the exact reference.
+
+    planes/bands default to `lsh_geometry(corpus rows)`: (24, 4) up to
+    2048 vectors (fixture scales — oracle-locked), then rows-per-band
+    grows with log2(n) so candidate volume stays ~linear in corpus size
+    instead of quadratic in bucket occupancy (the round-5 scaling fix)."""
     if verify not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"unknown verify mode {verify!r}")
+    n_corpus = df.count()  # parquet footer count; also drives verify gate
+    if planes is None or bands is None:
+        auto_planes, auto_bands = lsh_geometry(n_corpus)
+        planes = planes if planes is not None else auto_planes
+        bands = bands if bands is not None else auto_bands
     # materialize signatures once: the self-join would otherwise compute
     # the projection pass twice per vector (signature rows are
     # (id, band, key) — bytes per vector)
@@ -414,7 +528,7 @@ def embedding_dup_pairs_lsh(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
     )
     if verify == "auto":
-        verify = "broadcast" if df.count() <= BROADCAST_VERIFY_MAX_ROWS else "shuffle"
+        verify = "broadcast" if n_corpus <= BROADCAST_VERIFY_MAX_ROWS else "shuffle"
     # dedup placement mirrors dedup.minhash_lsh_pairs: multi-band dup pairs
     # must not re-fetch vectors through the shuffle transport, but on the
     # broadcast transport re-scoring the dup factor beats a full

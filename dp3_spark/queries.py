@@ -2434,15 +2434,14 @@ def sim_dup_pairs(spark, sf_dir):
 
 def _lsh_dup_oracle(threshold: float, planes: int = 16, bands: int = 4) -> str:
     # mirrors operators/similarity.py hyperplane_lsh_signature: plane p,
-    # dim i weight w = ((MUL*((p*65537+i)%MOD)+ADD)%MOD % 2001 - 1000)/1000;
+    # dim i weight w = plane_weight_duck(p, i) — the mixed-LCG formula;
     # identical left-to-right double folds keep the sign bits bit-equal.
     rows = planes // bands
     mask = (1 << rows) - 1
-    mul, add, mod = SIM._LCG31_MUL, SIM._LCG31_ADD, SIM._LCG31_MOD
     projs = ", ".join(
         f"list_reduce(list_prepend(cast(0.0 as double), "
         f"list_transform(range(0, len(embedding)), i -> cast(embedding[i+1] as double) * "
-        f"(cast(({mul} * (({p} * 65537 + i) % {mod}) + {add}) % {mod} % 2001 - 1000 as double) / 1000.0))), "
+        f"{SIM.plane_weight_duck(p, 'i')})), "
         f"(a, b) -> a + b) as proj{p}"
         for p in range(planes)
     )
@@ -2471,11 +2470,16 @@ def _lsh_dup_oracle(threshold: float, planes: int = 16, bands: int = 4) -> str:
 @register("sim_dup_pairs_lsh", _lsh_dup_oracle(0.4, planes=24))
 def sim_dup_pairs_lsh(spark, sf_dir):
     """The at-scale near-dup path: banded candidate join instead of the
-    brute all-pairs loop sim_dup_pairs uses.  Threshold 0.4 matches the
-    brute gate query so the two results are directly comparable (the
-    synthetic embeddings corpus tops out near cosine 0.55); recall at the
-    design point (0.9+ near-dups) is pinned on a clustered corpus in
-    tests/test_operators.py."""
+    brute all-pairs loop sim_dup_pairs uses.  Threshold 0.4 is the brute
+    gate query's threshold (the synthetic embeddings corpus is isotropic
+    and tops out near cosine 0.55, so 0.4 sits far below the operator's
+    0.9+ design point); with the honest decorrelated planes (round 5) the
+    6-rows-per-band geometry recalls ~26% of such sub-design-point pairs
+    — the textbook banding curve, not a defect (the pre-fix 'complete'
+    recall was the correlated-plane bug degenerating LSH toward brute
+    force at quadratic cost).  Design-point recall (0.9+ near-dups) is
+    pinned on a clustered corpus in tests/test_operators.py; geometry
+    auto-scales with corpus size via lsh_geometry."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return SIM.embedding_dup_pairs_lsh(emb, threshold=0.4)
 
@@ -2485,38 +2489,46 @@ def _lsh_sig_sql(alias: str, planes: int = 16) -> str:
     sequential fold over the same LCG-derived weights (identical summation
     order — the sign bit of a projection decides band membership, and float
     addition is not associative)."""
-    mul, add, mod = SIM._LCG31_MUL, SIM._LCG31_ADD, SIM._LCG31_MOD
     terms = []
     for p in range(planes):
-        w = (
-            f"cast(({mul}::bigint * (({p}::bigint * 65537 + (i - 1)) % {mod}) "
-            f"+ {add}) % {mod} % 2001 - 1000 as double) / 1000.0"
-        )
+        w = SIM.plane_weight_duck(p, "(i - 1)")
         proj = (
             f"list_reduce(list_prepend(cast(0.0 as double), "
             f"list_transform(range(1, len({alias}.embedding) + 1), i -> "
-            f"cast({alias}.embedding[i] as double) * ({w}))), (a, b) -> a + b)"
+            f"cast({alias}.embedding[i] as double) * {w})), (a, b) -> a + b)"
         )
         terms.append(f"case when ({proj}) > 0 then {1 << p} else 0 end")
     return f"cast({' + '.join(terms)} as bigint)"
 
 
 _LSH_RECALL_K = 5
+# gate geometry: rows-per-band 4 with 12 bands — tuned AFTER the round-5
+# plane-decorrelation fix (the old correlated planes inflated collisions,
+# which faked high recall at quadratic cost; with honest isotropic planes
+# the 16/4 geometry measured recall@5 = 0.43 on this corpus, 48/12 = 0.82
+# probing ~half the 500-vector fixture corpus — on larger corpora the
+# probed fraction falls with bucket occupancy)
+_LSH_GATE_PLANES = 48
+_LSH_GATE_BANDS = 12
+_LSH_GATE_ROWS = _LSH_GATE_PLANES // _LSH_GATE_BANDS
+_LSH_GATE_MASK = (1 << _LSH_GATE_ROWS) - 1
 
 # shared candidate-generation CTE prefix for the two LSH driver gates:
-# bit-identical 16-plane signature -> 4 bands of 4 rows -> banded
+# bit-identical 48-plane signature -> 12 bands of 4 rows -> banded
 # candidate join (re-derived from scratch in DuckDB each time)
 _LSH_CAND_CTES = f"""
     with csig as (
-      select e.vec_id, {_lsh_sig_sql('e')} as sig from embeddings e
+      select e.vec_id, {_lsh_sig_sql('e', planes=_LSH_GATE_PLANES)} as sig from embeddings e
     ),
     cb as (
-      select c.vec_id as c_id, bb.b as band, (c.sig >> (bb.b * 4)) & 15 as key
-      from csig c, unnest(generate_series(0, 3)) bb(b)
+      select c.vec_id as c_id, bb.b as band,
+             (c.sig >> (bb.b * {_LSH_GATE_ROWS})) & {_LSH_GATE_MASK} as key
+      from csig c, unnest(generate_series(0, {_LSH_GATE_BANDS - 1})) bb(b)
     ),
     qb as (
-      select q.vec_id as q_id, bb.b as band, (q.sig >> (bb.b * 4)) & 15 as key
-      from csig q, unnest(generate_series(0, 3)) bb(b)
+      select q.vec_id as q_id, bb.b as band,
+             (q.sig >> (bb.b * {_LSH_GATE_ROWS})) & {_LSH_GATE_MASK} as key
+      from csig q, unnest(generate_series(0, {_LSH_GATE_BANDS - 1})) bb(b)
       where q.vec_id < 20
     ),
     cand as (
@@ -2548,7 +2560,10 @@ def sim_lsh_topk(spark, sf_dir):
     (floor(x*1000+0.5) — the lm_score millinat discipline) so the rows
     themselves hash-match, not just the recall contract."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    topk = SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=_LSH_RECALL_K)
+    topk = SIM.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=_LSH_RECALL_K,
+        planes=_LSH_GATE_PLANES, bands=_LSH_GATE_BANDS,
+    )
     return topk.select(
         "query_id",
         "neighbor_id",
@@ -2590,13 +2605,15 @@ def sim_lsh_recall(spark, sf_dir):
     """ANN-recall gate for hyperplane LSH, full oracle (r3 verdict ask #7):
     the deterministic LCG hyperplanes make signature, banding, candidate
     set and rerank all closed-form — DuckDB re-derives the identical
-    16-plane signature with the same sequential fold, so the driver
-    hash-checks LSH recall itself (bands=4, rows=4, k=5 — the sim_lsh_topk
+    48-plane signature with the same sequential fold, so the driver
+    hash-checks LSH recall itself (bands=12, rows=4, k=5 — the sim_lsh_topk
     parameterization)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 20)
     exact = SIM.cosine_topk(emb, q, k=_LSH_RECALL_K)
-    approx = SIM.lsh_topk(emb, q, k=_LSH_RECALL_K, planes=16, bands=4)
+    approx = SIM.lsh_topk(
+        emb, q, k=_LSH_RECALL_K, planes=_LSH_GATE_PLANES, bands=_LSH_GATE_BANDS
+    )
     return SIM.topk_recall(exact, approx, k=_LSH_RECALL_K)
 
 
