@@ -46,6 +46,12 @@ HEADLINE = [
     "stat_cms_weekly_rollup", # CountMin daily build + mergeable weekly rollup
     "stat_twa_daily",         # time-weighted avg (exact int64 weights)
     "events_sessionize",      # stateful sessionization
+    # streaming drains (r4 verdict ask #9): micro-batch overhead tracked
+    # round-over-round like batch queries — availableNow drains, so the
+    # number includes stream bootstrap + checkpoint + state maintenance
+    "stream_sessionize_gap",  # applyInPandasWithState sessionizer drain
+    "stream_stats_rollup",    # foreachBatch summary maintenance drain
+    "stream_corpus_dedup",    # foreachBatch corpus-refresh dedup drain
     "tpch_q1_pricing",        # wide aggregation
     "tpch_q3_shipping",       # join + top-k
     "tpch_q5_region_revenue", # 6-way join
@@ -76,25 +82,46 @@ HEADLINE = [
     "dedup_incremental",      # corpus-refresh dedup vs persisted sig index
 ]
 
+# Empirical scale validation (r4 verdict ask #1): the same registered
+# queries at sf1 — a deterministic 10x weak-scaling of the sf0.1 fixtures
+# (dp3_spark/scale_gen.py: structure-preserving isometries/bijections per
+# copy, so per-family cost curves are interpretable).  One family
+# representative each; sf0.1 baselines come from the HEADLINE run (every
+# scaling query is also a headline).  Generated once under data/ and
+# reused across rounds; disable with SPARK_GRAFT_SCALING=0.
+SCALING = [
+    "ql_asof_precedes",       # asof family
+    "stat_twa_daily",         # stats/window family
+    "events_sessionize",      # sessionization
+    "text_lm_score",          # corpus LM scoring (2 corpus passes)
+    "tpch_q9_profit",         # relational join tree
+    "sim_knn_classify",       # broadcast-query ANN (linear in corpus)
+    "sim_dup_pairs_lsh",      # banded ANN pairs (auto LSH geometry)
+    "sem_dedup",              # cluster-quadratic semantic dedup
+    "dedup_minhash_capped",   # bucket-capped minhash (the 100x path)
+    "dedup_incremental",      # batch-vs-index corpus refresh
+    "dedup_clusters",         # pairs -> connected components
+]
+
 
 def materialize(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
 
 
-def run_one(name: str, sf_dir: str) -> float:
+def run_one(name: str, sf_dir: str, warmups: int = 2) -> float:
     """Child-process body: fresh session, session-level warm (a trivial
-    query boots codegen + Python workers), then TWO untimed runs of the
-    query before the timed one.  A fresh JVM needs the second warmup:
-    measured, run2 of a heavy query is still ~40% over run3's steady
-    state (C2 compiles the hot loops during run2), and the in-session
-    numbers this replaces were implicitly that warm from the preceding
-    queries."""
+    query boots codegen + Python workers), then `warmups` untimed runs of
+    the query before the timed ones.  A fresh JVM needs the second warmup
+    at sf0.1: measured, run2 of a heavy query is still ~40% over run3's
+    steady state (C2 compiles the hot loops during run2).  The sf1
+    scaling runs use warmups=1: at 10x data the compute dominates JIT
+    residue, and the extra warmup would double a multi-minute section."""
     spark = get_spark("dp3_spark_bench")
     qs = Q.queries()
     materialize(qs["stat_catalog_tables"](spark, sf_dir))
-    materialize(qs[name](spark, sf_dir))  # untimed: codegen + cache warmup
-    materialize(qs[name](spark, sf_dir))  # untimed: C2/JIT steady-state warmup
+    for _ in range(warmups):
+        materialize(qs[name](spark, sf_dir))  # untimed: codegen/JIT warmup
     best = float("inf")
     # min of two timed runs: a single sample is exposed to transient host
     # noise (observed once: a 3-5x inflation across one bench tail that no
@@ -111,16 +138,20 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    if len(sys.argv) == 3 and sys.argv[1] == "--one":
-        print(json.dumps({"sec": round(run_one(sys.argv[2], sf_dir), 3)}))
+    if sys.argv[1:2] == ["--one"]:
+        args = sys.argv[2:]
+        name = args[0]
+        child_sf = args[1] if len(args) > 1 else sf_dir
+        warmups = int(args[2]) if len(args) > 2 else 2
+        print(json.dumps({"sec": round(run_one(name, child_sf, warmups), 3)}))
         return
 
     import subprocess
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    def child(name: str, child_sf: str, warmups: int = 2) -> float:
         r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one", name],
+            [sys.executable, os.path.abspath(__file__), "--one", name,
+             child_sf, str(warmups)],
             capture_output=True,
             text=True,
             env=os.environ,
@@ -128,8 +159,37 @@ def main() -> None:
         if r.returncode != 0:
             print(r.stderr[-2000:], file=sys.stderr)
             raise RuntimeError(f"bench child failed for {name}")
-        timings[name] = json.loads(r.stdout.strip().splitlines()[-1])["sec"]
+        return json.loads(r.stdout.strip().splitlines()[-1])["sec"]
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = child(name, sf_dir)
         print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    # ---- scaling section: same queries, 10x the rows (fresh sessions) ----
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0" and abs(float(sf) - 0.1) < 1e-9:
+        try:
+            from dp3_spark import scale_gen
+
+            sf1_dir = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "data", "scale_sf1"
+            )
+            scale_gen.generate(sf_dir, sf1_dir, copies=10)
+            sf1_timings: dict[str, float] = {}
+            for name in SCALING:
+                sf1_timings[name] = child(name, sf1_dir, warmups=1)
+                print(f"  [sf1] {name}: {sf1_timings[name]:.2f}s", file=sys.stderr)
+            scaling = {
+                "sf0.1": {n: timings[n] for n in SCALING if n in timings},
+                "sf1": sf1_timings,
+                "rows_ratio": 10,
+                "note": "sf1 = deterministic structure-preserving 10x weak "
+                "scaling of sf0.1 (dp3_spark/scale_gen.py); fresh session "
+                "per query, 1 untimed warmup, min of 2 timed runs",
+            }
+        except Exception as e:  # scaling must never sink the headline run
+            print(f"scaling section skipped: {e}", file=sys.stderr)
 
     out = {
         "metric": "headline query steady-state wall-clock "
@@ -145,6 +205,8 @@ def main() -> None:
         "methodology": "unchanged since r03: fresh session per query, "
         "2 untimed warmups, min of 2 timed runs",
     }
+    if scaling is not None:
+        out["scaling"] = scaling
     print(json.dumps(out))
 
 
