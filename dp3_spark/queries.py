@@ -3214,6 +3214,48 @@ def mm_jpeg_decode(spark, sf_dir):
     )
 
 
+@register("mm_jpeg_progressive", _jpg_oracle())
+def mm_jpeg_progressive(spark, sf_dir):
+    """PROGRESSIVE JPEG decode under the hash gate (r4 verdict ask #7 —
+    the last reachable-format stub, now real): each document encodes a
+    solid 16x16 frame through the SOF2 path (the default scan script:
+    interleaved DC with successive approximation, spectral-selection
+    bands, two-stage AC refinement, EOB runs) and decodes it back through
+    the multi-scan coefficient accumulator.  The progressive encoder
+    reuses the baseline quantization chain, so the coefficients — and
+    therefore the decoded pixels and this oracle — are IDENTICAL to
+    mm_jpeg_decode's closed-form DC chain; what the gate adds is the
+    whole progressive scan machinery sitting between encode and decode.
+    Full-entropy round-trips (noise frames, deep SA scripts, restart
+    markers) are pinned in tests/test_jpeg_progressive.py."""
+    import numpy as np
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rgb = (did * 31 % 256, did * 57 % 256, did * 91 % 256)
+                img = np.full((16, 16, 3), rgb, dtype=np.uint8)
+                back = MM.decode_jpeg(MM.encode_jpeg_progressive(img))
+                px = back[0, 0]
+                uniform = int((back == px).all())
+                rows.append(
+                    (did, int(px[0]), int(px[1]), int(px[2]),
+                     uniform * back.shape[0] * back.shape[1])
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "dec_r", "dec_g", "dec_b", "n_px"]
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, dec_r long, dec_g long, dec_b long, n_px long"
+    )
+
+
 # 64-color palette x 16x12 indexed raster: enough codes that the LZW
 # table genuinely grows past the initial width during encode
 _GIF_W, _GIF_H, _GIF_NCOL = 12, 16, 64

@@ -3,11 +3,12 @@ processed with Arrow-batched `mapInPandas`.
 
 The decode step is REAL for every container this repo can reach without
 codec libraries — and that turned out to be all of them: BMP, PNG
-(stdlib zlib), GIF (pure-python LZW), baseline JPEG (pure-numpy DCT +
-Huffman, sources/jpeg.py), MJPEG-in-AVI video frames, 16-bit PCM and
-IMA-ADPCM WAV audio.  Only progressive/arithmetic JPEG and
-codec-library formats (H.264, MP3, ...) fall back to the deterministic
-stub, behind the same tested mapInPandas plumbing.
+(stdlib zlib), GIF (pure-python LZW), baseline AND progressive JPEG
+(pure-numpy DCT + Huffman + successive-approximation scans,
+sources/jpeg.py), MJPEG-in-AVI video frames, 16-bit PCM and IMA-ADPCM
+WAV audio.  Only arithmetic-coded JPEG and codec-library formats
+(H.264, MP3, ...) fall back to the deterministic stub, behind the same
+tested mapInPandas plumbing.
 
 At 100 TB: binary payloads stay columnar in Parquet (no row-group
 explosion: keep `spark.sql.files.maxPartitionBytes` moderate since rows are
@@ -22,7 +23,11 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from dp3_spark.sources.jpeg import decode_jpeg, encode_jpeg  # noqa: F401
+from dp3_spark.sources.jpeg import (  # noqa: F401
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -1101,10 +1106,10 @@ def decode_wav_pcm(data: bytes):
 def resize_image(df: DataFrame, *, width: int = 64, height: int = 64,
                  id_col: str = "doc_id") -> DataFrame:
     """REAL resize for decodable payloads: 24bpp BMPs, 8-bit truecolor
-    PNGs, paletted GIFs, and baseline JPEGs decode to pixel arrays,
-    resample nearest-neighbor (pure numpy index math), and re-encode as
-    BMP thumbnails; everything else (progressive JPEG, compressed
-    audio/video) falls back to the deterministic stub bytes.  Same schema/batching as
+    PNGs, paletted GIFs, and baseline/progressive JPEGs decode to pixel
+    arrays, resample nearest-neighbor (pure numpy index math), and
+    re-encode as BMP thumbnails; everything else (arithmetic JPEG,
+    compressed audio/video) falls back to the deterministic stub bytes.  Same schema/batching as
     resize_stub, so the two are drop-in interchangeable — format coverage
     is the only difference."""
     import numpy as np
