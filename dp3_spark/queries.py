@@ -4137,7 +4137,9 @@ _PRIORITY_ORDER = [
     "ql_scan_between",
     "ql_scan_desc_paged",
     "ql_merge_playback",
-    "ql_skeleton",
+    # (ql_skeleton rotates to 51+ after FOUR green rounds r01-r04 — the
+    # scan/paging machinery it rides stays in-window via the three rows
+    # above; the StampsOnly projection itself stays oracle-pinned locally)
     "ql_where_split",
     "ql_where_trigram_pruned",
     "ql_asof_precedes",
@@ -4149,6 +4151,11 @@ _PRIORITY_ORDER = [
     "mm_audio_features",
     "mm_video_frames",
     "mm_png_decode",
+    # progressive (SOF2) JPEG — the last reachable-format stub closed in
+    # round 5 (r4 verdict ask #7); same closed-form coefficient oracle as
+    # the baseline gate since the progressive encoder reuses the baseline
+    # quantization chain
+    "mm_jpeg_progressive",
     # (mm_bmp_decode rotates to 51+ after its green r03 row; the video
     # gate takes the slot because it proves the most at once — the
     # RIFF/AVI container walk AND the full JPEG chain, the format that

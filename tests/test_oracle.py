@@ -19,11 +19,22 @@ SF_DIR = os.environ.get("DP3_ORACLE_SF", "/root/testdata/sf0.001")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-@pytest.fixture(scope="module")
-def duck():
+def connect_duck(sf_dir: str):
+    """DuckDB connection with the fixture tables as views.  Tables may be
+    single parquet files (driver fixtures) or directories of part files
+    (scale_gen output) — spark.read.parquet treats both the same, DuckDB
+    needs the glob form for directories."""
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"create view {t} as select * from '{SF_DIR}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"create view {t} as select * from {src}")
+    return con
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = connect_duck(SF_DIR)
     yield con
     con.close()
 
@@ -75,10 +86,12 @@ def _type_class(arrow_type) -> str:
     return str(t)
 
 
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_query_matches_oracle(spark, duck, name):
+def compare_query_to_oracle(spark, duck, name, sf_dir):
+    """Driver-gate-shaped compare at an arbitrary scale directory —
+    shared by the gate-scale sweep below and the sf1 scale sweep
+    (tests/test_oracle_sf1.py)."""
     fn = Q.queries()[name]
-    sdf = fn(spark, SF_DIR)
+    sdf = fn(spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
@@ -98,6 +111,11 @@ def test_query_matches_oracle(spark, duck, name):
     sn, dn = normalize(srows, scols), normalize(drows, dcols)
     mismatches = [(a, b) for a, b in zip(sn, dn) if a != b]
     assert not mismatches, f"{name}: first value mismatch {mismatches[0]}"
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    compare_query_to_oracle(spark, duck, name, SF_DIR)
 
 
 ROWS_ONLY = sorted(set(Q.queries()) - set(Q.oracle_sql()))
