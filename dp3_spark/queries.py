@@ -334,14 +334,17 @@ def stat_rollup_daily(spark, sf_dir):
     return daily
 
 
+_QUANT_MICRO_COLS = ", ".join(
+    f"cast(floor(quantile_cont(value, {q}) * 1000000 + 0.5) as bigint) as p{int(q * 100)}_micro"
+    for q in (0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+)
+
+
 @register(
     "stat_quantiles_hourly",
     f"""
     select (epoch_ns(ts) - epoch_ns(ts) % {HOUR_NS}) as bucket_start,
-           count(value) as n,
-           quantile_cont(value, 0.25) as p25, quantile_cont(value, 0.5) as p50,
-           quantile_cont(value, 0.75) as p75, quantile_cont(value, 0.9) as p90,
-           quantile_cont(value, 0.95) as p95, quantile_cont(value, 0.99) as p99
+           count(value) as n, {_QUANT_MICRO_COLS}
     from events
     where event_type = 'click'
       and epoch_ns(ts) >= {BETWEEN_START} and epoch_ns(ts) < {BETWEEN_END}
@@ -350,9 +353,16 @@ def stat_rollup_daily(spark, sf_dir):
 )
 def stat_quantiles_hourly(spark, sf_dir):
     """P25..P99 per bucket — exact `percentile` (DDSketch analog is
-    quantiles_sketch; quantile list nodestore/statistics.go:204-206)."""
+    quantiles_sketch; quantile list nodestore/statistics.go:204-206).
+
+    The gate emits int64 MICRO-unit quantiles (floor(x*1e6+0.5), the
+    millicosine discipline): Spark `percentile` and DuckDB `quantile_cont`
+    use the same linear interpolation but different arithmetic orderings,
+    which diverge by 1 ulp on ~1.5% of cells at sf1 (44/2880 measured)
+    while agreeing bit-for-bit at gate scale.  The float surface stays
+    pinned by tests/test_operators.py against the sketch path."""
     store = events_log_store(spark, sf_dir, us_truncate=True)
-    return ST.quantiles_exact(
+    out = ST.quantiles_exact(
         store,
         topic="click",
         field="value",
@@ -360,6 +370,12 @@ def stat_quantiles_hourly(spark, sf_dir):
         end_ns=BETWEEN_END,
         granularity_ns=HOUR_NS,
     )
+    for q in ("p25", "p50", "p75", "p90", "p95", "p99"):
+        out = out.withColumn(
+            f"{q}_micro",
+            F.expr(f"cast(floor({q} * 1000000.0d + 0.5d) as bigint)"),
+        ).drop(q)
+    return out
 
 
 @register(
@@ -1004,18 +1020,26 @@ def stream_sessionize_gap(spark, sf_dir):
 
     from dp3_spark.streaming.sessionize import sessionize_stream
 
+    import os as _os
+
     # fixtures have shipped ts as TIMESTAMP(NANOS) in some generations —
     # readable only via nanosAsLong (the events_log_store discipline)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = f"{sf_dir}/events.parquet"
+    batch = spark.read.parquet(path)
     ts_type = dict(batch.dtypes)["ts"]
-    # FileStreamSource requires a DIRECTORY; the fixture table is a bare
-    # file, so stream the parent dir with a glob pinned to it
-    sdf = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    if _os.path.isdir(path):
+        # directory of part files (scale_gen output) — the natural
+        # FileStreamSource shape, stream it directly
+        sdf = spark.readStream.schema(batch.schema).parquet(path)
+    else:
+        # FileStreamSource requires a DIRECTORY; the driver fixture is a
+        # bare file, so stream the parent dir with a glob pinned to it
+        sdf = (
+            spark.readStream.schema(batch.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if ts_type.startswith("timestamp"):
         ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
     else:
