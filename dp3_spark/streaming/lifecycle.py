@@ -62,6 +62,19 @@ class VersionedLogTable:
     # files the batch just wrote, compact() rebuilds over the new
     # generation.
     trigram_cols: tuple[str, ...] = ()
+    # Number of producer hash buckets in the at-rest layout.  The table
+    # hive-partitions by (topic, producer_bucket) — NOT by raw producer:
+    # producers are unbounded-cardinality (the sf1 sweep measured a
+    # 10k-producer fixture exploding into ~100k partition dirs of tiny
+    # files, minutes of filesystem overhead per append; at 100 TB that
+    # layout is a small-files catastrophe and a listing-cost wall).
+    # Bucketing bounds the partition count at topics x buckets while
+    # producer-equality probes still prune: partition pruning via the
+    # constant-folded bucket of the probe value, then parquet row-group
+    # min/max (appends sort by producer within each bucket file) + the
+    # producer bloom filter written on every append, then the trigram
+    # sidecar at file granularity.
+    producer_buckets: int = 64
 
     @property
     def data_path(self) -> str:
@@ -113,26 +126,51 @@ class VersionedLogTable:
         row = df.agg(F.max("version")).collect()[0]
         return row[0]
 
+    def _bucket_expr(self, col="producer"):
+        """Deterministic producer -> bucket.  Used both as the write-side
+        partition column and (applied to a literal) as a read-side
+        partition-pruning predicate — xxhash64 of a literal constant-folds
+        in Catalyst, so `producer = 'x'` probes scan one bucket."""
+        c = F.col(col) if isinstance(col, str) else col
+        return F.pmod(F.xxhash64(c), F.lit(self.producer_buckets)).cast("int")
+
     def append(self, df: DataFrame) -> int:
         """Append a batch under the next version (the WAL-batch merge +
         rootmap flip, treemgr/treemgr.go:821-882).  Dedups
-        (producer, topic, log_time, sequence) within the batch."""
+        (producer, topic, log_time, sequence) within the batch.
+
+        Layout per batch: one shuffle keyed on the partition columns so
+        each (topic, producer_bucket) lands in exactly one task = one
+        file (the standard small-files discipline — file count per
+        append is bounded by topics x buckets, not by tasks x dirs),
+        sorted by (producer, log_time) inside the file so row-group
+        min/max stats prune both producer probes and time ranges."""
         version = self._next_version()
         out = (
             df.dropDuplicates(["producer", "topic", "log_time", "sequence"])
             .withColumn("version", F.lit(version))
+            .withColumn("producer_bucket", self._bucket_expr())
+            .repartition("topic", "producer_bucket")
+            # partition cols lead the sort so FileFormatWriter's required
+            # ordering is already satisfied — otherwise it re-sorts by the
+            # partition cols alone and destroys the fine-grained order
+            .sortWithinPartitions(
+                "topic", "producer_bucket", "producer", "log_time", "sequence"
+            )
         )
         w = out.write.mode("append")
         for k, v in self._bloom_opts().items():
             w = w.option(k, v)
-        w.partitionBy("producer", "topic").parquet(self._resolve_data_path())
+        w.partitionBy("topic", "producer_bucket").parquet(self._resolve_data_path())
         self.update_trigram_index()
         return version
 
     def _bloom_opts(self) -> dict[str, str]:
         from dp3_spark.streaming.ingest import bloom_options
 
-        return bloom_options(self.bloom_cols)
+        # producer is a data column (bucketed layout) — always bloom it so
+        # producer-equality probes skip row groups within a bucket
+        return bloom_options(tuple(dict.fromkeys(("producer",) + self.bloom_cols)))
 
     def delete_range(self, producer: str, topic: str, start_ns: int, end_ns: int) -> int:
         """Range delete [start, end) as a tombstone (routes/delete.go;
@@ -180,6 +218,12 @@ class VersionedLogTable:
         except Exception:
             return None
 
+    def _strip(self, df: DataFrame) -> DataFrame:
+        """Drop the internal layout column from an outward-facing frame
+        (no-op on tables written before the bucketed layout — drop
+        ignores missing columns, so old-layout dirs stay readable)."""
+        return df.drop("producer_bucket")
+
     def read(self, *, as_of_version: int | None = None) -> DataFrame:
         """Current table contents: appended rows minus tombstoned ranges.
 
@@ -192,7 +236,7 @@ class VersionedLogTable:
         df = self._data()
         if df is None:
             raise FileNotFoundError(f"no data at {self.data_path}")
-        return self._apply_tombstones(df, as_of_version)
+        return self._strip(self._apply_tombstones(df, as_of_version))
 
     def _apply_tombstones(
         self, df: DataFrame, as_of_version: int | None = None
@@ -231,7 +275,7 @@ class VersionedLogTable:
         df = self._data()
         if df is None:
             raise FileNotFoundError(f"no data at {self.data_path}")
-        return df.filter(F.col("version") > from_version)
+        return self._strip(df.filter(F.col("version") > from_version))
 
     def tail_stream(self, from_version: int = 0) -> DataFrame:
         """Push-based tail: a Structured Streaming file source over the
@@ -252,7 +296,7 @@ class VersionedLogTable:
             self.spark.readStream.schema(df.schema)
             .parquet(self._resolve_data_path())
         )
-        return stream.filter(F.col("version") > from_version)
+        return self._strip(stream.filter(F.col("version") > from_version))
 
     # ----------------------------------------------- trigram sidecar index
     @property
@@ -335,27 +379,33 @@ class VersionedLogTable:
             if mode == "eq"
             else F.col(column).contains(needle)
         )
+        if column == "producer" and mode == "eq" and "producer_bucket" in full.columns:
+            # constant-folded bucket of the needle -> partition pruning:
+            # the scan lists only one producer_bucket=K dir per topic
+            pred = pred & (
+                F.col("producer_bucket") == self._bucket_expr(F.lit(needle))
+            )
         if not self.trigram_cols or column not in self.trigram_cols:
-            return self._apply_tombstones(full, as_of_version).filter(pred)
+            return self._strip(self._apply_tombstones(full, as_of_version).filter(pred))
         try:
             survivors, covered = probe_index(
                 self.spark, self.trigram_index_path, column, needle, mode=mode
             )
         except Exception:
             # sidecar missing or unreadable: correctness first, no pruning
-            return self._apply_tombstones(full, as_of_version).filter(pred)
+            return self._strip(self._apply_tombstones(full, as_of_version).filter(pred))
         live = {f"file://{p}" for p in self._list_data_files()}
         # unindexed data files can never be skipped; index rows for files
         # a compact() crash already deleted must not be read
         files = sorted((survivors & live) | (live - covered))
         if not files:
-            return full.limit(0).filter(F.lit(False))
+            return self._strip(full.limit(0).filter(F.lit(False)))
         df = (
             self.spark.read.option("basePath", self._resolve_data_path())
             .schema(full.schema)
             .parquet(*files)
         )
-        return self._apply_tombstones(df, as_of_version).filter(pred)
+        return self._strip(self._apply_tombstones(df, as_of_version).filter(pred))
 
     def log_store(self, *, payload_cols: tuple[str, ...] = ()):
         """This table as a queryable LogStore for the QL compiler, with
@@ -379,7 +429,8 @@ class VersionedLogTable:
             payload_cols = tuple(
                 c
                 for c in df.columns
-                if c not in ("producer", "topic", "log_time", "sequence", "version")
+                if c not in ("producer", "topic", "log_time", "sequence",
+                             "version", "producer_bucket")
             )
         return LogStore(
             df=df,
@@ -413,17 +464,24 @@ class VersionedLogTable:
             gen = int(base[len("data_gen"):])
         new_name = f"data_gen{gen + 1}"
         new_path = os.path.join(self.root, new_name)
-        # time-cluster the rewrite: sorted (log_time, sequence) within each
-        # (producer, topic) partition makes parquet row-group min/max
-        # stats tight, so time-bounded scans after compaction prune at
-        # row-group granularity — the CoW merge's re-sorted leaves
+        # time-cluster the rewrite: one task per (topic, producer_bucket),
+        # sorted (producer, log_time, sequence) within it, so parquet
+        # row-group min/max stats are tight for both producer probes and
+        # time-bounded scans — the CoW merge's re-sorted leaves
         # (tree/merge.go) re-expressed as a layout property
-        w = resolved.sortWithinPartitions(
-            "producer", "topic", "log_time", "sequence"
-        ).write.mode("overwrite")
+        w = (
+            resolved.withColumn("producer_bucket", self._bucket_expr())
+            .repartition("topic", "producer_bucket")
+            # partition cols lead the sort (see append) so the writer does
+            # not re-sort and drop the (producer, log_time) clustering
+            .sortWithinPartitions(
+                "topic", "producer_bucket", "producer", "log_time", "sequence"
+            )
+            .write.mode("overwrite")
+        )
         for k, v in self._bloom_opts().items():
             w = w.option(k, v)
-        w.partitionBy("producer", "topic").parquet(new_path)
+        w.partitionBy("topic", "producer_bucket").parquet(new_path)
         os.makedirs(self.meta_path, exist_ok=True)
         tmp = os.path.join(self.meta_path, "data_ptr.tmp")
         with open(tmp, "w") as f:

@@ -133,12 +133,13 @@ def test_compact_time_clusters_rows(spark, table):
     table.append(mkbatch(spark, "/a", [30, 20, 60]))
     table.compact()
     files = glob.glob(
-        f"{table._resolve_data_path()}/producer=*/topic=*/*.parquet"
+        f"{table._resolve_data_path()}/topic=*/producer_bucket=*/*.parquet"
     )
     assert files
     for f in files:
-        ts = pq.read_table(f, columns=["log_time"])["log_time"].to_pylist()
-        assert ts == sorted(ts), f
+        t = pq.read_table(f, columns=["producer", "log_time"])
+        rows = list(zip(t["producer"].to_pylist(), t["log_time"].to_pylist()))
+        assert rows == sorted(rows), f
 
 
 def test_append_does_not_scan_data_for_version(spark, table):

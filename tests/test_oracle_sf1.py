@@ -17,10 +17,16 @@ Opt-in (adds ~10 min; scale data is generated on first use):
     DP3_SF1=1 python -m pytest tests/test_oracle_sf1.py -q
 
 Excluded families, with reasons (not silent gaps — see COVERAGE.md):
-- minhash/simhash/LSH/IVF/SemDeDup rows: corpus-size-aware parameters
-  (lsh_geometry) or DuckDB oracle cost that is quadratic-by-design at
-  200k docs; their SEMANTICS are scale-invariant and pinned at sf0.01,
-  and their 10x wall-clock is pinned by bench.py's scaling section.
+- minhash/simhash/LSH/IVF/SemDeDup rows (incl. dedup_incremental and
+  the stream_corpus_dedup drain, whose oracles re-derive full-corpus
+  near-match pairs): corpus-size-aware parameters (lsh_geometry locks
+  its oracle geometry at <=2048 vectors; sf1 ships 20k) or DuckDB
+  oracle cost that is quadratic-by-design at 200k docs; their SEMANTICS
+  are scale-invariant and pinned at sf0.01, and their 10x wall-clock is
+  pinned by bench.py's scaling section.
+- sim_dup_pairs / dedup_ngram_jaccard: documented quadratic oracle
+  baselines — running them at 10x is the quadratic trap the capped
+  variants exist to avoid.
 - mm_* codec rows: byte-level codecs are scale-invariant; 10x of the
   same python kernel proves nothing new.
 - mcap_roundtrip_agg: re-encodes the corpus through the python MCAP
@@ -44,37 +50,53 @@ pytestmark = pytest.mark.skipif(
 )
 
 SF1_QUERIES = [
-    # QL surface — incl. both asof rows: at 6M events the AUTO skew guard's
-    # engage decision is made on real row counts
+    # QL surface — incl. all four asof rows: at 6M events the AUTO skew
+    # guard's engage decision is made on real row counts
     "ql_scan_between", "ql_scan_desc_paged", "ql_merge_playback", "ql_skeleton",
     "ql_where_split", "ql_asof_precedes", "ql_asof_unbounded",
+    "ql_asof_immediate", "ql_asof_succeeds", "ql_between_iso8601",
+    "ql_where_regex", "ql_where_trigram_pruned",
     # statistics — exact quantiles sort at 10x, HLL bit-exact at 10x
     # cardinality, CMS map columns, counter/gap window chains
     "stat_range_hourly", "stat_quantiles_hourly", "stat_hll_daily",
     "stat_resample_hourly", "stat_resample_lerp", "stat_twa_daily",
     "stat_counter_daily", "stat_gaps", "stat_cms_daily",
     "stat_cms_weekly_rollup", "stat_by_schema", "stat_catalog_tables",
+    # ln()-based sketch bins: bit-identity across JVM Math.log and libm
+    # was verified on fixture values — sf1's perturbed copies are new
+    # values, so this is a live cross-engine float contract at 10x
+    "stat_range_by_producer", "stat_rollup_daily", "stat_sketch_daily",
     # events analytics + the two SQL-oracled streaming drains (state
     # fragments across 10x files / more micro-batches)
     "events_sessionize", "events_props_json", "events_funnel",
     "events_retention", "stream_sessionize_gap", "stream_stats_rollup",
     # text pipeline (fingerprint sums are int64 — overflow check at 10x)
     "text_metrics", "text_gopher_flags", "text_langid", "text_fingerprint",
-    "text_vocab_topk", "text_pii_scrub",
+    "text_vocab_topk", "text_pii_scrub", "text_repetition", "text_lm_score",
     # dedup rows whose oracles are linear-cost in DuckDB
-    "dedup_exact", "dedup_paragraphs",
+    "dedup_exact", "dedup_paragraphs", "dedup_substring_flags",
     # similarity rows with corpus-size-independent parameters
     "sim_cosine_topk", "sim_knn_classify",
-    # relational / TPC-H join trees: broadcast-vs-shuffle and AQE
-    # decisions change at 10x — answers must not
-    "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q5_region_revenue",
-    "tpch_q9_profit", "tpch_q10_returns", "tpch_q13_custdist",
-    "tpch_q18_large_orders", "tpch_q21_waiting_supplier",
+    # relational / TPC-H join trees — ALL 22 shapes: broadcast-vs-shuffle
+    # and AQE decisions change at 10x — answers must not
+    "tpch_q1_pricing", "tpch_q2_min_cost_supp", "tpch_q3_shipping",
+    "tpch_q4_priority", "tpch_q5_region_revenue", "tpch_q6_forecast",
+    "tpch_q7_volume", "tpch_q8_market_share", "tpch_q9_profit",
+    "tpch_q10_returns", "tpch_q11_important_stock", "tpch_q12_latency",
+    "tpch_q13_custdist", "tpch_q14_promo", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt", "tpch_q17_small_qty", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive", "tpch_q20_volume_suppliers",
+    "tpch_q21_waiting_supplier", "tpch_q22_idle_balance",
     "window_running_total", "window_moving_avg", "window_top_customers",
-    "rel_cube_agg", "rel_correlated_subquery",
-    # training-data pipeline compositions
-    "pack_sequences", "split_train_test", "mix_domains", "decontam_check",
-    "curate_corpus",
+    "rel_cube_agg", "rel_correlated_subquery", "rel_distinct_agg",
+    "rel_rollup_agg", "rel_semi_anti", "rel_set_except", "rel_set_intersect",
+    # training-data pipeline compositions + lifecycle versioned reads
+    # (pack_greedy_bins excluded: first-fit packing is sequential by
+    # definition, so its oracle is a one-row-per-iteration recursive CTE
+    # — O(n^2) in DuckDB at 200k docs; the splitting variant
+    # pack_sequences covers the packing family here)
+    "pack_sequences", "split_train_test", "mix_domains",
+    "decontam_check", "curate_corpus", "lifecycle_delete_versions",
 ]
 
 

@@ -223,6 +223,36 @@ def test_versioned_table_appends_bloom_filters(spark, tmp_path):
     assert leaf.metrics().apply("numOutputRows").value() == 0
 
 
+def test_versioned_table_bucket_partition_pruning(spark, tmp_path):
+    """The bucketed at-rest layout (topic, producer_bucket) must give a
+    producer-equality probe real PARTITION pruning: the scan lists only
+    the probe value's bucket dir — at 100 TB this is the difference
+    between touching 1/N of the files and listing the whole table.  The
+    bucket predicate comes from a constant-folded xxhash64 of the
+    literal, so Catalyst prunes at planning time."""
+    from dp3_spark.streaming.lifecycle import VersionedLogTable
+
+    vt = VersionedLogTable(spark, str(tmp_path / "vt"), producer_buckets=16)
+    rows = spark.range(8_000).select(
+        F.concat(F.lit("dev"), (F.col("id") % 50).cast("string")).alias("producer"),
+        F.lit("t").alias("topic"),
+        (F.col("id") * 1000).alias("log_time"),
+        F.col("id").alias("sequence"),
+        F.lit("x").alias("props"),
+    )
+    vt.append(rows)
+    probe = vt.read_string_probe("producer", "dev7")
+    expect = sorted(
+        r["sequence"] for r in vt.read().filter(F.col("producer") == "dev7").collect()
+    )
+    assert sorted(r["sequence"] for r in probe.collect()) == expect and expect
+    leaf = probe._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    scanned = leaf.metrics().apply("numFiles").value()
+    total = len(vt._list_data_files())
+    # 16 buckets over 50 producers: one bucket dir ~= total/16 files
+    assert 0 < scanned < total / 4, (scanned, total)
+
+
 def test_hll_sketch_is_pure_codegen(spark):
     """The whole HLL pipeline — hash, register, rank, sketch build, merge,
     estimate — must stay JVM-side: no Python evaluation of any kind in

@@ -260,12 +260,14 @@ def test_probe_correct_with_stale_and_missing_index(spark, tmp_path):
         )
     )
     # simulate the crash window: write a second batch WITHOUT indexing it
+    # (same bucketed at-rest layout append() uses)
     v2 = vt._next_version()
-    spark.createDataFrame(
+    crash = spark.createDataFrame(
         [("p1", "click", 200, 2, "beta", v2)],
         "producer string, topic string, log_time long, sequence long, "
         "props string, version int",  # lit(int) in append() writes int32
-    ).write.mode("append").partitionBy("producer", "topic").parquet(
+    ).withColumn("producer_bucket", vt._bucket_expr())
+    crash.write.mode("append").partitionBy("topic", "producer_bucket").parquet(
         vt._resolve_data_path()
     )
     # beta exists only in the unindexed file — must still be found
