@@ -145,6 +145,7 @@ class VersionedLogTable:
         append is bounded by topics x buckets, not by tasks x dirs),
         sorted by (producer, log_time) inside the file so row-group
         min/max stats prune both producer probes and time ranges."""
+        self._check_layout()
         version = self._next_version()
         out = (
             df.dropDuplicates(["producer", "topic", "log_time", "sequence"])
@@ -164,6 +165,22 @@ class VersionedLogTable:
         w.partitionBy("topic", "producer_bucket").parquet(self._resolve_data_path())
         self.update_trigram_index()
         return version
+
+    def _check_layout(self) -> None:
+        """Refuse to append the bucketed layout into a pre-bucketing data
+        dir (producer=... top-level dirs): mixing partition schemes in
+        one directory breaks Spark's partition discovery for EVERY
+        reader.  Old tables stay readable; migrate by calling compact()
+        once (it reads any layout and rewrites the bucketed one)."""
+        path = self._resolve_data_path()
+        if not os.path.isdir(path):
+            return
+        for name in os.listdir(path):
+            if name.startswith("producer="):
+                raise RuntimeError(
+                    f"{path} uses the pre-bucketing (producer=, topic=) "
+                    "layout; run compact() to migrate it before appending"
+                )
 
     def _bloom_opts(self) -> dict[str, str]:
         from dp3_spark.streaming.ingest import bloom_options

@@ -198,3 +198,25 @@ def test_tail_stream_push_based(spark, table):
         assert got == {("/a", 30), ("/a", 40), ("/b", 50)}
     finally:
         q.stop()
+
+
+def test_old_layout_append_refused_compact_migrates(spark, table):
+    """A pre-bucketing data dir (producer=/topic= partitioning) must not
+    be appended into — mixed partition schemes break discovery for every
+    reader — but stays readable, and one compact() migrates it to the
+    bucketed layout after which appends work."""
+    import glob
+
+    old = mkbatch(spark, "/a", [10, 20]).withColumn("version", F.lit(1))
+    old.write.partitionBy("producer", "topic").parquet(table._resolve_data_path())
+    table._write_version(1)
+    # readable as-is (compat path: bucket strip is a no-op)
+    assert sorted(r["log_time"] for r in table.read().collect()) == [10, 20]
+    with pytest.raises(RuntimeError, match="pre-bucketing"):
+        table.append(mkbatch(spark, "/a", [30]))
+    table.compact()  # migration: rewrites the bucketed generation
+    assert glob.glob(
+        f"{table._resolve_data_path()}/topic=*/producer_bucket=*/*.parquet"
+    )
+    table.append(mkbatch(spark, "/a", [30]))
+    assert sorted(r["log_time"] for r in table.read().collect()) == [10, 20, 30]
