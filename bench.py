@@ -58,6 +58,9 @@ HEADLINE = [
     "tpch_q9_profit",         # 5-way join + like-filter + 2-key agg
     "tpch_q18_large_orders",  # HAVING-in-IN semi join over lineitem
     "events_retention",       # self-join on day buckets
+    "lifecycle_delete_versions",  # versioned reads over the bucketed layout
+                              # (fixture cached per sf_dir; timed runs
+                              # measure the tombstone-masked read path)
     "text_metrics",           # text analysis over documents
     "text_gopher_flags",      # Gopher quality screen (map-only, pure codegen)
     "text_lm_score",          # corpus char-trigram LM scoring (broadcast model)
@@ -101,6 +104,8 @@ SCALING = [
     "dedup_minhash_capped",   # bucket-capped minhash (the 100x path)
     "dedup_incremental",      # batch-vs-index corpus refresh
     "dedup_clusters",         # pairs -> connected components
+    "stream_stats_rollup",    # streaming: multi-micro-batch ingest stats
+    "lifecycle_delete_versions",  # versioned table: bucketed layout writes
 ]
 
 

@@ -2296,29 +2296,47 @@ def stream_corpus_dedup(spark, sf_dir):
     80% split persisted to parquet), so this gates the STREAMING
     machinery — file-source micro-batch, checkpointing, idempotent
     index/corpus appends — on top of the already-proven batch core."""
+    import hashlib
+    import os
     import shutil
     import tempfile
 
     from dp3_spark.streaming.dedup_stream import StreamingCorpusDedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    index_docs = docs.filter(F.col("doc_id") % 5 != 0)
-    batch_docs = docs.filter(F.col("doc_id") % 5 == 0)
-    par = spark.sparkContext.defaultParallelism
+    # The pre-seeded index/corpus really is "a previous life" artifact
+    # (the dedup_incremental deployment shape), so it is built ONCE per
+    # fixture dir and reused — the timed/gated path is the DRAIN, not
+    # re-signaturing 80% of the corpus every run.  The source parquet's
+    # mtime is part of the cache key so a regenerated fixture rebuilds.
+    src = f"{sf_dir}/documents.parquet"
+    key = hashlib.sha256(
+        f"{sf_dir}|{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:16]
+    seed = os.path.join(tempfile.gettempdir(), f"dp3_stream_dedup_seed_{key}")
+    marker = os.path.join(seed, "_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(seed, ignore_errors=True)
+        docs = spark.read.parquet(src)
+        index_docs = docs.filter(F.col("doc_id") % 5 != 0)
+        batch_docs = docs.filter(F.col("doc_id") % 5 == 0)
+        par = spark.sparkContext.defaultParallelism
+        DD.minhash_signatures(
+            index_docs.repartition(par), "doc_id", "text", n=3, num_hashes=128
+        ).write.mode("overwrite").parquet(os.path.join(seed, "sigs"))
+        index_docs.write.mode("overwrite").parquet(os.path.join(seed, "corpus"))
+        batch_docs.write.mode("overwrite").parquet(os.path.join(seed, "incoming"))
+        with open(marker, "w") as f:
+            f.write("ok")
     root = tempfile.mkdtemp(prefix="dp3_stream_dedup_")
     try:
         dd = StreamingCorpusDedup(
             spark, root, n=3, num_hashes=128, bands=16, threshold=0.7
         )
-        # pre-seed the persisted index: the corpus was signature-indexed
-        # in a previous life (the dedup_incremental deployment shape)
-        DD.minhash_signatures(
-            index_docs.repartition(par), "doc_id", "text", n=3, num_hashes=128
-        ).write.mode("overwrite").parquet(dd.index_path)
-        index_docs.write.mode("overwrite").parquet(dd.corpus_path)
-        drop_dir = f"{root}/incoming"
-        batch_docs.write.mode("overwrite").parquet(drop_dir)
-        q = dd.start(drop_dir, batch_docs.schema)
+        # fresh per-run copies: the drain appends to both tables
+        shutil.copytree(os.path.join(seed, "sigs"), dd.index_path)
+        shutil.copytree(os.path.join(seed, "corpus"), dd.corpus_path)
+        drop_dir = os.path.join(seed, "incoming")  # read-only for the stream
+        q = dd.start(drop_dir, spark.read.parquet(drop_dir).schema)
         q.awaitTermination()
         kept = (
             spark.read.parquet(dd.corpus_path)
