@@ -1,0 +1,178 @@
+"""BM25 keyword search over the documents table — the retrieval primitive
+of a training-data curation pipeline (targeted corpus filtering, eval-set
+mining, "find everything about X in 100 TB").
+
+The reference's QL surface filters rows by typed predicates and trigram
+pruning (server/statfilter, surveyed in SURVEY.md §2.1#7); ranked keyword
+retrieval is the natural extension once documents are a first-class table.
+The operator is deliberately index-shaped:
+
+- Tokenization is a map-side split (no UDF, pure codegen).
+- Only postings of the *query terms* ever reach a shuffle — the
+  `term IN (...)` filter sits below the (doc_id, term) aggregation, so at
+  100 TB the shuffled volume is proportional to query-term hits, not
+  corpus size (the same volume an inverted-index lookup would read).
+- Document-frequency and corpus scalars (N, avgdl) are tiny aggregates,
+  broadcast back onto the postings; the per-document score is one
+  map-combinable sum.
+
+Determinism contract (the millicosine discipline, see
+operators/lm.py:22-26): the only transcendental — idf = ln(1 + (N - df +
+0.5) / (df + 0.5)) — is quantized to int64 micro-units *per term* (one ln
+call per query term, not per cell), and every per-(doc, term) partial
+score is `floor(idf_micro * tfnorm + 0.5)` where tfnorm is a fixed-shape
+chain of IEEE-exact ops (*, /, +) on exact integers and one exact division
+(avgdl = sum_dl / n).  Partials are summed as int64 — order-independent —
+so the DuckDB oracle hash-matches the Spark result bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Okapi BM25 defaults (Robertson et al., TREC-3)
+K1 = 1.2
+B = 0.75
+
+# whitespace tokenizer, identical in both engines: split on runs of
+# whitespace, drop empty tokens (leading/trailing whitespace artifacts).
+# NULL text coalesces to '' — Spark's size(NULL) is -1 (legacy sizeOfNull)
+# while DuckDB's len(NULL) is NULL, so letting NULLs through would corrupt
+# sum_dl on one engine only.
+_TOKENS_SPARK = r"filter(split(coalesce({col}, ''), '\\s+'), x -> x != '')"
+_TOKENS_DUCK = r"list_filter(regexp_split_to_array(coalesce({col}, ''), '\s+'), x -> x != '')"
+
+
+def tokens_spark(col: str) -> str:
+    return _TOKENS_SPARK.format(col=col)
+
+
+def tokens_duck(col: str) -> str:
+    return _TOKENS_DUCK.format(col=col)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k documents by Okapi BM25 score for a bag of query terms.
+
+    Output: (doc_id, matched_terms, score_micro, rank) — score_micro is
+    the int64 micro-unit BM25 score (sum of per-term quantized partials),
+    rank 1..k by (score desc, doc_id asc).  Terms absent from the corpus
+    contribute nothing (df derives from actual postings).
+
+    Plan shape: map-side tokenize -> `term IN (query)` filter -> one
+    (doc_id, term) partial-aggregated shuffle of query-term postings only
+    -> broadcast of the per-term idf (|query| rows) and the 1-row corpus
+    scalars -> doc-keyed sum -> global top-k via orderBy().limit(k) (k
+    rows to the driver stage, never a single-partition window over the
+    corpus)."""
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    toks = F.expr(tokens_spark(text_col))
+    # per-document length: map-only, no shuffle (size of the token array)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    ).select("doc_id", F.size("__toks").alias("dl"), "__toks")
+    # corpus scalars: N and avgdl = exact int64 sum / exact count, one row
+    scal = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")).alias("avgdl"),
+    )
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+    tf = (
+        base.select("doc_id", "dl", F.explode("__toks").alias("term"))
+        .filter(F.array_contains(qlit, F.col("term")))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(scal)).select(
+        "term",
+        F.expr(
+            "cast(floor(ln(1.0 + (cast(n_docs as double) - cast(df as double) + 0.5)"
+            " / (cast(df as double) + 0.5)) * 1000000.0 + 0.5) as bigint)"
+        ).alias("idf_micro"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(scal.select("avgdl")))
+        .withColumn(
+            "partial_micro",
+            F.expr(
+                f"cast(floor(cast(idf_micro as double) * ((cast(tf as double) * ({k1} + 1.0))"
+                f" / (cast(tf as double) + {k1} * ((1.0 - {b}) + ({b} * cast(dl as double)) / avgdl)))"
+                " + 0.5) as bigint)"
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("matched_terms"),
+        F.sum("partial_micro").alias("score_micro"),
+    )
+    top = agg.orderBy(F.col("score_micro").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "matched_terms", "score_micro", "rank"
+    )
+
+
+def bm25_oracle_sql(query_terms: list[str], *, k: int, k1: float = K1, b: float = B) -> str:
+    """The DuckDB re-derivation of bm25_topk over the `documents` view —
+    same tokenizer, same idf quantization, same fixed-shape tfnorm chain,
+    same int64 partial sum."""
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    toks = tokens_duck("text")
+    return f"""
+    with base as (
+      select doc_id, {toks} as tok from documents
+    ),
+    scal as (
+      select cast(count(*) as bigint) as n_docs,
+             cast(sum(len(tok)) as double) / cast(count(*) as double) as avgdl
+      from base
+    ),
+    tf as (
+      select doc_id, dl, term, cast(count(*) as bigint) as tf
+      from (select doc_id, len(tok) as dl, unnest(tok) as term from base)
+      where term in ({terms})
+      group by doc_id, dl, term
+    ),
+    idf as (
+      select term,
+             cast(floor(ln(1.0 + (cast((select n_docs from scal) as double)
+                    - cast(count(*) as double) + 0.5)
+                  / (cast(count(*) as double) + 0.5)) * 1000000.0 + 0.5) as bigint)
+               as idf_micro
+      from tf group by term
+    ),
+    scored as (
+      select tf.doc_id,
+             cast(floor(cast(idf.idf_micro as double)
+                  * ((cast(tf.tf as double) * ({k1} + 1.0))
+                     / (cast(tf.tf as double) + {k1} * ((1.0 - {b})
+                        + ({b} * cast(tf.dl as double)) / (select avgdl from scal))))
+                  + 0.5) as bigint) as partial_micro
+      from tf join idf on idf.term = tf.term
+    ),
+    agg as (
+      select doc_id, cast(count(*) as bigint) as matched_terms,
+             cast(sum(partial_micro) as bigint) as score_micro
+      from scored group by doc_id
+    )
+    select doc_id, matched_terms, score_micro, rank from (
+      select doc_id, matched_terms, score_micro,
+             row_number() over (order by score_micro desc, doc_id) as rank
+      from agg) t
+    where rank <= {k}
+    """

@@ -2013,6 +2013,33 @@ _REGISTRY["text_pii_scrub"] = _sql_pair(
 )
 
 
+# BM25 keyword search (operators/search.py): ranked retrieval over the
+# documents table — the "find everything about X" curation primitive.
+# Query mixes one rare term ('dup', df≈5% of docs), two common terms and
+# one absent term ('quantum' — proves absent terms contribute nothing).
+# idf is quantized to int64 micro-units per TERM (4 ln calls total, the
+# millicosine discipline) and partials sum as int64, so the score column
+# is hash-exact across engines.
+_BM25_TERMS = ["dup", "spark", "merge", "quantum"]
+_BM25_K = 15
+
+
+def _search_bm25(spark, sf_dir):
+    from dp3_spark.operators import search as SRCH
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return SRCH.bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
+
+
+def _bm25_oracle() -> str:
+    from dp3_spark.operators import search as SRCH
+
+    return SRCH.bm25_oracle_sql(_BM25_TERMS, k=_BM25_K)
+
+
+_REGISTRY["search_bm25"] = (_search_bm25, _bm25_oracle())
+
+
 # =========================================================================
 # Deduplication family (beyond-reference; operators/dedup.py)
 # =========================================================================
