@@ -64,6 +64,7 @@ HEADLINE = [
     "text_metrics",           # text analysis over documents
     "text_gopher_flags",      # Gopher quality screen (map-only, pure codegen)
     "text_lm_score",          # corpus char-trigram LM scoring (broadcast model)
+    "search_bm25",            # BM25 ranked retrieval (query-term postings only)
     # broadcast-light pipeline ops before the dedup family: the dedup
     # queries intentionally leave cached signature tables + broadcasts in
     # the session (their persisted-index deployment story), which adds GC
@@ -74,6 +75,7 @@ HEADLINE = [
     "sim_cosine_topk",        # brute-force ANN baseline
     "sim_knn_classify",       # kNN label propagation (auto-labeling stage)
     "sim_dup_pairs_lsh",      # banded near-dup pairs (the at-scale ANN path)
+    "sim_pq_topk",            # PQ-ADC compressed-index ANN scan
     "dedup_paragraphs",       # CCNet-style paragraph dedup + doc reassembly
     "sem_dedup",              # SemDeDup: k-means quantize + in-cluster screen
     "mcap_roundtrip_agg",     # MCAP import -> ROS decode -> aggregate
@@ -100,6 +102,8 @@ SCALING = [
     "tpch_q9_profit",         # relational join tree
     "sim_knn_classify",       # broadcast-query ANN (linear in corpus)
     "sim_dup_pairs_lsh",      # banded ANN pairs (auto LSH geometry)
+    "sim_pq_topk",            # PQ compressed-index ADC scan
+    "search_bm25",            # BM25 retrieval (posting-linear)
     "sem_dedup",              # cluster-quadratic semantic dedup
     "dedup_minhash_capped",   # bucket-capped minhash (the 100x path)
     "dedup_incremental",      # batch-vs-index corpus refresh

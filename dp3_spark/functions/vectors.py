@@ -22,6 +22,24 @@ def dot(a: str, b: str) -> tuple[str, str]:
     return spark, duck
 
 
+def d2(a: str, b: str) -> tuple[str, str]:
+    """Squared L2 distance, same left-to-right fold shape as dot() — the
+    assignment metric for quantizers (IVF/PQ), bit-identical across engines."""
+    spark = (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"(cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    duck = (
+        f"list_reduce(list_prepend(cast(0.0 as double), "
+        f"list_transform(range(1, len({a})+1), i -> "
+        f"(cast({a}[i] as double) - cast({b}[i] as double)) * "
+        f"(cast({a}[i] as double) - cast({b}[i] as double)))), "
+        f"(acc, v) -> acc + v)"
+    )
+    return spark, duck
+
+
 def norm(a: str) -> tuple[str, str]:
     s, d = dot(a, a)
     return f"sqrt({s})", f"sqrt({d})"

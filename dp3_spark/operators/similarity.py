@@ -876,3 +876,313 @@ def semantic_dedup(
             F.coalesce(~F.col("__drop__"), F.lit(True)).alias("kept"),
         )
     )
+
+
+# =========================================================================
+# Product quantization (PQ) — the memory-compression ANN path.  At 100 TB
+# the raw embedding column cannot be rescanned per query; PQ encodes each
+# vector as m one-byte codes (32x+ compression for 64-dim float32, m=8,
+# k_codes<=256), and queries scan only the code table with a per-query
+# lookup-table sum (ADC — asymmetric distance computation, Jegou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+# Metric: inner product (MIPS — the recsys/retrieval form); the exact
+# baseline for recall gates is ip_topk below.
+# =========================================================================
+
+
+def ip_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k inner-product neighbors — cosine_topk without the norm
+    division (the MIPS baseline PQ-ADC approximates).  Output:
+    (query_id, neighbor_id, ip, rank), ties by neighbor_id ascending."""
+    dot_s, _ = VEC.dot("q_vec", "c_vec")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "ip", F.expr(dot_s)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("ip").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "ip", "rank")
+    )
+
+
+def pq_fit_codebooks(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 0,
+    sample_rows: int = 16384,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks, books[s][j] = the j-th codeword of subspace
+    s (dim/m doubles).  iters=0 seeds codewords with sub-slices of the
+    k_codes lowest-id vectors — no RNG, no refinement, closed-form and
+    hence SQL-oracle-able (the sem_dedup/IVF seeding convention).  iters>0
+    runs per-subspace Lloyd on a driver-collected sample capped at
+    sample_rows (the standard PQ practice — FAISS trains codebooks on a
+    bounded sample too; only the ENCODE pass is corpus-sized)."""
+    base = corpus.filter(F.col(vec_col).isNotNull())
+    seeds = base.orderBy(F.col(id_col)).limit(k_codes).select(vec_col).collect()
+    vecs = [list(map(float, r[0])) for r in seeds]
+    if not vecs:
+        raise ValueError("pq_fit_codebooks needs at least one non-null vector")
+    dim = len(vecs[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d = dim // m
+    books = [[v[s * d : (s + 1) * d] for v in vecs] for s in range(m)]
+    if iters > 0:
+        import numpy as np
+
+        sample = base.orderBy(F.col(id_col)).limit(sample_rows).select(vec_col).collect()
+        X = np.asarray([list(map(float, r[0])) for r in sample], dtype=np.float64)
+        for s in range(m):
+            Xs = X[:, s * d : (s + 1) * d]
+            C = np.asarray(books[s], dtype=np.float64)
+            for _ in range(iters):
+                # same O(n*k) expansion the encode kernel uses (never the
+                # O(n*k*d) broadcast tensor), so Lloyd assignment and
+                # encode assignment share tie behavior exactly
+                dists = (C * C).sum(axis=1)[None, :] - 2.0 * (Xs @ C.T)
+                near = dists.argmin(axis=1)  # first occurrence = lowest code
+                for j in range(C.shape[0]):
+                    mask = near == j
+                    if mask.any():  # empty codes keep their previous word
+                        C[j] = Xs[mask].mean(axis=0)
+            books[s] = [list(map(float, row)) for row in C]
+    return books
+
+
+def _pq_encode_sql(
+    df: DataFrame, books: list[list[list[float]]], id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, subspace, code) via pure codegen: per subspace, argmin of the
+    sequential d2 fold over inlined codeword literals, tie toward the
+    lower code (array_sort of (d2, code) structs — the
+    _assign_clusters_sql construction, map-only, no shuffle)."""
+    m = len(books)
+    d = len(books[0][0])
+    per_sub = []
+    for s in range(m):
+        sl = f"slice({vec_col}, {s * d + 1}, {d})"
+        structs = []
+        for j, cw in enumerate(books[s]):
+            arr = "array({})".format(
+                ", ".join(f"cast({float(v)!r} as double)" for v in cw)
+            )
+            d2 = (
+                f"aggregate(zip_with({sl}, {arr}, "
+                f"(x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), "
+                f"cast(0.0 as double), (a, b) -> a + b)"
+            )
+            structs.append(f"struct({d2} as d2, {j} as code)")
+        per_sub.append(f"array_sort(array({', '.join(structs)}))[0].code")
+    codes = f"array({', '.join(per_sub)})"
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.posexplode(F.expr(codes)).alias("subspace", "code"))
+        .select("id", F.col("subspace").cast("int"), F.col("code").cast("int"))
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "numpy",
+) -> DataFrame:
+    """Encode each vector as (id, subspace, code) rows — the persisted
+    compressed index.  assign='numpy': whole-batch BLAS argmin per
+    subspace (the scale path); assign='sql': the bit-reproducible codegen
+    fold (what the DuckDB oracle re-derives)."""
+    if assign == "sql":
+        return _pq_encode_sql(df, books, id_col, vec_col)
+    if assign != "numpy":
+        raise ValueError(f"unknown assign mode {assign!r}: expected numpy|sql")
+    import numpy as np
+    import pandas as pd
+
+    books_l = [[list(map(float, cw)) for cw in b] for b in books]
+    m = len(books_l)
+    d = len(books_l[0][0])
+
+    def gen(batches):
+        C = [np.asarray(b, dtype=np.float64) for b in books_l]  # m x (k, d)
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            out_codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * d : (s + 1) * d]
+                dist = (C[s] * C[s]).sum(axis=1)[None, :] - 2.0 * (Xs @ C[s].T)
+                out_codes[:, s] = dist.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf[id_col].values, m),
+                    "subspace": np.tile(np.arange(m, dtype=np.int32), n),
+                    "code": out_codes.reshape(-1),
+                }
+            )
+
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias(id_col), F.col(vec_col))
+        .mapInPandas(gen, "id long, subspace int, code int")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 0,
+    assign: str = "numpy",
+) -> DataFrame:
+    """PQ-ADC approximate MIPS top-k: score(q, x) = sum_s DT[q][s][code_s(x)]
+    where DT[q][s][j] = <q_sub_s, codeword_{s,j}> quantized to int64
+    micro-units — so the per-vector score is an order-independent int64
+    sum and the whole pipeline is hash-exact across engines.
+
+    Output: (query_id, neighbor_id, score_micro, rank), rank 1..k by
+    (score desc, neighbor_id asc), self-matches excluded.
+
+    assign='numpy' (default, the 100 TB shape): one mapInPandas scan of
+    the corpus with the query distance tables in the task closure
+    (q x m x k_codes int64 — KBs); per-batch top-k then a global top-k
+    over q*k rows per batch, so the corpus is never shuffled and nothing
+    quadratic materializes.  assign='sql': broadcast codebook join +
+    codegen folds — bit-reproducible in DuckDB (the gate parameterization
+    with iters=0 seeded codebooks)."""
+    if assign not in ("numpy", "sql"):
+        raise ValueError(f"unknown assign mode {assign!r}: expected numpy|sql")
+    books = pq_fit_codebooks(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, k_codes=k_codes, iters=iters
+    )
+    d = len(books[0][0])
+    spark = corpus.sparkSession
+    if assign == "sql":
+        rows = [
+            (s, j, [float(v) for v in cw])
+            for s, b in enumerate(books)
+            for j, cw in enumerate(b)
+        ]
+        book_df = spark.createDataFrame(rows, "subspace int, code int, cw array<double>")
+        dot_s, _ = VEC.dot(f"slice(q_vec, subspace * {d} + 1, {d})", "cw")
+        dtab = (
+            queries.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+            .crossJoin(F.broadcast(book_df))
+            .select(
+                "query_id",
+                "subspace",
+                "code",
+                F.expr(
+                    f"cast(floor(({dot_s}) * 1000000.0 + 0.5) as bigint)"
+                ).alias("micro"),
+            )
+        )
+        enc = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col, assign="sql")
+        scored = (
+            enc.withColumnRenamed("id", "neighbor_id")
+            .join(F.broadcast(dtab), ["subspace", "code"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum("micro").alias("score_micro"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score_micro").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score_micro", "rank")
+        )
+    # numpy ADC scan: distance tables from the collected query side (small
+    # by contract — same broadcast-queries shape as cosine_topk)
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col))
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError("pq_topk needs at least one non-null query vector")
+    q_ids = np.asarray([r["query_id"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+    C = [np.asarray(b, dtype=np.float64) for b in books]  # m x (k_codes, d)
+    # DT[s]: (n_q, k_codes) int64 micro inner products
+    DT = [
+        np.floor(Q[:, s * d : (s + 1) * d] @ C[s].T * 1e6 + 0.5).astype(np.int64)
+        for s in range(len(books))
+    ]
+    m = len(books)
+    kk = int(k)
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            ids = pdf[id_col].values.astype(np.int64)
+            scores = np.zeros((len(q_ids), n), dtype=np.int64)
+            for s in range(m):
+                Xs = X[:, s * d : (s + 1) * d]
+                dist = (C[s] * C[s]).sum(axis=1)[None, :] - 2.0 * (Xs @ C[s].T)
+                codes = dist.argmin(axis=1)
+                scores += DT[s][:, codes]
+            frames = []
+            for qi in range(len(q_ids)):
+                mask = ids != q_ids[qi]
+                sc, nid = scores[qi][mask], ids[mask]
+                if not len(sc):
+                    continue
+                # per-batch top-k with the global tie rule (score desc, id asc)
+                order = np.lexsort((nid, -sc))[:kk]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[qi],
+                            "neighbor_id": nid[order],
+                            "score_micro": sc[order],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    partial = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias(id_col), F.col(vec_col))
+        .mapInPandas(gen, "query_id long, neighbor_id long, score_micro long")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score_micro", "rank")
+    )

@@ -2886,6 +2886,125 @@ def sim_ivf_recall(spark, sf_dir):
     return SIM.topk_recall(exact, approx, k=_IVF_RECALL_K)
 
 
+# Product quantization (PQ-ADC, Jegou et al. TPAMI 2011) — the
+# memory-compression ANN path (m=8 subspaces x 16 codes over the 64-dim
+# embeddings).  Gate parameterization is closed-form: codebooks seeded
+# with sub-slices of the 16 lowest-id vectors (iters=0), codegen d2/dot
+# folds, distance-table entries quantized to int64 micro-units BEFORE the
+# per-vector sum — so encode, table build, ADC scan and rank are all
+# exactly DuckDB-re-derivable.  The numpy path (Lloyd-refined codebooks,
+# whole-batch BLAS ADC scan — the actual 100 TB shape) is pinned by
+# recall floors in tests/test_pipeline_ops.py.
+_PQ_M, _PQ_D, _PQ_CODES, _PQ_K = 8, 8, 16, 5
+_PQ_SLICE = f"list_slice(e.embedding, b.subspace*{_PQ_D}+1, b.subspace*{_PQ_D}+{_PQ_D})"
+_PQ_QSLICE = f"list_slice(q.embedding, b.subspace*{_PQ_D}+1, b.subspace*{_PQ_D}+{_PQ_D})"
+_PQ_D2_D = VEC.d2(_PQ_SLICE, "b.cw")[1]
+_PQ_DOT_D = VEC.dot(_PQ_QSLICE, "b.cw")[1]
+_IP_D = VEC.dot("a.embedding", "b.embedding")[1]
+
+_PQ_CTES = f"""
+    with seeds as (
+      select row_number() over (order by vec_id) - 1 as code, embedding as cvec
+      from (select vec_id, embedding from embeddings
+            where embedding is not null order by vec_id limit {_PQ_CODES})
+    ),
+    book as (
+      select s.s as subspace, seeds.code,
+             list_slice(seeds.cvec, s.s*{_PQ_D}+1, s.s*{_PQ_D}+{_PQ_D}) as cw
+      from seeds cross join (select unnest(range(0, {_PQ_M})) as s) s
+    ),
+    enc as (
+      select vec_id as neighbor_id, subspace, code from (
+        select e.vec_id, b.subspace, b.code,
+               row_number() over (partition by e.vec_id, b.subspace
+                                  order by {_PQ_D2_D}, b.code) as rn
+        from embeddings e cross join book b
+        where e.embedding is not null) t
+      where rn = 1
+    ),
+    dtab as (
+      select q.vec_id as query_id, b.subspace, b.code,
+             cast(floor(({_PQ_DOT_D}) * 1000000.0 + 0.5) as bigint) as micro
+      from embeddings q cross join book b
+      where q.vec_id < 20 and q.embedding is not null
+    ),
+    pq_scored as (
+      select d.query_id, e.neighbor_id, cast(sum(d.micro) as bigint) as score_micro
+      from enc e join dtab d on d.subspace = e.subspace and d.code = e.code
+      where d.query_id != e.neighbor_id
+      group by d.query_id, e.neighbor_id
+    )"""
+
+
+@register(
+    "sim_pq_topk",
+    f"""
+    {_PQ_CTES}
+    select query_id, neighbor_id, score_micro, rank from (
+      select query_id, neighbor_id, score_micro,
+             row_number() over (partition by query_id
+                                order by score_micro desc, neighbor_id) as rank
+      from pq_scored) t
+    where rank <= {_PQ_K}
+    """,
+)
+def sim_pq_topk(spark, sf_dir):
+    """PQ-ADC approximate MIPS top-k, FULL oracle: the compressed-index
+    ANN scan (each vector reduced to m=8 codes; queries score via int64
+    micro-unit lookup-table sums, never touching raw corpus vectors).
+    Registered with the closed-form parameterization (seeded codebooks,
+    iters=0, codegen SQL folds); the BLAS scan path is the library
+    default."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=_PQ_K, m=_PQ_M,
+        k_codes=_PQ_CODES, iters=0, assign="sql",
+    )
+
+
+@register(
+    "sim_pq_recall",
+    f"""
+    {_PQ_CTES},
+    pq as (
+      select query_id, neighbor_id from (
+        select query_id, neighbor_id,
+               row_number() over (partition by query_id
+                                  order by score_micro desc, neighbor_id) as rank
+        from pq_scored) t
+      where rank <= {_PQ_K}
+    ),
+    brute as (
+      select query_id, neighbor_id from (
+        select a.vec_id as query_id, b.vec_id as neighbor_id,
+               row_number() over (partition by a.vec_id
+                                  order by {_IP_D} desc, b.vec_id) as rank
+        from embeddings a join embeddings b on a.vec_id != b.vec_id
+        where a.vec_id < 20) t
+      where rank <= {_PQ_K}
+    )
+    select b.query_id, cast(count(p.neighbor_id) as bigint) as hits,
+           cast(count(p.neighbor_id) as double) / {_PQ_K}.0 as recall
+    from brute b left join pq p
+      on p.query_id = b.query_id and p.neighbor_id = b.neighbor_id
+    group by b.query_id
+    """,
+)
+def sim_pq_recall(spark, sf_dir):
+    """ANN-recall gate for PQ-ADC against the exact inner-product top-k
+    (the MIPS metric ADC approximates): the driver hash-checks codebook
+    seeding, encoding, distance-table quantization, the ADC sum AND the
+    brute baseline end-to-end — the sim_ivf_recall construction applied
+    to the compressed-index path."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = SIM.ip_topk(emb, q, k=_PQ_K)
+    approx = SIM.pq_topk(
+        emb, q, k=_PQ_K, m=_PQ_M, k_codes=_PQ_CODES, iters=0, assign="sql"
+    )
+    return SIM.topk_recall(exact, approx, k=_PQ_K)
+
+
 # =========================================================================
 # Multimodal plumbing (stubbed decode; real mapInPandas)
 # =========================================================================
@@ -4226,11 +4345,11 @@ _PRIORITY_ORDER = [
     "ql_where_split",
     "ql_where_trigram_pruned",
     "ql_asof_precedes",
-    "ql_asof_unbounded",
-    # (ql_where_regex / ql_between_iso8601 rotate to 51+ after being
-    # driver-green r01-r03: their operators — regex filter, ISO8601
-    # between — stay pinned locally; ql_asof_immediate / ql_asof_succeeds
-    # likewise trail, driver-green in r01 AND r02)
+    # (ql_asof_unbounded rotates to 51+ after FOUR green rounds r01-r04 —
+    # the asof operator stays in-window via ql_asof_precedes, and the
+    # unbounded/immediate/succeeds emission variants stay oracle-pinned
+    # locally.  ql_where_regex / ql_between_iso8601 rotated earlier after
+    # being driver-green r01-r03.)
     "mm_audio_features",
     "mm_video_frames",
     "mm_png_decode",
@@ -4279,10 +4398,15 @@ _PRIORITY_ORDER = [
     # three green rounds; gopher-quality flags take their slot)
     "text_metrics",
     "text_gopher_flags",
+    # BM25 ranked retrieval — first driver row of the keyword-search
+    # family (rotated in round 5; idf micro-quantized, int64 partial sums)
+    "search_bm25",
     "dedup_paragraphs",
     # dedup family (dedup_ngram_jaccard — the quadratic oracle-baseline —
-    # rotates to 51+ after three green rounds; MinHash is the scale path)
-    "dedup_exact",
+    # rotates to 51+ after three green rounds; dedup_exact rotates to 51+
+    # after FOUR green rounds r01-r04 — the exact-dedup path stays
+    # in-window inside curate_corpus's composition; MinHash is the scale
+    # path)
     "dedup_minhash_lsh",
     "dedup_minhash_capped",
     "dedup_incremental",
@@ -4301,6 +4425,10 @@ _PRIORITY_ORDER = [
     "sim_knn_classify",
     "sim_dup_pairs_lsh",
     "sim_ivf_recall",
+    # PQ-ADC compressed-index ANN — recall gate in-window (rotated in
+    # round 5, the sim_ivf_recall convention: the recall contract itself
+    # is hash-checked; sim_pq_topk carries a full oracle at 51+)
+    "sim_pq_recall",
     "sem_dedup",
     # multimodal + MCAP round-trip (mm_decode_meta rotates to 51+; the mm
     # family keeps four real-decode rows in-window)

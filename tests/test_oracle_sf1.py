@@ -77,6 +77,11 @@ SF1_QUERIES = [
     "dedup_exact", "dedup_paragraphs", "dedup_substring_flags",
     # similarity rows with corpus-size-independent parameters
     "sim_cosine_topk", "sim_knn_classify",
+    # PQ compressed-index ANN: seeds are the 16 lowest-id vectors at ANY
+    # scale and the oracle's encode/scan CTEs are corpus-linear (N x m*k
+    # fold rows), so unlike the banding-geometry-locked LSH/IVF rows the
+    # whole PQ pipeline re-derives at 10x; BM25 is posting-linear
+    "sim_pq_topk", "sim_pq_recall", "search_bm25",
     # relational / TPC-H join trees — ALL 22 shapes: broadcast-vs-shuffle
     # and AQE decisions change at 10x — answers must not
     "tpch_q1_pricing", "tpch_q2_min_cost_supp", "tpch_q3_shipping",

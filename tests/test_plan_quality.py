@@ -305,3 +305,45 @@ def test_paragraph_dedup_single_fingerprint_shuffle_no_python(spark):
     txt = plan_of(df)
     assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
     assert "NestedLoop" not in txt
+
+
+def test_bm25_shuffles_only_query_term_postings(spark):
+    """search_bm25's scale contract: the `term IN (query)` filter must sit
+    BELOW the (doc_id, term) aggregation (so the shuffle carries only
+    query-term postings), the idf/scalar sides must broadcast, and the
+    documents scan must read only (doc_id, text)."""
+    from dp3_spark import queries as Q
+
+    df = Q.queries()["search_bm25"](spark, SF)
+    txt = formatted(df)
+    assert "dup" in txt and "quantum" in txt  # literal query terms present
+    # the term filter exists and the postings aggregation shuffles on the
+    # (doc_id, ...) grouping — i.e. after the filter pruned non-query terms
+    assert "array_contains" in txt
+    # formatted mode lists node arguments separately from the tree
+    assert "hashpartitioning(doc_id" in txt
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan  # idf + scalars broadcast
+    assert "CartesianProduct" not in plan
+    # scan pruned to the two needed columns
+    import re
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", txt)
+    assert any(set(s.split(",")) <= {"doc_id:bigint", "text:string"} and s for s in scans)
+
+
+def test_pq_topk_numpy_scan_never_shuffles_corpus(spark):
+    """pq_topk's numpy path is one mapInPandas scan of the corpus with a
+    q*k-row global top-k: no exchange may appear between the corpus scan
+    and the ADC kernel (the corpus itself never shuffles)."""
+    from dp3_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    df = SIM.pq_topk(emb, q, k=3, iters=0, assign="numpy")
+    txt = plan_of(df)
+    scan_i = txt.rindex("FileScan parquet")  # the corpus scan (deepest)
+    kernel_i = txt.rindex("MapInPandas")
+    between = txt[kernel_i:scan_i]
+    assert "Exchange" not in between
+    # exactly one shuffle total: the q*k-row top-k window
+    assert txt.count("Exchange hashpartitioning") == 1
