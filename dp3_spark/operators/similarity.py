@@ -989,9 +989,16 @@ def _pq_encode_sql(
             structs.append(f"struct({d2} as d2, {j} as code)")
         per_sub.append(f"array_sort(array({', '.join(structs)}))[0].code")
     codes = f"array({', '.join(per_sub)})"
+    # fixture parquets arrive as ONE input split; the m*k fold argmin is
+    # compute-dense enough to be worth spreading (measured 0.85 -> 0.59 s
+    # on 5k x 128 folds at 32 cores — the row shuffle costs back part of
+    # the win; at scale the scan already has splits and this is benign)
+    par = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("id"), F.posexplode(F.expr(codes)).alias("subspace", "code"))
+        .select(F.col(id_col).alias("id"), F.col(vec_col))
+        .repartition(par)
+        .select(F.col("id"), F.posexplode(F.expr(codes)).alias("subspace", "code"))
         .select("id", F.col("subspace").cast("int"), F.col("code").cast("int"))
     )
 
