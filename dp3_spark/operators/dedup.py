@@ -561,6 +561,7 @@ def minhash_lsh_pairs_incremental(
     threshold: float = 0.6,
     verify: str = "auto",
     precomputed_sigs: DataFrame | None = None,
+    index_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against a persisted signature index — the
     real-world shape of corpus refreshes: the 100 TB corpus was
@@ -571,6 +572,13 @@ def minhash_lsh_pairs_incremental(
     index_sigs: a previous minhash_signatures output (id, shingles, card,
     mh), typically `spark.read.parquet(sig_table)`.  Must share n /
     num_hashes with this call, and ids must be disjoint from the batch.
+    index_bands: optional persisted `_banded_frame` output (id, band,
+    band_key) for the SAME index — lets the probe path skip the per-batch
+    banding fold entirely (ignored on the large-batch fallback path,
+    which re-bands index∪batch symmetrically).  Must be derived from
+    index_sigs with the same bands count, and may run AHEAD of index_sigs
+    after a crash (bands ⊇ sigs): a band row whose signature row is
+    missing can only produce candidates that the verify join then drops.
 
     Returns every near-dup pair with >= 1 endpoint in the new batch —
     batch-vs-index and batch-vs-batch, never index-vs-index (already
@@ -616,11 +624,17 @@ def minhash_lsh_pairs_incremental(
         # probe shape: broadcast the BATCH's band keys against the index's
         # banding — the index side is a map-only scan that never shuffles,
         # so per-batch shuffle volume is candidates only (the corpus-refresh
-        # contract at 100 TB; the index banding itself stays a map pass —
-        # persist _banded_frame output alongside the sigs to drop even that)
-        b_idx = _banded_frame(
-            index_sigs.select("id", "shingles", "card", "mh"), bands, rows
-        ).select("id", "band", "band_key")
+        # contract at 100 TB).  Callers that maintain the banding as a
+        # persisted table (streaming/dedup_stream.py) pass index_bands and
+        # skip even the banding fold: the probe is then a pure column scan
+        # of (id, band, band_key).
+        b_idx = (
+            index_bands.select("id", "band", "band_key")
+            if index_bands is not None
+            else _banded_frame(
+                index_sigs.select("id", "shingles", "card", "mh"), bands, rows
+            ).select("id", "band", "band_key")
+        )
         b_new = _banded_frame(sigs_new, bands, rows).select("id", "band", "band_key")
         vs_index = (
             b_idx.join(

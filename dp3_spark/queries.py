@@ -2350,8 +2350,10 @@ def stream_corpus_dedup(spark, sf_dir):
     # re-signaturing 80% of the corpus every run.  The source parquet's
     # mtime is part of the cache key so a regenerated fixture rebuilds.
     src = f"{sf_dir}/documents.parquet"
+    # v2: the seed now includes the persisted banding of the index (the
+    # probe reads it instead of re-deriving band keys per batch)
     key = hashlib.sha256(
-        f"{sf_dir}|{os.path.getmtime(src)}".encode()
+        f"v2|{sf_dir}|{os.path.getmtime(src)}".encode()
     ).hexdigest()[:16]
     seed = os.path.join(tempfile.gettempdir(), f"dp3_stream_dedup_seed_{key}")
     marker = os.path.join(seed, "_done")
@@ -2364,6 +2366,10 @@ def stream_corpus_dedup(spark, sf_dir):
         DD.minhash_signatures(
             index_docs.repartition(par), "doc_id", "text", n=3, num_hashes=128
         ).write.mode("overwrite").parquet(os.path.join(seed, "sigs"))
+        sigs = spark.read.parquet(os.path.join(seed, "sigs"))
+        DD._banded_frame(sigs, 16, 128 // 16).select(
+            "id", "band", "band_key"
+        ).write.mode("overwrite").parquet(os.path.join(seed, "bands"))
         index_docs.write.mode("overwrite").parquet(os.path.join(seed, "corpus"))
         batch_docs.write.mode("overwrite").parquet(os.path.join(seed, "incoming"))
         with open(marker, "w") as f:
@@ -2373,8 +2379,9 @@ def stream_corpus_dedup(spark, sf_dir):
         dd = StreamingCorpusDedup(
             spark, root, n=3, num_hashes=128, bands=16, threshold=0.7
         )
-        # fresh per-run copies: the drain appends to both tables
+        # fresh per-run copies: the drain appends to all three tables
         shutil.copytree(os.path.join(seed, "sigs"), dd.index_path)
+        shutil.copytree(os.path.join(seed, "bands"), dd.bands_path)
         shutil.copytree(os.path.join(seed, "corpus"), dd.corpus_path)
         drop_dir = os.path.join(seed, "incoming")  # read-only for the stream
         q = dd.start(drop_dir, spark.read.parquet(drop_dir).schema)

@@ -74,8 +74,30 @@ class StreamingCorpusDedup:
         return os.path.join(self.root, "sigs")
 
     @property
+    def bands_path(self) -> str:
+        return os.path.join(self.root, "bands")
+
+    @property
     def checkpoint_path(self) -> str:
         return os.path.join(self.root, "_checkpoint")
+
+    def _index_bands(self, index: DataFrame | None) -> DataFrame | None:
+        """The persisted (id, band, band_key) banding of the signature
+        index — lets each probe skip the O(index) banding fold (the probe
+        becomes a pure column scan).  A pre-bands index (older layout)
+        migrates once: derive from the signatures and persist.  Crash
+        ordering below keeps bands ⊇ sigs, which the probe tolerates (a
+        band row without its signature row can only produce candidates
+        the verify join drops)."""
+        if os.path.exists(self.bands_path):
+            return self.spark.read.parquet(self.bands_path)
+        if index is None:
+            return None
+        rows = self.num_hashes // self.bands
+        DD._banded_frame(index, self.bands, rows).select(
+            "id", "band", "band_key"
+        ).write.mode("overwrite").parquet(self.bands_path)
+        return self.spark.read.parquet(self.bands_path)
 
     def _index(self) -> DataFrame | None:
         # only path-absence means "no index yet"; a real read failure on an
@@ -103,6 +125,7 @@ class StreamingCorpusDedup:
             num_hashes=self.num_hashes,
         ).localCheckpoint(eager=True)
         index = self._index()
+        index_bands = self._index_bands(index)
         if index is not None:
             pairs = DD.minhash_lsh_pairs_incremental(
                 batch_df,
@@ -114,6 +137,7 @@ class StreamingCorpusDedup:
                 bands=self.bands,
                 threshold=self.threshold,
                 precomputed_sigs=sigs_new,
+                index_bands=index_bands,
             ).localCheckpoint(eager=True)
             # ^ the pair frame feeds THREE derivations below (two vs-index
             # semi joins + the in-batch anti join); without materializing,
@@ -171,6 +195,18 @@ class StreamingCorpusDedup:
             kept_docs = kept_docs.join(
                 cids, F.col(self.id_col) == F.col("__cid__"), "left_anti"
             )
+        # bands append FIRST so bands ⊇ sigs ⊇ corpus holds across crashes
+        # (each table's anti-join makes its own append idempotent; a kept
+        # doc only ever matches HIGHER batch ids, so reprocessing an epoch
+        # whose bands landed but sigs did not reaches the same decisions)
+        kept_bands = DD._banded_frame(
+            kept_sigs, self.bands, self.num_hashes // self.bands
+        ).select("id", "band", "band_key")
+        if index_bands is not None:
+            kept_bands = kept_bands.join(
+                index_bands.select("id"), "id", "left_anti"
+            )
+        kept_bands.write.mode("append").parquet(self.bands_path)
         kept_sigs.write.mode("append").parquet(self.index_path)
         kept_docs.write.mode("append").parquet(self.corpus_path)
         n_in = batch_df.count()

@@ -254,9 +254,43 @@ def test_streaming_corpus_dedup(spark, tmpdir):
     assert corpus == {10, 11, 13, 20, 22}
     sig_ids = {r["id"] for r in spark.read.parquet(sd.index_path).collect()}
     assert sig_ids == corpus
+    # the persisted banding tracks the index: one row per (kept doc, band)
+    bands = spark.read.parquet(sd.bands_path)
+    assert {r["id"] for r in bands.select("id").distinct().collect()} == corpus
+    assert bands.count() == len(corpus) * sd.bands
     # the checkpoint prevented reprocessing: exactly two epochs recorded
     assert [s["rows_in"] for s in sd.stats] == [4, 4]
     assert [s["dropped"] for s in sd.stats] == [1, 2]
+
+
+def test_streaming_corpus_dedup_bands_migration(spark, tmpdir):
+    """A pre-bands index layout (sigs + corpus only) migrates on first
+    probe: the banding derives from the signatures, persists, and the
+    probe decisions match the fresh-layout run."""
+    import shutil
+
+    from dp3_spark.streaming.dedup_stream import StreamingCorpusDedup
+
+    sd = StreamingCorpusDedup(spark, f"{tmpdir}/mig_root", threshold=0.6)
+    sd.process_batch(
+        spark.createDataFrame(
+            [(1, LOREM["fox"]), (2, LOREM["sql"])], "doc_id long, text string"
+        ),
+        0,
+    )
+    shutil.rmtree(sd.bands_path)  # simulate the older layout
+    sd.process_batch(
+        spark.createDataFrame(
+            [(0, LOREM["fox"]), (5, LOREM["oak"])], "doc_id long, text string"
+        ),
+        1,
+    )
+    # 0 is a dup of indexed 1 (index wins despite the lower id); 5 is new
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(sd.corpus_path).collect()
+    ) == [1, 2, 5]
+    bands = spark.read.parquet(sd.bands_path)
+    assert {r["id"] for r in bands.select("id").distinct().collect()} == {1, 2, 5}
 
 
 def test_streaming_corpus_dedup_replay_is_idempotent(spark, tmpdir):
