@@ -71,6 +71,7 @@ HEADLINE = [
     # noise to whatever runs after them
     "curate_corpus",          # end-to-end curation: score/filter/dedup/split
     "decontam_check",         # benchmark decontamination (broadcast n-grams)
+    "decontam_fuzzy",         # MinHash decontam (eval probes the sig index)
     "mix_domains",            # domain-mixture sampling (broadcast rates)
     "sim_cosine_topk",        # brute-force ANN baseline
     "sim_knn_classify",       # kNN label propagation (auto-labeling stage)
@@ -107,6 +108,7 @@ SCALING = [
     "sem_dedup",              # cluster-quadratic semantic dedup
     "dedup_minhash_capped",   # bucket-capped minhash (the 100x path)
     "dedup_incremental",      # batch-vs-index corpus refresh
+    "decontam_fuzzy",         # eval-probe decontam (broadcast batch side)
     "dedup_clusters",         # pairs -> connected components
     "stream_stats_rollup",    # streaming: multi-micro-batch ingest stats
     "lifecycle_delete_versions",  # versioned table: bucketed layout writes

@@ -81,3 +81,85 @@ def ngram_contamination(
         )
         .withColumn("contaminated", F.col("n_contaminated_ngrams") > 0)
     )
+
+
+def minhash_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 16,
+    threshold: float = 0.6,
+    train_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """FUZZY decontamination: flag training documents whose shingle-set
+    Jaccard with ANY eval/benchmark document reaches `threshold` — the
+    near-duplicate complement of ngram_contamination's exact 13-gram
+    check (paraphrased or lightly-edited benchmark leakage that exact
+    n-grams miss; the MinHash-based decontam stage of CCNet/Dolma-style
+    pipelines).
+
+    Output: one row per train document — (id_col, n_eval_matches: long,
+    contaminated: boolean).
+
+    Plan shape (the corpus-refresh probe REVERSED): the eval set is the
+    small side, so it plays the "batch" of minhash_lsh_pairs_incremental
+    against the train corpus's signature index — eval band keys broadcast
+    against a map-only banding of the corpus, the corpus never shuffles,
+    and shuffle volume is candidate pairs only.  At 100 TB the
+    deployment passes `train_sigs` (the SAME persisted signature table
+    the dedup pipeline already maintains — decontamination then costs
+    one broadcast probe, no corpus pass at all).
+
+    Train and eval ids must be disjoint (the incremental-probe
+    contract); eval-vs-eval pairs are discarded via the eval-id
+    anti-join, so only train endpoints are flagged.
+    """
+    from dp3_spark.operators import dedup as DD
+
+    par = train.sparkSession.sparkContext.defaultParallelism
+    if train_sigs is None:
+        train_sigs = DD.minhash_signatures(
+            train.repartition(par), id_col, text_col, n=n, num_hashes=num_hashes
+        ).localCheckpoint(eager=True)
+    pairs = DD.minhash_lsh_pairs_incremental(
+        eval_df,
+        train_sigs,
+        id_col,
+        text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    ).localCheckpoint(eager=True)
+    # ^ feeds four joins below; without materializing, the banding +
+    # verify pipeline would re-execute per branch
+    eval_ids = eval_df.select(F.col(id_col).alias("__eid__")).distinct()
+    # keep pairs with EXACTLY one eval endpoint, project the train side
+    a_eval = pairs.join(
+        eval_ids, pairs.id_a == F.col("__eid__"), "left_semi"
+    ).join(eval_ids, pairs.id_b == F.col("__eid__"), "left_anti").select(
+        F.col("id_b").alias("__tid__")
+    )
+    b_eval = pairs.join(
+        eval_ids, pairs.id_b == F.col("__eid__"), "left_semi"
+    ).join(eval_ids, pairs.id_a == F.col("__eid__"), "left_anti").select(
+        F.col("id_a").alias("__tid__")
+    )
+    matches = (
+        a_eval.unionByName(b_eval)
+        .groupBy("__tid__")
+        .agg(F.count(F.lit(1)).alias("n_eval_matches"))
+    )
+    return (
+        train.select(id_col)
+        .join(matches, F.col(id_col) == F.col("__tid__"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_eval_matches", F.lit(0)).cast("long").alias("n_eval_matches"),
+        )
+        .withColumn("contaminated", F.col("n_eval_matches") > 0)
+    )

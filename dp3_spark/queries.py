@@ -4282,6 +4282,51 @@ def decontam_check(spark, sf_dir):
     return DC.ngram_contamination(train, evl, "doc_id", "text", n=_DECON_N)
 
 
+# Fuzzy (MinHash) decontamination: the near-duplicate complement of the
+# exact n-gram check — eval docs are doc_id % 37 == 0, threshold 0.6
+# (non-vacuous at both gate scales: 266 eval-touching pairs at sf0.001,
+# 91 at sf0.01).  Oracle = the full-corpus minhash pair derivation
+# filtered to exactly-one-eval-endpoint pairs, folded to per-train flags.
+_FUZZY_TAU = 0.6
+
+
+@register(
+    "decontam_fuzzy",
+    f"""
+    with p as (
+      select id_a, id_b from ({_minhash_oracle(128, 16, _FUZZY_TAU)}) q
+      where (id_a % 37 = 0) <> (id_b % 37 = 0)
+    ),
+    matches as (
+      select case when id_a % 37 = 0 then id_b else id_a end as doc_id,
+             cast(count(*) as bigint) as n
+      from p group by 1
+    )
+    select d.doc_id, cast(coalesce(m.n, 0) as bigint) as n_eval_matches,
+           coalesce(m.n, 0) > 0 as contaminated
+    from (select doc_id from documents where doc_id % 37 <> 0) d
+    left join matches m using (doc_id)
+    """,
+)
+def decontam_fuzzy(spark, sf_dir):
+    """Fuzzy decontamination (operators/decontam.minhash_contamination):
+    flag training docs within MinHash-Jaccard {0.6} of any eval doc —
+    paraphrased benchmark leakage the exact n-gram check misses.  The
+    eval set plays the broadcast "batch" of the incremental dedup probe
+    against the train corpus's signature index, so the corpus never
+    shuffles; at deployment the probe reuses the dedup pipeline's
+    persisted signature table outright (train_sigs parameter)."""
+    from dp3_spark.operators import decontam as DC
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    evl = docs.filter(F.col("doc_id") % 37 == 0)
+    return DC.minhash_contamination(
+        train, evl, "doc_id", "text", n=3, num_hashes=128, bands=16,
+        threshold=_FUZZY_TAU,
+    )
+
+
 _MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
 _MIX_BUDGET = 2500
 
@@ -4390,7 +4435,10 @@ _PRIORITY_ORDER = [
     "stat_twa_daily",
     "stat_counter_daily",
     "stat_gaps",
-    "stat_cms_daily",
+    # (stat_cms_daily rotates to 51+ after green r04 — its daily CMS build
+    # runs INSIDE stat_cms_weekly_rollup's derivation, which stays
+    # in-window and additionally proves the merge; the r4 verdict's own
+    # suggested swap)
     "stat_cms_weekly_rollup",
     # lifecycle (SURVEY §2.5)
     "lifecycle_delete_versions",
@@ -4451,6 +4499,9 @@ _PRIORITY_ORDER = [
     "split_train_test",
     "curate_corpus",
     "decontam_check",
+    # fuzzy (MinHash) decontamination — the near-dup complement of the
+    # exact n-gram check (rotated in round 5)
+    "decontam_fuzzy",
     # ---- position 51+ (this list is exactly 50 names): everything below
     # is pinned by the local oracle suite; rotated-out rows above were
     # each driver-green at least two consecutive rounds (tpch_q1 and the

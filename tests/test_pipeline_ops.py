@@ -415,3 +415,56 @@ def test_semantic_dedup_small_corpus_defaults(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = SIM.semantic_dedup(df)  # k_clusters=16, iters=3 defaults
     assert out.count() == 6
+
+
+# --------------------------------------------- fuzzy (MinHash) decontamination
+
+
+def test_minhash_contamination_flags_near_dups(spark):
+    from dp3_spark.operators import decontam as DC
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    train = spark.createDataFrame(
+        [
+            (1, base),                       # near-dup of eval 100 -> flagged
+            (2, "completely different text about relational query optimizers"),
+            (3, base + " again"),            # still close to eval 100 -> flagged
+        ],
+        "doc_id long, text string",
+    )
+    evl = spark.createDataFrame(
+        [(100, base), (101, base)],  # eval-vs-eval dup must NOT flag anything
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in DC.minhash_contamination(
+        train, evl, "doc_id", "text", threshold=0.6
+    ).collect()}
+    assert set(out) == {1, 2, 3}  # one row per train doc, eval ids absent
+    assert out[1]["contaminated"] and out[1]["n_eval_matches"] == 2
+    assert out[3]["contaminated"]
+    assert not out[2]["contaminated"] and out[2]["n_eval_matches"] == 0
+
+
+def test_minhash_contamination_reuses_persisted_sigs(spark, tmp_path):
+    """The deployment shape: the dedup pipeline's persisted signature
+    table feeds decontamination directly — no corpus pass."""
+    from dp3_spark.operators import decontam as DC
+    from dp3_spark.operators import dedup as DD
+
+    base = "ships sail across the open sea carrying cargo between distant ports"
+    train = spark.createDataFrame(
+        [(1, base), (2, "unrelated document text entirely")],
+        "doc_id long, text string",
+    )
+    evl = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    sig_path = str(tmp_path / "sigs")
+    DD.minhash_signatures(train, "doc_id", "text", n=3, num_hashes=128).write.parquet(sig_path)
+    out_persisted = DC.minhash_contamination(
+        train, evl, "doc_id", "text",
+        train_sigs=spark.read.parquet(sig_path), threshold=0.6,
+    ).collect()
+    out_fresh = DC.minhash_contamination(
+        train, evl, "doc_id", "text", threshold=0.6
+    ).collect()
+    assert sorted(map(tuple, out_persisted)) == sorted(map(tuple, out_fresh))
+    assert {r["doc_id"]: r["contaminated"] for r in out_fresh} == {1: True, 2: False}
