@@ -65,6 +65,7 @@ HEADLINE = [
     "text_gopher_flags",      # Gopher quality screen (map-only, pure codegen)
     "text_lm_score",          # corpus char-trigram LM scoring (broadcast model)
     "search_bm25",            # BM25 ranked retrieval (query-term postings only)
+    "search_hybrid_rrf",      # BM25 ∪ dense cosine fused by reciprocal rank
     # broadcast-light pipeline ops before the dedup family: the dedup
     # queries intentionally leave cached signature tables + broadcasts in
     # the session (their persisted-index deployment story), which adds GC

@@ -127,14 +127,15 @@ def bm25_topk(
     )
 
 
-def bm25_oracle_sql(query_terms: list[str], *, k: int, k1: float = K1, b: float = B) -> str:
-    """The DuckDB re-derivation of bm25_topk over the `documents` view —
-    same tokenizer, same idf quantization, same fixed-shape tfnorm chain,
-    same int64 partial sum."""
+def bm25_oracle_ctes(query_terms: list[str], *, k1: float = K1, b: float = B) -> str:
+    """The DuckDB CTE chain re-deriving bm25_topk's per-document scores
+    over the `documents` view (same tokenizer, same idf quantization, same
+    fixed-shape tfnorm chain, same int64 partial sum), ending in
+    agg(doc_id, matched_terms, score_micro) — embeddable by composite
+    oracles (hybrid RRF)."""
     terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
     toks = tokens_duck("text")
-    return f"""
-    with base as (
+    return f"""base as (
       select doc_id, {toks} as tok from documents
     ),
     scal as (
@@ -169,10 +170,77 @@ def bm25_oracle_sql(query_terms: list[str], *, k: int, k1: float = K1, b: float 
       select doc_id, cast(count(*) as bigint) as matched_terms,
              cast(sum(partial_micro) as bigint) as score_micro
       from scored group by doc_id
-    )
+    )"""
+
+
+def bm25_oracle_sql(query_terms: list[str], *, k: int, k1: float = K1, b: float = B) -> str:
+    """Full DuckDB re-derivation of bm25_topk (the CTE chain + top-k)."""
+    return f"""
+    with {bm25_oracle_ctes(query_terms, k1=k1, b=b)}
     select doc_id, matched_terms, score_micro, rank from (
       select doc_id, matched_terms, score_micro,
              row_number() over (order by score_micro desc, doc_id) as rank
       from agg) t
     where rank <= {k}
     """
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    k_each: int = 20,
+    c: int = 60,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    SIGIR 2009): fuse the BM25 keyword top-k_each with the dense cosine
+    top-k_each (the document's embedding row keyed by the same id space;
+    query_vec_id names the query's embedding).  RRF is pure rank
+    arithmetic — score(d) = Σ_lists 1/(c + rank_list(d)) — so with each
+    reciprocal quantized to int64 micro-units BEFORE the sum the fused
+    score is hash-exact across engines, sidestepping every score-scale
+    calibration issue that makes raw-score fusion fragile.
+
+    Output: (doc_id, n_lists, rrf_micro, rank), rank 1..k by
+    (rrf_micro desc, doc_id asc).
+
+    Scale shape: each leg keeps its own plan (BM25: query-term postings
+    only; dense: broadcast query over the corpus — or any ANN leg, since
+    RRF only consumes ranks); fusion is a union of 2*k_each rows, a
+    map-combinable int64 sum, and a k-row top-k — fusion cost is
+    independent of corpus size."""
+    from dp3_spark.operators import similarity as SIM
+
+    bm = bm25_topk(
+        docs, query_terms, id_col=id_col, text_col=text_col, k=k_each, k1=k1, b=b
+    ).select("doc_id", "rank")
+    qv = embeddings.filter(F.col(vec_id_col) == query_vec_id)
+    dense = SIM.cosine_topk(
+        embeddings, qv, id_col=vec_id_col, vec_col=vec_col, k=k_each
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = (
+        bm.unionByName(dense)
+        .withColumn(
+            "micro",
+            F.expr(f"cast(floor(1000000.0 / ({c} + rank) + 0.5) as bigint)"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lists"),
+            F.sum("micro").alias("rrf_micro"),
+        )
+    )
+    top = fused.orderBy(F.col("rrf_micro").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "n_lists", "rrf_micro", "rank"
+    )

@@ -2040,6 +2040,68 @@ def _bm25_oracle() -> str:
 _REGISTRY["search_bm25"] = (_search_bm25, _bm25_oracle())
 
 
+# Hybrid retrieval: BM25 leg ∪ dense-cosine leg fused by reciprocal-rank
+# fusion (RRF, c=60).  RRF consumes only RANKS, and each reciprocal is
+# quantized to int64 micro-units before the order-independent sum — so
+# the fused frame is hash-exact even though the two legs score on
+# incommensurable scales.  The dense leg keys the shared id space
+# (embeddings.vec_id ≡ documents.doc_id on these fixtures, the
+# mm_feature_topk convention); the query embedding is vec_id 0.
+_HY_QID = 0
+_HY_K, _HY_K_EACH, _HY_C = 10, 20, 60
+_HY_COS_D = VEC.cosine("a.embedding", "b.embedding")[1]
+
+
+def _search_hybrid(spark, sf_dir):
+    from dp3_spark.operators import search as SRCH
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SRCH.hybrid_rrf(
+        docs, emb, _BM25_TERMS, _HY_QID, k=_HY_K, k_each=_HY_K_EACH, c=_HY_C
+    )
+
+
+def _hybrid_oracle() -> str:
+    from dp3_spark.operators import search as SRCH
+
+    return f"""
+    with {SRCH.bm25_oracle_ctes(_BM25_TERMS)},
+    bm as (
+      select doc_id, rank from (
+        select doc_id,
+               row_number() over (order by score_micro desc, doc_id) as rank
+        from agg) t
+      where rank <= {_HY_K_EACH}
+    ),
+    dense as (
+      select doc_id, rank from (
+        select b.vec_id as doc_id,
+               row_number() over (order by {_HY_COS_D} desc, b.vec_id) as rank
+        from embeddings a join embeddings b on a.vec_id != b.vec_id
+        where a.vec_id = {_HY_QID}) t
+      where rank <= {_HY_K_EACH}
+    ),
+    unioned as (
+      select doc_id, rank from bm union all select doc_id, rank from dense
+    ),
+    fused as (
+      select doc_id, cast(count(*) as bigint) as n_lists,
+             cast(sum(cast(floor(1000000.0 / ({_HY_C} + rank) + 0.5) as bigint))
+               as bigint) as rrf_micro
+      from unioned group by doc_id
+    )
+    select doc_id, n_lists, rrf_micro, rank from (
+      select doc_id, n_lists, rrf_micro,
+             row_number() over (order by rrf_micro desc, doc_id) as rank
+      from fused) t
+    where rank <= {_HY_K}
+    """
+
+
+_REGISTRY["search_hybrid_rrf"] = (_search_hybrid, _hybrid_oracle())
+
+
 # =========================================================================
 # Deduplication family (beyond-reference; operators/dedup.py)
 # =========================================================================

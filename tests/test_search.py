@@ -4,6 +4,7 @@ hand corpus, edge cases the fixture-scale oracle can't isolate."""
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from dp3_spark.operators import search as SRCH
 
@@ -67,3 +68,40 @@ def test_bm25_rank_and_k(docs):
 def test_bm25_empty_query_rejected(docs):
     with pytest.raises(ValueError):
         SRCH.bm25_topk(docs, [])
+
+
+def test_hybrid_rrf_fusion_math(spark):
+    """RRF semantics on hand data: a doc in both lists beats docs in one
+    list; micro-quantized reciprocals sum exactly."""
+    import math
+
+    from dp3_spark.operators import similarity as SIM
+
+    docs = spark.createDataFrame(
+        [(0, "cat dog"), (1, "cat cat cat"), (2, "bird"), (3, "dog dog")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # query
+            (1, [0.9, 0.1]),   # nearest to query
+            (2, [0.0, 1.0]),
+            (3, [0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["doc_id"]: r for r in SRCH.hybrid_rrf(
+        docs, emb, ["cat"], 0, k=4, k_each=3, c=60
+    ).collect()}
+    bm = {r["doc_id"]: r["rank"] for r in SRCH.bm25_topk(docs, ["cat"], k=3).collect()}
+    dn = {r["neighbor_id"]: r["rank"] for r in SIM.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=3
+    ).collect()}
+    for d, r in out.items():
+        want = sum(
+            math.floor(1e6 / (60 + lst[d]) + 0.5) for lst in (bm, dn) if d in lst
+        )
+        assert r["rrf_micro"] == want
+        assert r["n_lists"] == sum(d in lst for lst in (bm, dn))
+    # doc 1 is in both lists (bm25 rank 1, dense rank 1) -> fused rank 1
+    assert out[1]["rank"] == 1 and out[1]["n_lists"] == 2
