@@ -347,3 +347,32 @@ def test_pq_topk_numpy_scan_never_shuffles_corpus(spark):
     assert "Exchange" not in between
     # exactly one shuffle total: the q*k-row top-k window
     assert txt.count("Exchange hashpartitioning") == 1
+
+
+def test_incremental_probe_broadcasts_batch_not_index(spark):
+    """minhash_lsh_pairs_incremental's candidate stage must broadcast the
+    BATCH band keys and leave the index side as a map-only scan — no
+    exchange may sit between the index signature scan and the candidate
+    join (the corpus-refresh contract: per-batch shuffle volume is
+    candidates only, never O(index))."""
+    from dp3_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    index_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    sigs = DD.minhash_signatures(index_docs, "doc_id", "text", n=3, num_hashes=128)
+    pairs = DD.minhash_lsh_pairs_incremental(
+        new_docs, sigs, "doc_id", "text", n=3, num_hashes=128, bands=16,
+        threshold=0.7, verify="broadcast",
+    )
+    txt = plan_of(pairs)
+    assert "BroadcastHashJoin" in txt          # batch band keys broadcast
+    assert "CartesianProduct" not in txt
+    # the index side of the candidate join reads the signature relation
+    # with no shuffle: every Exchange in the plan is below a different
+    # operator (verify/aggregate), not between the sig scan and the join.
+    # Cheap proxy: the first BroadcastHashJoin's streamed child contains
+    # no Exchange before the next join boundary.
+    head = txt.split("BroadcastHashJoin", 1)[1]
+    streamed_side = head.split("BroadcastExchange", 1)[0]
+    assert "Exchange hashpartitioning" not in streamed_side
