@@ -94,6 +94,7 @@ def minhash_contamination(
     bands: int = 16,
     threshold: float = 0.6,
     train_sigs: DataFrame | None = None,
+    train_bands: DataFrame | None = None,
 ) -> DataFrame:
     """FUZZY decontamination: flag training documents whose shingle-set
     Jaccard with ANY eval/benchmark document reaches `threshold` — the
@@ -116,7 +117,10 @@ def minhash_contamination(
 
     Train and eval ids must be disjoint (the incremental-probe
     contract); eval-vs-eval pairs are discarded via the eval-id
-    anti-join, so only train endpoints are flagged.
+    anti-join, so only train endpoints are flagged.  `train_bands`
+    optionally passes the persisted banding of the same signature table
+    (the dedup pipeline's bands artifact) so the probe skips even the
+    per-run banding fold.
     """
     from dp3_spark.operators import dedup as DD
 
@@ -134,6 +138,7 @@ def minhash_contamination(
         num_hashes=num_hashes,
         bands=bands,
         threshold=threshold,
+        index_bands=train_bands,
     ).localCheckpoint(eager=True)
     # ^ feeds four joins below; without materializing, the banding +
     # verify pipeline would re-execute per branch

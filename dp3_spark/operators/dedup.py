@@ -549,6 +549,52 @@ def _verify_broadcast(cand: DataFrame, sigs: DataFrame, thr: float) -> DataFrame
     return cand.mapInPandas(_verify_bc, "id_a long, id_b long, jaccard double")
 
 
+def _probe_candidates(
+    sigs_new: DataFrame,
+    index_sigs: DataFrame,
+    index_bands: DataFrame | None,
+    bands: int,
+    rows: int,
+) -> DataFrame:
+    """Candidate stage of the incremental probe: broadcast the BATCH's band
+    keys against the index's banding — the index side is a map-only scan
+    that never shuffles, so per-batch shuffle volume is candidates only
+    (the corpus-refresh contract at 100 TB).  Callers that maintain the
+    banding as a persisted table (streaming/dedup_stream.py) pass
+    index_bands and skip even the banding fold: the probe is then a pure
+    column scan of (id, band, band_key).  Kept as a separate function so
+    the plan guard (test_plan_quality.py) can inspect the candidate plan
+    before the public API checkpoints it."""
+    b_idx = (
+        index_bands.select("id", "band", "band_key")
+        if index_bands is not None
+        else _banded_frame(
+            index_sigs.select("id", "shingles", "card", "mh"), bands, rows
+        ).select("id", "band", "band_key")
+    )
+    b_new = _banded_frame(sigs_new, bands, rows).select("id", "band", "band_key")
+    vs_index = (
+        b_idx.join(
+            F.broadcast(b_new.withColumnRenamed("id", "nid")),
+            ["band", "band_key"],
+        )
+        # an id present on BOTH sides (at-least-once reprocessing after
+        # a crash mid-append) must not pair with itself
+        .filter(F.col("id") != F.col("nid"))
+        .select(
+            F.least("id", "nid").alias("id_a"),
+            F.greatest("id", "nid").alias("id_b"),
+        )
+    )
+    in_batch = (
+        b_new.alias("x")
+        .join(F.broadcast(b_new.alias("y")), ["band", "band_key"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+    )
+    return vs_index.unionByName(in_batch)
+
+
 def minhash_lsh_pairs_incremental(
     new_df: DataFrame,
     index_sigs: DataFrame,
@@ -621,41 +667,7 @@ def minhash_lsh_pairs_incremental(
         n_all = index_sigs.count() + n_new
         verify = "broadcast" if n_all <= 200_000 else "shuffle"
     if n_new <= PROBE_BROADCAST_MAX_ROWS:
-        # probe shape: broadcast the BATCH's band keys against the index's
-        # banding — the index side is a map-only scan that never shuffles,
-        # so per-batch shuffle volume is candidates only (the corpus-refresh
-        # contract at 100 TB).  Callers that maintain the banding as a
-        # persisted table (streaming/dedup_stream.py) pass index_bands and
-        # skip even the banding fold: the probe is then a pure column scan
-        # of (id, band, band_key).
-        b_idx = (
-            index_bands.select("id", "band", "band_key")
-            if index_bands is not None
-            else _banded_frame(
-                index_sigs.select("id", "shingles", "card", "mh"), bands, rows
-            ).select("id", "band", "band_key")
-        )
-        b_new = _banded_frame(sigs_new, bands, rows).select("id", "band", "band_key")
-        vs_index = (
-            b_idx.join(
-                F.broadcast(b_new.withColumnRenamed("id", "nid")),
-                ["band", "band_key"],
-            )
-            # an id present on BOTH sides (at-least-once reprocessing after
-            # a crash mid-append) must not pair with itself
-            .filter(F.col("id") != F.col("nid"))
-            .select(
-                F.least("id", "nid").alias("id_a"),
-                F.greatest("id", "nid").alias("id_b"),
-            )
-        )
-        in_batch = (
-            b_new.alias("x")
-            .join(F.broadcast(b_new.alias("y")), ["band", "band_key"])
-            .filter(F.col("x.id") < F.col("y.id"))
-            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        )
-        cand = vs_index.unionByName(in_batch)
+        cand = _probe_candidates(sigs_new, index_sigs, index_bands, bands, rows)
     else:
         # huge batch: fall back to the symmetric self-join (both sides
         # shuffle on (band, band_key) — the minhash_lsh_pairs plan)
@@ -673,11 +685,23 @@ def minhash_lsh_pairs_incremental(
     # when dup pairs would re-fetch shingle arrays through the shuffle
     # transport; on broadcast, dedup the verified output instead
     if verify == "shuffle":
-        cand = cand.distinct()
-    cand = cand.repartition(2 * par)
-    if verify == "shuffle":
-        return _verify_shuffle(cand, all_sigs, threshold)
-    return _verify_broadcast(cand, all_sigs, threshold).dropDuplicates(
+        return _verify_shuffle(cand.distinct().repartition(2 * par), all_sigs, threshold)
+    if n_new <= PROBE_BROADCAST_MAX_ROWS:
+        # probe refinement: the broadcast transport collects (id, shingles)
+        # driver-side — restrict it to candidate ENDPOINTS, so the collect
+        # is O(candidates), not O(index) (every candidate id exists in
+        # all_sigs: index candidates come from its own banding — a
+        # bands-ahead-of-sigs id after a crash is by construction a member
+        # of the replayed batch, hence present in sigs_new).  Candidates
+        # are materialized once and feed both the id slice and the verify.
+        cand = cand.localCheckpoint(eager=True)
+        cand_ids = (
+            cand.select(F.col("id_a").alias("id"))
+            .unionByName(cand.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        all_sigs = all_sigs.join(F.broadcast(cand_ids), "id", "left_semi")
+    return _verify_broadcast(cand.repartition(2 * par), all_sigs, threshold).dropDuplicates(
         ["id_a", "id_b"]
     )
 

@@ -361,11 +361,12 @@ def test_incremental_probe_broadcasts_batch_not_index(spark):
     index_docs = docs.filter(F.col("doc_id") % 5 != 0)
     new_docs = docs.filter(F.col("doc_id") % 5 == 0)
     sigs = DD.minhash_signatures(index_docs, "doc_id", "text", n=3, num_hashes=128)
-    pairs = DD.minhash_lsh_pairs_incremental(
-        new_docs, sigs, "doc_id", "text", n=3, num_hashes=128, bands=16,
-        threshold=0.7, verify="broadcast",
-    )
-    txt = plan_of(pairs)
+    sigs_new = DD.minhash_signatures(new_docs, "doc_id", "text", n=3, num_hashes=128)
+    # the public API localCheckpoints the candidate frame (it feeds the
+    # endpoint slice AND the verify), which truncates the visible plan —
+    # guard the candidate stage itself, pre-checkpoint
+    cand = DD._probe_candidates(sigs_new, sigs, None, 16, 8)
+    txt = plan_of(cand)
     assert "BroadcastHashJoin" in txt          # batch band keys broadcast
     assert "CartesianProduct" not in txt
     # the index side of the candidate join reads the signature relation
