@@ -58,6 +58,7 @@ HEADLINE = [
     "tpch_q9_profit",         # 5-way join + like-filter + 2-key agg
     "tpch_q18_large_orders",  # HAVING-in-IN semi join over lineitem
     "events_retention",       # self-join on day buckets
+    "events_interval_overlap",  # grid-bucketed interval overlap join
     "lifecycle_delete_versions",  # versioned reads over the bucketed layout
                               # (fixture cached per sf_dir; timed runs
                               # measure the tombstone-masked read path)
@@ -100,6 +101,7 @@ SCALING = [
     "ql_asof_precedes",       # asof family
     "stat_twa_daily",         # stats/window family
     "events_sessionize",      # sessionization
+    "events_interval_overlap",  # interval-join family (cell equi-join)
     "text_lm_score",          # corpus LM scoring (2 corpus passes)
     "tpch_q9_profit",         # relational join tree
     "sim_knn_classify",       # broadcast-query ANN (linear in corpus)

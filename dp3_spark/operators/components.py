@@ -209,3 +209,33 @@ def dedup_clusters(
             "is_representative",
         )
     )
+
+
+def keep_best(
+    clusters: DataFrame,
+    docs: DataFrame,
+    score_col: str,
+    *,
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Canonical selection by QUALITY: per near-dup cluster keep the
+    best-scoring document, not the smallest id.  Real curation pipelines
+    keep the longest / highest-quality duplicate (the CCNet/RefinedWeb
+    rule); `dedup_clusters`' min-id representative is only the graph
+    anchor.  Ties break on ascending id, so the choice is deterministic.
+
+    clusters: dedup_clusters output (id_col, component, cluster_size, ...).
+    docs: source frame carrying (id_col, score_col).
+
+    Scale shape: one hash-join on the doc id plus a window PARTITIONED by
+    component — per-cluster work only, no global sort; cluster sizes are
+    bounded by the dedup candidate caps upstream."""
+    from pyspark.sql import Window
+
+    order = F.col(score_col).desc() if descending else F.col(score_col).asc()
+    w = Window.partitionBy("component").orderBy(order, F.col(id_col).asc())
+    return (
+        clusters.join(docs.select(id_col, score_col), id_col)
+        .withColumn("keep", F.row_number().over(w) == 1)
+    )

@@ -36,6 +36,9 @@ MINHASH_P = 2_147_483_647  # 2^31 - 1; products stay < 2^62 (no int64 overflow)
 # ~20 MB at 50k docs / 16 bands); beyond it, fall back to the symmetric
 # shuffle join — a "batch" that big is a backfill, not a refresh
 PROBE_BROADCAST_MAX_ROWS = 50_000
+# below this index size the broadcast verify's full (id, shingles) collect
+# is already bounded — the endpoint slice's extra eager job isn't worth it
+ENDPOINT_SLICE_MIN_INDEX_ROWS = 32_768
 
 
 def minhash_coeffs(num: int) -> list[tuple[int, int]]:
@@ -660,12 +663,13 @@ def minhash_lsh_pairs_incremental(
         "is_new", F.lit(False)
     ).unionByName(sigs_new.withColumn("is_new", F.lit(True)))
     n_new = sigs_new.count()
+    n_idx = None
     if verify == "auto":
         # same budget as minhash_lsh_pairs (~2.4 KB of shingles per doc);
         # counted per side — a parquet-backed index answers count() from
         # footer stats without materializing anything
-        n_all = index_sigs.count() + n_new
-        verify = "broadcast" if n_all <= 200_000 else "shuffle"
+        n_idx = index_sigs.count()
+        verify = "broadcast" if n_idx + n_new <= 200_000 else "shuffle"
     if n_new <= PROBE_BROADCAST_MAX_ROWS:
         cand = _probe_candidates(sigs_new, index_sigs, index_bands, bands, rows)
     else:
@@ -686,7 +690,9 @@ def minhash_lsh_pairs_incremental(
     # transport; on broadcast, dedup the verified output instead
     if verify == "shuffle":
         return _verify_shuffle(cand.distinct().repartition(2 * par), all_sigs, threshold)
-    if n_new <= PROBE_BROADCAST_MAX_ROWS:
+    if n_idx is None:
+        n_idx = index_sigs.count()
+    if n_new <= PROBE_BROADCAST_MAX_ROWS and n_idx > ENDPOINT_SLICE_MIN_INDEX_ROWS:
         # probe refinement: the broadcast transport collects (id, shingles)
         # driver-side — restrict it to candidate ENDPOINTS, so the collect
         # is O(candidates), not O(index) (every candidate id exists in
@@ -694,6 +700,9 @@ def minhash_lsh_pairs_incremental(
         # bands-ahead-of-sigs id after a crash is by construction a member
         # of the replayed batch, hence present in sigs_new).  Candidates
         # are materialized once and feed both the id slice and the verify.
+        # Gated on index size: below the threshold the full collect is
+        # already bounded and the slice's eager checkpoint job costs more
+        # than it saves (measured neutral-to-negative at 4k-doc fixtures).
         cand = cand.localCheckpoint(eager=True)
         cand_ids = (
             cand.select(F.col("id_a").alias("id"))

@@ -1790,6 +1790,86 @@ group by d1.day_us
 _REGISTRY["events_retention"] = _events_us_sql_pair(_RETENTION_SPARK)
 
 
+# interval x interval overlap join (operators/interval.py): per-user
+# daily activity spans vs 15-minute error-incident windows.  The oracle
+# is the NAIVE theta join (fine in DuckDB's range-join planner at sf);
+# the engine runs the grid-bucketed equi-join — two formulations of the
+# same relation.
+_IV_ORACLE = f"""
+with base as ({EV_BASE}),
+spans as (
+  select producer as span_user,
+         min(log_time) as span_s, max(log_time) + 1 as span_e
+  from base
+  group by producer, log_time - log_time % {DAY_NS}
+),
+errs as (
+  select sequence as event_id, producer as err_user,
+         log_time as err_s, log_time + {15 * 60 * NS} as err_e
+  from base where topic = 'error' and sequence % 17 = 0
+)
+select e.event_id,
+       count(*) as n_spans,
+       count(distinct s.span_user) as n_users,
+       cast(sum(least(e.err_e, s.span_e) - greatest(e.err_s, s.span_s))
+            as bigint) as overlap_ns
+from errs e join spans s
+  on e.err_s < s.span_e and s.span_s < e.err_e
+  and s.span_user <> e.err_user
+group by e.event_id
+"""
+
+
+@register("events_interval_overlap", _IV_ORACLE)
+def events_interval_overlap(spark, sf_dir):
+    """Interval overlap join (operators/interval.py): which OTHER users'
+    daily activity spans overlap each error's 15-minute incident window,
+    with exact int64-ns overlap durations.  The engine plan is the
+    grid-partitioned interval join — explode to 1-hour cells, equi-join
+    on cell, emit each pair once in its first shared cell — because the
+    naive theta join is a nested-loop/cartesian at scale.  Bounds are
+    int64 ns on both engines, so counts and duration sums hash exactly.
+
+    The error windows are a deterministic 1-in-17 sample (sequence mod):
+    overlap PAIR volume grows with windows x user-density — 10x data is
+    ~100x pairs (9.3M at sf0.1 unsampled) — which is a property of the
+    relation, not the plan; the sample keeps the gated/benched volume
+    linear-ish while the grid join's shape is unchanged."""
+    from dp3_spark.operators import interval as IV
+
+    store = events_log_store(spark, sf_dir, us_truncate=True)
+    ev = store.normalized()
+    spans = (
+        ev.groupBy(
+            F.col("producer").alias("span_user"),
+            (F.col("log_time") - F.col("log_time") % DAY_NS).alias("day_ns"),
+        )
+        .agg(
+            F.min("log_time").alias("span_s"),
+            (F.max("log_time") + F.lit(1)).alias("span_e"),
+        )
+        .drop("day_ns")
+    )
+    errs = ev.filter(
+        (F.col("topic") == "error") & (F.col("sequence") % 17 == 0)
+    ).select(
+        F.col("sequence").alias("event_id"),
+        F.col("producer").alias("err_user"),
+        F.col("log_time").alias("err_s"),
+        (F.col("log_time") + F.lit(15 * 60 * NS)).alias("err_e"),
+    )
+    pairs = IV.overlap_join(
+        errs, spans, "err_s", "err_e", "span_s", "span_e", cell=HOUR_NS
+    ).filter(F.col("span_user") != F.col("err_user"))
+    return pairs.groupBy("event_id").agg(
+        F.count("*").alias("n_spans"),
+        F.countDistinct("span_user").alias("n_users"),
+        F.sum(
+            F.least("err_e", "span_e") - F.greatest("err_s", "span_s")
+        ).cast("long").alias("overlap_ns"),
+    )
+
+
 # =========================================================================
 # Text analysis (beyond-reference; functions/text.py pairs)
 # =========================================================================
@@ -4096,7 +4176,7 @@ def ql_where_trigram_pruned(spark, sf_dir):
 # pair graph -> dedup clusters, sequence packing, deterministic splits
 # =========================================================================
 
-_CC_ORACLE = f"""
+_CC_CTES = f"""
 with recursive pairs as ({_minhash_oracle(128, 16, 0.7, bucket_cap=64)}),
 edges as (select id_a as a, id_b as b from pairs
           union all select id_b, id_a from pairs),
@@ -4106,6 +4186,9 @@ reach(id, r) as (
   select e.a, r.r from edges e join reach r on e.b = r.id
 ),
 comp as (select id as doc_id, min(r) as component from reach group by id)
+"""
+
+_CC_ORACLE = _CC_CTES + """
 select c.doc_id, c.component,
        count(*) over (partition by c.component) as cluster_size,
        c.doc_id = c.component as is_representative
@@ -4130,6 +4213,37 @@ def dedup_clusters(spark, sf_dir):
         candidates="capped", bucket_cap=64,
     )
     return CC.dedup_clusters(docs, pairs)
+
+
+_KEEP_BEST_ORACLE = _CC_CTES + """
+select c.doc_id, c.component,
+       count(*) over (partition by c.component) as cluster_size,
+       d.n_chars,
+       row_number() over (partition by c.component
+                          order by d.n_chars desc, c.doc_id asc) = 1 as keep
+from comp c join documents d using (doc_id)
+"""
+
+
+@register("dedup_keep_best", _KEEP_BEST_ORACLE)
+def dedup_keep_best(spark, sf_dir):
+    """Canonical selection by quality (operators/components.keep_best):
+    per near-dup cluster keep the LONGEST document (ties to smallest id)
+    — the CCNet/RefinedWeb curation rule, vs dedup_clusters' min-id graph
+    anchor.  Same capped-candidate pair graph and recursive-CTE oracle as
+    dedup_clusters, plus a per-component argmax the oracle re-derives
+    with a row_number window."""
+    from dp3_spark.operators import components as CC
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = DD.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=128, bands=16, threshold=0.7,
+        candidates="capped", bucket_cap=64,
+    )
+    clusters = CC.dedup_clusters(docs, pairs)
+    return CC.keep_best(clusters, docs, "n_chars").select(
+        "doc_id", "component", "cluster_size", "n_chars", "keep"
+    )
 
 
 _TC_D = TXT.token_count("text")[1]
@@ -4532,7 +4646,13 @@ _PRIORITY_ORDER = [
     "stat_cms_weekly_rollup",
     # lifecycle (SURVEY §2.5)
     "lifecycle_delete_versions",
-    "events_sessionize",
+    # (events_sessionize rotates to 51+ after FOUR green rounds r01-r04 —
+    # the 30-min-gap sessionization contract stays in-window via
+    # stream_sessionize_gap, which drains the same gap logic through
+    # applyInPandasWithState under the hash gate.  Its slot goes to the
+    # interval-overlap join — first driver row of the interval-join
+    # family, round 5.)
+    "events_interval_overlap",
     "stream_sessionize_gap",
     # streaming statistics maintenance (r4 verdict ask #3): ingest →
     # foreachBatch summary upsert → associative rollup, the reference's

@@ -17,8 +17,10 @@ Opt-in (adds ~10 min; scale data is generated on first use):
     DP3_SF1=1 python -m pytest tests/test_oracle_sf1.py -q
 
 Excluded families, with reasons (not silent gaps — see COVERAGE.md):
-- minhash/simhash/LSH/IVF/SemDeDup rows (incl. dedup_incremental and
-  the stream_corpus_dedup drain, whose oracles re-derive full-corpus
+- minhash/simhash/LSH/IVF/SemDeDup rows (incl. dedup_incremental,
+  dedup_clusters/dedup_keep_best — whose reach oracle is a recursive
+  CTE over the minhash pair graph — and the stream_corpus_dedup drain,
+  whose oracles re-derive full-corpus
   near-match pairs): corpus-size-aware parameters (lsh_geometry locks
   its oracle geometry at <=2048 vectors; sf1 ships 20k) or DuckDB
   oracle cost that is quadratic-by-design at 200k docs; their SEMANTICS
@@ -70,6 +72,10 @@ SF1_QUERIES = [
     # fragments across 10x files / more micro-batches)
     "events_sessionize", "events_props_json", "events_funnel",
     "events_retention", "stream_sessionize_gap", "stream_stats_rollup",
+    # interval overlap join: the engine runs the grid-bucketed plan, the
+    # oracle DuckDB's native IEJoin — live at 10x user-density where the
+    # broadcast side flips to shuffle
+    "events_interval_overlap",
     # text pipeline (fingerprint sums are int64 — overflow check at 10x)
     "text_metrics", "text_gopher_flags", "text_langid", "text_fingerprint",
     "text_vocab_topk", "text_pii_scrub", "text_repetition", "text_lm_score",

@@ -377,3 +377,18 @@ def test_incremental_probe_broadcasts_batch_not_index(spark):
     head = txt.split("BroadcastHashJoin", 1)[1]
     streamed_side = head.split("BroadcastExchange", 1)[0]
     assert "Exchange hashpartitioning" not in streamed_side
+
+
+def test_interval_overlap_is_equi_join_never_nested_loop(spark):
+    """The grid-bucketed interval join must plan as an equi-join on the
+    cell id (BroadcastHashJoin / SortMergeJoin) — the theta-join
+    formulation's BroadcastNestedLoopJoin or CartesianProduct is exactly
+    what the operator exists to avoid.  The pair aggregation must also
+    map-side combine (partial HashAggregate below the exchange)."""
+    from dp3_spark import queries as Q
+
+    df = Q.queries()["events_interval_overlap"](spark, SF)
+    txt = plan_of(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert ("BroadcastHashJoin" in txt) or ("SortMergeJoin" in txt)
