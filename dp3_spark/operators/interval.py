@@ -58,21 +58,43 @@ def overlap_join(
     if cell <= 0:
         raise ValueError("cell width must be positive")
 
+    # exact int64 floor division: Column `/` is DOUBLE division — ns
+    # epochs (~2^60) exceed the 53-bit mantissa, so floor(x / c) drifts
+    # off the true grid near cell boundaries.  Pair emission would
+    # actually survive that (the exactly-once argument only needs a
+    # MONOTONE consistent pseudo-floor), but cell ids must be the exact
+    # grid so partitioning/stats and any persisted cell column are
+    # deterministic.  (x - pmod(x, c)) is an exact multiple of c, so
+    # SQL's truncating `div` on it IS floor division, negative bounds too.
+    def fdiv_expr(tmp: str) -> "F.Column":
+        return F.expr(f"{tmp} div {cell}")
+
+    def exact_multiple(col) -> "F.Column":
+        return col - F.pmod(col, F.lit(cell))
+
     def cells(df: DataFrame, s: str, e: str) -> DataFrame:
-        lo = F.floor(F.col(s) / cell)
         # half-open: the last covered point is end-1; a zero-length
         # interval degrades to the single cell of its start
-        hi = F.floor(F.greatest(F.col(e) - F.lit(1), F.col(s)) / cell)
-        return df.withColumn("_cell", F.explode(F.sequence(lo, hi)))
+        hi = F.greatest(F.col(e) - F.lit(1), F.col(s))
+        return (
+            df.withColumn("_lo_n", exact_multiple(F.col(s)))
+            .withColumn("_hi_n", exact_multiple(hi))
+            .withColumn(
+                "_cell", F.explode(F.sequence(fdiv_expr("_lo_n"), fdiv_expr("_hi_n")))
+            )
+            .drop("_lo_n", "_hi_n")
+        )
 
     pred = (F.col(a_start) < F.col(b_end)) & (F.col(b_start) < F.col(a_end))
-    first_shared = F.floor(F.greatest(F.col(a_start), F.col(b_start)) / cell)
     return (
         cells(a, a_start, a_end)
         .join(cells(b, b_start, b_end), "_cell")
         # dedup-free exactly-once: a pair that overlaps shares the cell
         # of max(starts) — max(start-cells) <= min(end-cells) whenever
         # the overlap predicate holds (floor is monotone, starts < ends)
-        .filter(pred & (F.col("_cell") == first_shared))
-        .drop("_cell")
+        .withColumn(
+            "_fs_n", exact_multiple(F.greatest(F.col(a_start), F.col(b_start)))
+        )
+        .filter(pred & (F.col("_cell") == fdiv_expr("_fs_n")))
+        .drop("_cell", "_fs_n")
     )

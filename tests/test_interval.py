@@ -98,3 +98,30 @@ def test_keep_best_picks_highest_score_then_smallest_id(spark):
     }
     # 2 and 3 tie on score 99 -> smaller id 2 wins; singletons keep
     assert out == {1: False, 2: True, 3: False, 4: True, 9: True}
+
+
+def test_overlap_join_ns_epoch_boundaries_exact(spark):
+    """Regression: cell assignment must use exact int64 floor division.
+    ns epochs (~2^60) exceed double's 53-bit mantissa, so a `/`-based
+    floor can misplace bounds sitting exactly on a cell boundary."""
+    H = 3_600_000_000_000  # 1h in ns
+    T = 1_705_406_400_000_000_000  # exact hour boundary
+    a_rows = [
+        (0, (T, T + H)),          # exactly one cell
+        (1, (T - 1, T + 1)),      # straddles the boundary
+        (2, (T + H, T + H)),      # zero-length on a boundary
+    ]
+    b_rows = [
+        (0, (T + H, T + 2 * H)),  # touches a0 -> no overlap
+        (1, (T, T + H)),          # identical to a0 -> yes
+        (2, (T - H, T)),          # ends exactly at T -> no overlap w/ a0
+        (3, (T + H - 1, T + H + 1)),  # strictly contains a2's point
+    ]
+    a, b = _frames(spark, a_rows, b_rows)
+    got = {
+        (r["aid"], r["bid"])
+        for r in IV.overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", cell=H).collect()
+    }
+    assert got == _naive(spark, a_rows, b_rows)
+    assert (0, 0) not in got and (0, 1) in got and (0, 2) not in got
+    assert (2, 3) in got and (2, 0) not in got
