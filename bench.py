@@ -67,6 +67,7 @@ HEADLINE = [
     "text_lm_score",          # corpus char-trigram LM scoring (broadcast model)
     "search_bm25",            # BM25 ranked retrieval (query-term postings only)
     "search_hybrid_rrf",      # BM25 ∪ dense cosine fused by reciprocal rank
+    "search_phrase",          # exact-phrase positional-postings retrieval
     # broadcast-light pipeline ops before the dedup family: the dedup
     # queries intentionally leave cached signature tables + broadcasts in
     # the session (their persisted-index deployment story), which adds GC

@@ -185,6 +185,105 @@ def bm25_oracle_sql(query_terms: list[str], *, k: int, k1: float = K1, b: float 
     """
 
 
+def phrase_topk(
+    docs: DataFrame,
+    phrase: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Exact-phrase retrieval over positional postings: top-k documents by
+    number of occurrences of the consecutive token sequence `phrase`.
+
+    Output: (doc_id, n_occurrences, rank), rank 1..k by (count desc,
+    doc_id asc) — all int64/int, hash-exact across engines.
+
+    Plan shape (the inverted-index-with-positions plan, not a substring
+    scan): map-side tokenize -> posexplode -> `term IN (phrase)` filter
+    BELOW the shuffle, so only postings of the phrase's terms move — at
+    100 TB the shuffled volume is what a positional-index lookup would
+    read, not the corpus.  ONE doc-keyed shuffle collects each term's
+    position array per doc (collect_list partials combine map-side);
+    occurrences are counted with order-independent array probes (anchor
+    positions of term0 whose every offset i hits term_i's array) — pure
+    codegen, no UDF.  Global top-k is orderBy().limit(k)
+    (TakeOrderedAndProject: k rows per partition to the driver stage,
+    never a single-partition sort)."""
+    if not phrase:
+        raise ValueError("phrase_topk needs at least one phrase term")
+    from functools import reduce
+
+    L = len(phrase)
+    toks = F.expr(tokens_spark(text_col))
+    posted = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "term")
+    ).filter(F.col("term").isin(sorted(set(phrase))))
+    perdoc = posted.groupBy("doc_id").agg(
+        *[
+            F.collect_list(F.when(F.col("term") == w, F.col("pos"))).alias(f"p{i}")
+            for i, w in enumerate(phrase)
+        ]
+    )
+    if L == 1:
+        n = F.size("p0")
+    else:
+        n = F.size(
+            F.filter(
+                "p0",
+                lambda p: reduce(
+                    lambda x, y: x & y,
+                    [F.array_contains(F.col(f"p{i}"), p + i) for i in range(1, L)],
+                ),
+            )
+        )
+    hits = perdoc.select(
+        "doc_id", n.cast("long").alias("n_occurrences")
+    ).filter(F.col("n_occurrences") > 0)
+    top = hits.orderBy(F.col("n_occurrences").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "n_occurrences", "rank"
+    )
+
+
+def phrase_oracle_sql(phrase: list[str], *, k: int) -> str:
+    """DuckDB re-derivation of phrase_topk: positional self-joins (one per
+    phrase offset) instead of the engine's array probes — two independent
+    formulations of the same occurrence relation."""
+
+    def q(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    joins = "\n".join(
+        f"      join toks b{i} on b{i}.doc_id = a.doc_id"
+        f" and b{i}.pos = a.pos + {i} and b{i}.term = {q(t)}"
+        for i, t in enumerate(phrase[1:], start=1)
+    )
+    return f"""
+    with d as (
+      select doc_id, {tokens_duck("text")} as tok from documents
+    ),
+    toks as (
+      select doc_id, unnest(tok) as term,
+             unnest(range(1, len(tok) + 1)) as pos
+      from d
+    ),
+    occ as (
+      select a.doc_id, cast(count(*) as bigint) as n_occurrences
+      from toks a
+{joins}
+      where a.term = {q(phrase[0])}
+      group by a.doc_id
+    )
+    select doc_id, n_occurrences, rank from (
+      select doc_id, n_occurrences,
+             row_number() over (order by n_occurrences desc, doc_id) as rank
+      from occ) t
+    where rank <= {k}
+    """
+
+
 def hybrid_rrf(
     docs: DataFrame,
     embeddings: DataFrame,

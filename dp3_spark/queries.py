@@ -2120,6 +2120,31 @@ def _bm25_oracle() -> str:
 _REGISTRY["search_bm25"] = (_search_bm25, _bm25_oracle())
 
 
+# Exact-phrase retrieval (operators/search.py phrase_topk): consecutive
+# token sequence over positional postings.  The engine counts matches
+# with per-doc position-array probes after ONE doc-keyed shuffle of the
+# phrase terms' postings; the oracle re-derives the same relation with
+# positional self-joins — two independent formulations.  All-int output.
+_PHRASE = ["big", "table"]
+_PHRASE_K = 15
+
+
+def _search_phrase(spark, sf_dir):
+    from dp3_spark.operators import search as SRCH
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return SRCH.phrase_topk(docs, _PHRASE, k=_PHRASE_K)
+
+
+def _phrase_oracle() -> str:
+    from dp3_spark.operators import search as SRCH
+
+    return SRCH.phrase_oracle_sql(_PHRASE, k=_PHRASE_K)
+
+
+_REGISTRY["search_phrase"] = (_search_phrase, _phrase_oracle())
+
+
 # Hybrid retrieval: BM25 leg ∪ dense-cosine leg fused by reciprocal-rank
 # fusion (RRF, c=60).  RRF consumes only RANKS, and each reciprocal is
 # quantized to int64 micro-units before the order-independent sum — so

@@ -88,6 +88,9 @@ SF1_QUERIES = [
     # fold rows), so unlike the banding-geometry-locked LSH/IVF rows the
     # whole PQ pipeline re-derives at 10x; BM25 is posting-linear
     "sim_pq_topk", "sim_pq_recall", "search_bm25", "search_hybrid_rrf",
+    # exact-phrase retrieval: positional self-join oracle is
+    # posting-linear like BM25
+    "search_phrase",
     # relational / TPC-H join trees — ALL 22 shapes: broadcast-vs-shuffle
     # and AQE decisions change at 10x — answers must not
     "tpch_q1_pricing", "tpch_q2_min_cost_supp", "tpch_q3_shipping",

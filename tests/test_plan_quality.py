@@ -392,3 +392,26 @@ def test_interval_overlap_is_equi_join_never_nested_loop(spark):
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
     assert ("BroadcastHashJoin" in txt) or ("SortMergeJoin" in txt)
+
+
+def test_phrase_search_filters_postings_below_shuffle(spark):
+    """search_phrase's scale contract: the `term IN (phrase)` filter must
+    prune non-phrase tokens BEFORE the doc-keyed collect_list shuffle,
+    there is exactly ONE postings shuffle, the top-k is
+    TakeOrderedAndProject (never a global sort), and the documents scan
+    reads only (doc_id, text)."""
+    import re
+
+    from dp3_spark import queries as Q
+
+    df = Q.queries()["search_phrase"](spark, SF)
+    txt = formatted(df)
+    assert "big" in txt and "table" in txt  # literal phrase terms present
+    assert "hashpartitioning(doc_id" in txt
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # one postings shuffle + nothing else on the corpus path
+    assert plan.count("Exchange hashpartitioning") <= 1
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", txt)
+    assert any(set(s.split(",")) <= {"doc_id:bigint", "text:string"} and s for s in scans)

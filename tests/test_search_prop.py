@@ -139,3 +139,49 @@ def test_pq_topk_matches_python_reference(spark, n, seed):
             ).collect()
         )
         assert got == want, mode
+
+
+def _phrase_reference(docs, phrase, k):
+    """Independent python count of consecutive-token occurrences."""
+    counts = {}
+    L = len(phrase)
+    for i, d in enumerate(docs):
+        c = sum(1 for p in range(len(d) - L + 1) if d[p : p + L] == phrase)
+        if c:
+            counts[i] = c
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(i, c, r + 1) for r, (i, c) in enumerate(ranked)]
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=corpus_strategy,
+    phrase=st.lists(st.sampled_from(WORDS[:3]), min_size=1, max_size=3),
+)
+def test_phrase_matches_python_reference(spark, docs, phrase):
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["n_occurrences"], r["rank"])
+        for r in SRCH.phrase_topk(df, phrase, k=5).orderBy("rank").collect()
+    ]
+    assert got == _phrase_reference(docs, phrase, 5)
+
+
+def test_phrase_overlapping_and_repeated_terms(spark):
+    # overlapping matches count individually; repeated-term phrases work
+    df = spark.createDataFrame(
+        [(0, "a a a a"), (1, "a b a b a"), (2, "b b")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in SRCH.phrase_topk(df, ["a", "a"], k=10).collect()
+    }
+    assert out == {0: 3}
+    out2 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in SRCH.phrase_topk(df, ["a", "b"], k=10).collect()
+    }
+    assert out2 == {1: 2}
