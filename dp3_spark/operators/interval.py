@@ -37,6 +37,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def auto_cell(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+) -> int:
+    """Pick a grid width: the larger of the two sides' median interval
+    lengths (approx_percentile — one narrow aggregate per side, no
+    shuffle of the data columns).  Bounds the typical explode factor to
+    ~2 cells on the longer-typical side and 1-2 on the shorter.  The
+    JOIN RESULT is invariant to the choice (any positive cell emits the
+    same pairs — see the exactly-once note below); only replication
+    volume vs per-cell density moves, so an approximate median is fine."""
+    meds = []
+    for df, s, e in ((a, a_start, a_end), (b, b_start, b_end)):
+        m = df.select(
+            F.expr(f"approx_percentile({e} - {s}, 0.5, 1000)").alias("m")
+        ).first()["m"]
+        if m is not None:
+            meds.append(int(m))
+    return max(1, *meds) if meds else 1
+
+
 def overlap_join(
     a: DataFrame,
     b: DataFrame,
@@ -45,7 +70,7 @@ def overlap_join(
     b_start: str,
     b_end: str,
     *,
-    cell: int,
+    cell: int | str = "auto",
 ) -> DataFrame:
     """Emit one row per (a, b) pair whose half-open intervals overlap:
     a.start < b.end AND b.start < a.end.  Column names of `a` and `b`
@@ -54,9 +79,12 @@ def overlap_join(
 
     cell: grid width in the same int64 unit as the bounds; every
     interval is replicated to ceil(len / cell) (+1) cells, so choose it
-    near the typical interval length."""
-    if cell <= 0:
-        raise ValueError("cell width must be positive")
+    near the typical interval length — or pass 'auto' (the default) to
+    derive it from the median interval length (auto_cell)."""
+    if cell == "auto":
+        cell = auto_cell(a, b, a_start, a_end, b_start, b_end)
+    if not isinstance(cell, int) or cell <= 0:
+        raise ValueError("cell width must be a positive int or 'auto'")
 
     # exact int64 floor division: Column `/` is DOUBLE division — ns
     # epochs (~2^60) exceed the 53-bit mantissa, so floor(x / c) drifts

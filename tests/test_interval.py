@@ -125,3 +125,20 @@ def test_overlap_join_ns_epoch_boundaries_exact(spark):
     assert got == _naive(spark, a_rows, b_rows)
     assert (0, 0) not in got and (0, 1) in got and (0, 2) not in got
     assert (2, 3) in got and (2, 0) not in got
+
+
+def test_overlap_join_auto_cell_matches_naive(spark):
+    rng = random.Random(7)
+    a_rows = [
+        (i, (s := rng.randrange(0, 3000), s + rng.randrange(0, 500)))
+        for i in range(80)
+    ]
+    b_rows = [(i, (s := rng.randrange(0, 3000), s + 40)) for i in range(90)]
+    a, b = _frames(spark, a_rows, b_rows)
+    got = {
+        (r["aid"], r["bid"])
+        for r in IV.overlap_join(a, b, "a_s", "a_e", "b_s", "b_e").collect()
+    }
+    assert got == _naive(spark, a_rows, b_rows)
+    c = IV.auto_cell(a, b, "a_s", "a_e", "b_s", "b_e")
+    assert c >= 40  # at least the short side's fixed length
