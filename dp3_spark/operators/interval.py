@@ -85,6 +85,12 @@ def overlap_join(
         cell = auto_cell(a, b, a_start, a_end, b_start, b_end)
     if not isinstance(cell, int) or cell <= 0:
         raise ValueError("cell width must be a positive int or 'auto'")
+    shared = set(a.columns) & set(b.columns)
+    if shared:
+        raise ValueError(f"a and b must have disjoint columns; shared: {sorted(shared)}")
+    reserved = {"_cell", "_lo_n", "_hi_n", "_fs_n"} & (set(a.columns) | set(b.columns))
+    if reserved:
+        raise ValueError(f"column names reserved by overlap_join: {sorted(reserved)}")
 
     # exact int64 floor division: Column `/` is DOUBLE division — ns
     # epochs (~2^60) exceed the 53-bit mantissa, so floor(x / c) drifts

@@ -142,3 +142,14 @@ def test_overlap_join_auto_cell_matches_naive(spark):
     assert got == _naive(spark, a_rows, b_rows)
     c = IV.auto_cell(a, b, "a_s", "a_e", "b_s", "b_e")
     assert c >= 40  # at least the short side's fixed length
+
+
+def test_overlap_join_rejects_shared_or_reserved_columns(spark):
+    a = spark.createDataFrame([(0, 1, 2)], "x long, a_s long, a_e long")
+    b = spark.createDataFrame([(0, 1, 2)], "x long, b_s long, b_e long")
+    with pytest.raises(ValueError, match="disjoint"):
+        IV.overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", cell=8)
+    a2 = spark.createDataFrame([(0, 1, 2)], "_cell long, a_s long, a_e long")
+    b2 = spark.createDataFrame([(0, 1, 2)], "bid long, b_s long, b_e long")
+    with pytest.raises(ValueError, match="reserved"):
+        IV.overlap_join(a2, b2, "a_s", "a_e", "b_s", "b_e", cell=8)
