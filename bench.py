@@ -59,6 +59,7 @@ HEADLINE = [
     "tpch_q18_large_orders",  # HAVING-in-IN semi join over lineitem
     "events_retention",       # self-join on day buckets
     "events_interval_overlap",  # grid-bucketed interval overlap join
+    "zorder_pruned_scan",     # 2D-pruned scan over the z-ordered layout
     "lifecycle_delete_versions",  # versioned reads over the bucketed layout
                               # (fixture cached per sf_dir; timed runs
                               # measure the tombstone-masked read path)

@@ -4196,6 +4196,76 @@ def ql_where_trigram_pruned(spark, sf_dir):
     )
 
 
+def _zorder_fixture(spark, sf_dir: str) -> str:
+    """Build (once per fixture dir, mtime-keyed) a z-order-clustered copy
+    of the events log store on (user_id, log_time) — the 2D-skipping
+    layout operators/zorder.py provides.  The locality payoff itself is
+    pinned by tests/test_zorder.py scan metrics; this fixture feeds the
+    correctness gate (pruned scan == unpruned oracle)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from dp3_spark.operators import zorder as Z
+
+    src = f"{sf_dir}/events.parquet"
+    key = hashlib.sha256(
+        f"zorder-v1|{sf_dir}|{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"dp3_zorder_{key}")
+    tbl = os.path.join(root, "events_z")
+    marker = os.path.join(root, "fixture_done")
+    if not os.path.exists(marker):
+        store = events_log_store(spark, sf_dir, us_truncate=True)
+        ev = store.normalized().select(
+            F.col("producer").cast("long").alias("user_id"),
+            "topic", "log_time", "sequence", "value",
+        )
+        Z.zorder_write(ev, tbl, ["user_id", "log_time"], bits=16, num_files=32)
+        os.makedirs(root, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return tbl
+
+
+_Z_T0 = 1704844800000000000  # 2024-01-10
+_Z_T1 = 1705104000000000000  # 2024-01-13
+
+
+@register(
+    "zorder_pruned_scan",
+    f"""
+    with base as ({EV_BASE})
+    select topic, count(*) as n_msgs,
+           cast(sum(sequence) as bigint) as sum_seq,
+           min(log_time) as min_t, max(log_time) as max_t
+    from base
+    where cast(producer as bigint) >= 4 and cast(producer as bigint) < 8
+      and log_time >= {_Z_T0} and log_time < {_Z_T1}
+    group by topic
+    """,
+)
+def zorder_pruned_scan(spark, sf_dir):
+    """2D range scan over the z-order-clustered events copy
+    (operators/zorder.py): user cohort x 3-day window.  Row-group
+    min/max envelopes on the z layout are hyper-rectangles, so BOTH
+    range predicates prune — the 1D (producer, time) layout only prunes
+    its leading column (the skipping delta is measured in
+    tests/test_zorder.py).  The oracle runs the same predicate unpruned
+    on the source table: pruning must never change answers."""
+    tbl = _zorder_fixture(spark, sf_dir)
+    df = spark.read.parquet(tbl).filter(
+        (F.col("user_id") >= 4) & (F.col("user_id") < 8)
+        & (F.col("log_time") >= _Z_T0) & (F.col("log_time") < _Z_T1)
+    )
+    return df.groupBy("topic").agg(
+        F.count("*").alias("n_msgs"),
+        F.sum("sequence").cast("bigint").alias("sum_seq"),
+        F.min("log_time").alias("min_t"),
+        F.max("log_time").alias("max_t"),
+    )
+
+
 # =========================================================================
 # Training-pipeline composition operators (beyond-reference):
 # pair graph -> dedup clusters, sequence packing, deterministic splits

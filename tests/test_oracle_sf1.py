@@ -111,6 +111,8 @@ SF1_QUERIES = [
     # pack_sequences covers the packing family here)
     "pack_sequences", "split_train_test", "mix_domains",
     "decontam_check", "curate_corpus", "lifecycle_delete_versions",
+    # z-order layout rebuilt at 10x rows; pruned scan == unpruned oracle
+    "zorder_pruned_scan",
 ]
 
 

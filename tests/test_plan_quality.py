@@ -415,3 +415,18 @@ def test_phrase_search_filters_postings_below_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") <= 1
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", txt)
     assert any(set(s.split(",")) <= {"doc_id:bigint", "text:string"} and s for s in scans)
+
+
+def test_zorder_scan_pushes_both_range_predicates(spark):
+    """zorder_pruned_scan's 2D predicate must reach the parquet scan as
+    PushedFilters on BOTH dimensions — that is what row-group skipping
+    on the z layout runs on."""
+    from dp3_spark import queries as Q
+
+    df = Q.queries()["zorder_pruned_scan"](spark, SF)
+    txt = formatted(df)
+    pushed = [l for l in txt.splitlines() if "PushedFilters:" in l][0]
+    assert "GreaterThanOrEqual(user_id,4)" in pushed
+    assert "LessThan(user_id,8)" in pushed
+    assert "GreaterThanOrEqual(log_time," in pushed
+    assert "LessThan(log_time," in pushed
