@@ -52,6 +52,7 @@ HEADLINE = [
     "stream_sessionize_gap",  # applyInPandasWithState sessionizer drain
     "stream_stats_rollup",    # foreachBatch summary maintenance drain
     "stream_corpus_dedup",    # foreachBatch corpus-refresh dedup drain
+    "stream_interval_attrib", # NATIVE watermarked stream-stream join drain
     "tpch_q1_pricing",        # wide aggregation
     "tpch_q3_shipping",       # join + top-k
     "tpch_q5_region_revenue", # 6-way join

@@ -1065,6 +1065,96 @@ def stream_sessionize_gap(spark, sf_dir):
 
 
 @register(
+    "stream_interval_attrib",
+    f"""
+    with base as ({EV_BASE}),
+    errs as (
+      select sequence as event_id, producer, log_time as s,
+             log_time + {2 * HOUR_NS} as e
+      from base where topic = 'error'
+    ),
+    acts as (
+      select producer, log_time as t,
+             cast(round(value * 100) as bigint) as value_c
+      from base where topic in ('click', 'view')
+    )
+    select e.event_id, count(*) as n_actions,
+           cast(sum(a.value_c) as bigint) as sum_value_c,
+           min(a.t) as first_t, max(a.t) as last_t
+    from errs e join acts a
+      on a.producer = e.producer and a.t >= e.s and a.t < e.e
+    group by e.event_id
+    """,
+)
+def stream_interval_attrib(spark, sf_dir):
+    """STREAMING stream-stream interval join under the hash gate
+    (streaming/stream_join.py): error incidents x same-user click/view
+    activity within the 2-hour window after each error — Spark's NATIVE
+    watermarked join operator, the fourth stateful-streaming shape
+    (sessionize/state, stats/foreachBatch, dedup/foreachBatch, join/
+    built-in).  The drain joins two file-source streams over the same
+    events table and the joined rows are batch-aggregated per incident;
+    the oracle re-derives the whole relation in DuckDB.  The watermark
+    delay covers the fixture span, so no row is ever late and the drain
+    equals the batch join exactly (determinism contract in the module
+    docstring); value sums are int64 cents."""
+    import os as _os
+    import uuid as _uuid
+
+    from dp3_spark.streaming.stream_join import attribution_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    batch = spark.read.parquet(path)
+    ts_type = dict(batch.dtypes)["ts"]
+
+    def src():
+        if _os.path.isdir(path):
+            return spark.readStream.schema(batch.schema).parquet(path)
+        return (
+            spark.readStream.schema(batch.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    def ts_col():
+        # normalize both fixture generations to TimestampType at µs
+        if ts_type.startswith("timestamp"):
+            return F.col("ts").cast("timestamp")
+        return F.timestamp_micros(F.expr("ts div 1000"))
+
+    errs = src().filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("inc_id"),
+        F.col("user_id").cast("long").alias("inc_user"),
+        ts_col().alias("inc_s"),
+        (ts_col() + F.expr("INTERVAL 2 HOURS")).alias("inc_e"),
+    )
+    acts = src().filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").cast("long").alias("act_user"),
+        ts_col().alias("act_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    joined = attribution_join(errs, acts).select(
+        "inc_id", "act_ts", "value_c"
+    )
+    name = f"stream_attrib_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t_ns = F.unix_micros(F.col("act_ts")) * F.lit(1000)
+    return spark.table(name).groupBy(F.col("inc_id").alias("event_id")).agg(
+        F.count("*").alias("n_actions"),
+        F.sum("value_c").cast("bigint").alias("sum_value_c"),
+        F.min(t_ns).alias("first_t"),
+        F.max(t_ns).alias("last_t"),
+    )
+
+
+@register(
     "stream_stats_rollup",
     f"""
     select producer, topic,

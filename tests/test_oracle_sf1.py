@@ -76,6 +76,10 @@ SF1_QUERIES = [
     # oracle DuckDB's native IEJoin — live at 10x user-density where the
     # broadcast side flips to shuffle
     "events_interval_overlap",
+    # native stream-stream join drain: sf1 is a DIRECTORY of part files,
+    # so the file source really batches — the fixture-span watermark
+    # determinism claim is live here
+    "stream_interval_attrib",
     # text pipeline (fingerprint sums are int64 — overflow check at 10x)
     "text_metrics", "text_gopher_flags", "text_langid", "text_fingerprint",
     "text_vocab_topk", "text_pii_scrub", "text_repetition", "text_lm_score",

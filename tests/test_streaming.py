@@ -323,3 +323,64 @@ def test_streaming_corpus_dedup_replay_is_idempotent(spark, tmpdir):
     sigs = [r["id"] for r in spark.read.parquet(sd.index_path).collect()]
     assert sorted(corpus) == [1, 2]  # filled back in, exactly once
     assert sorted(sigs) == [1, 2]
+
+
+def test_stream_interval_attrib_equals_batch_join(spark, tmp_path):
+    """The native stream-stream interval join drain must equal the batch
+    join exactly (the fixture-span watermark determinism contract)."""
+    import pyspark.sql.functions as F
+
+    from dp3_spark.streaming.stream_join import attribution_join
+
+    rows = []
+    base = 1_700_000_000_000_000  # µs
+    for u in range(4):
+        for k in range(40):
+            t = base + u * 7_000_000 + k * 13_000_000
+            rows.append((u * 1000 + k, u, "error" if k % 9 == 0 else "click", t))
+    df = spark.createDataFrame(rows, "eid long, u long, typ string, tus long")
+    src_dir = str(tmp_path / "src")
+    df.repartition(4).write.parquet(src_dir)
+
+    def side(stream):
+        errs = stream.filter(F.col("typ") == "error").select(
+            F.col("eid").alias("inc_id"),
+            F.col("u").alias("inc_user"),
+            F.timestamp_micros(F.col("tus")).alias("inc_s"),
+            F.timestamp_micros(F.col("tus") + 30_000_000).alias("inc_e"),
+        )
+        acts = stream.filter(F.col("typ") == "click").select(
+            F.col("u").alias("act_user"),
+            F.timestamp_micros(F.col("tus")).alias("act_ts"),
+        )
+        return errs, acts
+
+    schema = df.schema
+    s1 = spark.readStream.schema(schema).parquet(src_dir)
+    s2 = spark.readStream.schema(schema).parquet(src_dir)
+    errs, _ = side(s1)
+    _, acts = side(s2)
+    q = (
+        attribution_join(errs, acts)
+        .select("inc_id", "act_user", "act_ts")
+        .writeStream.format("memory")
+        .queryName("attrib_ut")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["inc_id"], r["act_user"], r["act_ts"])
+        for r in spark.table("attrib_ut").collect()
+    }
+    be, ba = side(spark.read.parquet(src_dir))
+    exp = {
+        (r["inc_id"], r["act_user"], r["act_ts"])
+        for r in be.join(
+            ba,
+            (F.col("inc_user") == F.col("act_user"))
+            & (F.col("act_ts") >= F.col("inc_s"))
+            & (F.col("act_ts") < F.col("inc_e")),
+        ).select("inc_id", "act_user", "act_ts").collect()
+    }
+    assert got == exp and len(exp) > 0
