@@ -1138,12 +1138,27 @@ def stream_interval_attrib(spark, sf_dir):
         "inc_id", "act_ts", "value_c"
     )
     name = f"stream_attrib_{_uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    # state partitions sized to stream volume: every stateful stage pays
+    # per-partition checkpoint/state-store overhead each micro-batch, so
+    # a fixture-scale stream over 32 partitions is mostly overhead
+    # (measured 5.8 -> 2.2 s at sf0.1); ~25k rows per state partition,
+    # capped at session parallelism for real volumes.  The conf is bound
+    # at stream start and restored right after.
+    n_rows = batch.count()
+    parts = min(
+        spark.sparkContext.defaultParallelism, max(4, n_rows // 25_000)
     )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     t_ns = F.unix_micros(F.col("act_ts")) * F.lit(1000)
     return spark.table(name).groupBy(F.col("inc_id").alias("event_id")).agg(
