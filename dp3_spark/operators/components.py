@@ -211,6 +211,66 @@ def dedup_clusters(
     )
 
 
+def pagerank_int(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    iters: int = 3,
+    scale: int = 10**6,
+) -> DataFrame:
+    """PageRank centrality over an undirected pair graph (damping 0.85,
+    `iters` fixed iterations) in EXACT int64 micro-unit arithmetic — the
+    curation signal "how centrally duplicated is this doc" over the
+    near-dup graph, and the repo's iterative-graph-computation shape
+    beyond connected components.
+
+    Determinism contract (the millicosine discipline): float PageRank
+    sums are order-dependent across engines, so the whole recurrence is
+    integer: init = scale div N; per-edge contribution = pr(u) div
+    deg(u); next = ((scale div N) * 3) div 20 + (17 * sum(contrib)) div
+    20 (i.e. damping 17/20, teleport 3/20 — dangling mass is dropped
+    identically on both engines).  Every op is int64 and every sum is
+    order-independent, so a SQL oracle reproduces the values bit for
+    bit.
+
+    Scale shape: per iteration one hash join of edges x pr (both keyed
+    by node) and one map-combinable sum — the standard distributed
+    PageRank step; `iters` is small and fixed, so no checkpointing is
+    needed."""
+    nodes = docs.select(F.col(id_col).alias("id"))
+    n = nodes.count()
+    base = ((scale // n) * 3) // 20
+    edges = pairs.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).unionByName(
+        pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(deg, "u")
+    pr = nodes.withColumn("pr", F.lit(scale // n).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            ed.join(pr, ed["u"] == pr["id"])
+            .select(F.col("v").alias("id"), F.expr("pr div deg").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").cast("long").alias("csum"))
+        )
+        pr = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr("(17 * coalesce(csum, 0)) div 20")
+                ).cast("long").alias("pr"),
+            )
+        )
+    return pr.select(F.col("id").alias(id_col), F.col("pr").alias("pr_micro"))
+
+
 def keep_best(
     clusters: DataFrame,
     docs: DataFrame,

@@ -4446,6 +4446,59 @@ def dedup_keep_best(spark, sf_dir):
     )
 
 
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    """One unrolled integer-PageRank iteration as a DuckDB CTE (`//` is
+    DuckDB's floor division; every sum cast to bigint to dodge the
+    HUGEINT dialect trap)."""
+    return f"""{out} as (
+      select d.doc_id as id,
+             (((1000000 // nn.n) * 3) // 20)
+             + (17 * coalesce(s.csum, 0)) // 20 as pr
+      from documents d cross join nn
+      left join (
+        select e.v as id, cast(sum(p.pr // dg.deg) as bigint) as csum
+        from edges e
+        join {prev} p on p.id = e.u
+        join deg dg on dg.u = e.u
+        group by e.v
+      ) s on s.id = d.doc_id
+    )"""
+
+
+_PR_ORACLE = f"""
+with recursive pairs as ({_minhash_oracle(128, 16, 0.7, bucket_cap=64)}),
+edges as (select id_a as u, id_b as v from pairs
+          union all select id_b as u, id_a as v from pairs),
+deg as (select u, cast(count(*) as bigint) as deg from edges group by u),
+nn as (select cast(count(*) as bigint) as n from documents),
+pr0 as (select doc_id as id, (1000000 // nn.n) as pr from documents cross join nn),
+{_pagerank_iter_sql("pr0", "pr1")},
+{_pagerank_iter_sql("pr1", "pr2")},
+{_pagerank_iter_sql("pr2", "pr3")}
+select id as doc_id, cast(pr as bigint) as pr_micro from pr3
+"""
+
+
+@register("graph_pagerank", _PR_ORACLE)
+def graph_pagerank(spark, sf_dir):
+    """PageRank centrality over the near-dup pair graph
+    (operators/components.pagerank_int): how centrally duplicated a
+    document is — the graph-analytics curation signal beyond connected
+    components.  3 fixed iterations, damping 17/20, ALL arithmetic in
+    int64 micro-units with floor division, so the unrolled DuckDB
+    re-derivation matches bit for bit (float PageRank sums would be
+    order-dependent across engines).  Edges are the same capped LSH
+    candidates as dedup_clusters."""
+    from dp3_spark.operators import components as CC
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = DD.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=128, bands=16, threshold=0.7,
+        candidates="capped", bucket_cap=64,
+    )
+    return CC.pagerank_int(docs, pairs, iters=3)
+
+
 _TC_D = TXT.token_count("text")[1]
 _TC_S = TXT.token_count("text")[0]
 _PACK_BUDGET = 512

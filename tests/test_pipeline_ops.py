@@ -468,3 +468,34 @@ def test_minhash_contamination_reuses_persisted_sigs(spark, tmp_path):
     ).collect()
     assert sorted(map(tuple, out_persisted)) == sorted(map(tuple, out_fresh))
     assert {r["doc_id"]: r["contaminated"] for r in out_fresh} == {1: True, 2: False}
+
+
+def test_pagerank_int_matches_python_reference(spark):
+    """Integer PageRank vs an independent python implementation of the
+    same recurrence on a small graph with hubs, chains and isolates."""
+    from dp3_spark.operators import components as CC
+
+    ids = list(range(8))
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (4, 5)]  # 6,7 isolated
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["pr_micro"]
+        for r in CC.pagerank_int(docs, pairs, iters=3).collect()
+    }
+
+    # python reference of the exact integer recurrence
+    und = edges + [(b, a) for a, b in edges]
+    deg = {}
+    for u, _ in und:
+        deg[u] = deg.get(u, 0) + 1
+    n, scale = len(ids), 10**6
+    base = ((scale // n) * 3) // 20
+    pr = {i: scale // n for i in ids}
+    for _ in range(3):
+        csum = {i: 0 for i in ids}
+        for u, v in und:
+            csum[v] += pr[u] // deg[u]
+        pr = {i: base + (17 * csum[i]) // 20 for i in ids}
+    assert got == pr
+    assert pr[0] > pr[4] > pr[6]  # hub > pair > isolate
