@@ -68,6 +68,7 @@ HEADLINE = [
     "text_gopher_flags",      # Gopher quality screen (map-only, pure codegen)
     "text_lm_score",          # corpus char-trigram LM scoring (broadcast model)
     "search_bm25",            # BM25 ranked retrieval (query-term postings only)
+    "search_bm25_indexed",    # BM25 probe of the PERSISTED inverted index
     "search_hybrid_rrf",      # BM25 ∪ dense cosine fused by reciprocal rank
     "search_phrase",          # exact-phrase positional-postings retrieval
     # broadcast-light pipeline ops before the dedup family: the dedup

@@ -96,6 +96,16 @@ def bm25_topk(
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return _score_tf(tf, scal, k1=k1, b=b, k=k)
+
+
+def _score_tf(
+    tf: DataFrame, scal: DataFrame, *, k1: float, b: float, k: int
+) -> DataFrame:
+    """Shared BM25 scoring tail: tf(doc_id, dl, term, tf) x scal(n_docs,
+    avgdl) -> ranked top-k.  Used by both the tokenize-on-read path
+    (bm25_topk) and the persisted-inverted-index path
+    (bm25_topk_indexed); identical arithmetic => identical hashes."""
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = dfreq.crossJoin(F.broadcast(scal)).select(
         "term",
@@ -125,6 +135,71 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "matched_terms", "score_micro", "rank"
     )
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    postings_path: str,
+    scalars_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_files: int = 8,
+) -> None:
+    """Persist the inverted index: postings(term, doc_id, dl, tf) written
+    term-range-partitioned and term-sorted — so a `term IN (query)`
+    probe prunes whole files/row groups via parquet min/max on the term
+    column — plus the 2-int corpus scalars table.  The index-once/
+    query-many deployment shape: at 100 TB you tokenize the corpus once
+    here, and every query afterwards reads only its terms' postings
+    (bm25_topk re-tokenizes the corpus per query)."""
+    toks = F.expr(tokens_spark(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    ).select("doc_id", F.size("__toks").alias("dl"), "__toks")
+    base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).write.mode("overwrite").parquet(scalars_path)
+    postings = (
+        base.select("doc_id", "dl", F.explode("__toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    (
+        postings.repartitionByRange(num_files, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(postings_path)
+    )
+
+
+def bm25_topk_indexed(
+    spark,
+    postings_path: str,
+    scalars_path: str,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """BM25 top-k against the PERSISTED inverted index
+    (build_inverted_index): the probe filters `term IN (query)` directly
+    on the term-clustered postings table — pushed to the scan, pruning
+    non-matching files/row groups — and reuses the exact scoring tail,
+    so results hash-identically to the tokenize-on-read bm25_topk."""
+    if not query_terms:
+        raise ValueError("bm25_topk_indexed needs at least one query term")
+    tf = spark.read.parquet(postings_path).filter(
+        F.col("term").isin(list(query_terms))
+    )
+    scal = spark.read.parquet(scalars_path).select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    return _score_tf(tf, scal, k1=k1, b=b, k=k)
 
 
 def bm25_oracle_ctes(query_terms: list[str], *, k1: float = K1, b: float = B) -> str:

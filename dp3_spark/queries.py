@@ -2225,6 +2225,48 @@ def _bm25_oracle() -> str:
 _REGISTRY["search_bm25"] = (_search_bm25, _bm25_oracle())
 
 
+def _search_index_fixture(spark, sf_dir: str) -> tuple[str, str]:
+    """Build (once per fixture dir, mtime-keyed) the persisted inverted
+    index: term-clustered postings + corpus scalars
+    (operators/search.build_inverted_index) — FIXTURES.md F7 caches."""
+    import hashlib
+    import os
+    import tempfile
+
+    from dp3_spark.operators import search as SRCH
+
+    src = f"{sf_dir}/documents.parquet"
+    key = hashlib.sha256(
+        f"searchidx-v1|{sf_dir}|{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"dp3_search_idx_{key}")
+    postings, scalars = os.path.join(root, "postings"), os.path.join(root, "scalars")
+    marker = os.path.join(root, "fixture_done")
+    if not os.path.exists(marker):
+        docs = spark.read.parquet(src)
+        SRCH.build_inverted_index(docs, postings, scalars)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return postings, scalars
+
+
+@register("search_bm25_indexed", _bm25_oracle())
+def search_bm25_indexed(spark, sf_dir):
+    """BM25 against the PERSISTED inverted index — the index-once/
+    query-many deployment shape (the dedup family's persisted-signature
+    convention applied to search): the probe reads only the query
+    terms' postings from the term-clustered table (pushed `term IN`
+    prunes files/row groups), and the shared scoring tail makes the
+    result hash-identical to search_bm25's tokenize-on-read answer —
+    the oracle is literally the same SQL."""
+    from dp3_spark.operators import search as SRCH
+
+    postings, scalars = _search_index_fixture(spark, sf_dir)
+    return SRCH.bm25_topk_indexed(
+        spark, postings, scalars, _BM25_TERMS, k=_BM25_K
+    )
+
+
 # Exact-phrase retrieval (operators/search.py phrase_topk): consecutive
 # token sequence over positional postings.  The engine counts matches
 # with per-doc position-array probes after ONE doc-keyed shuffle of the

@@ -92,6 +92,8 @@ SF1_QUERIES = [
     # fold rows), so unlike the banding-geometry-locked LSH/IVF rows the
     # whole PQ pipeline re-derives at 10x; BM25 is posting-linear
     "sim_pq_topk", "sim_pq_recall", "search_bm25", "search_hybrid_rrf",
+    # persisted-inverted-index probe (index rebuilt at 10x, cached)
+    "search_bm25_indexed",
     # exact-phrase retrieval: positional self-join oracle is
     # posting-linear like BM25
     "search_phrase",

@@ -430,3 +430,24 @@ def test_zorder_scan_pushes_both_range_predicates(spark):
     assert "LessThan(user_id,8)" in pushed
     assert "GreaterThanOrEqual(log_time," in pushed
     assert "LessThan(log_time," in pushed
+
+
+def test_bm25_indexed_probe_reads_only_query_term_postings(spark, tmp_path):
+    """The persisted-index probe's scale contract: `term IN (query)` is
+    pushed to the postings scan, and the term-clustered layout actually
+    skips non-matching row groups (scan rows << total postings)."""
+    from dp3_spark.operators import search as SRCH
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p, s = str(tmp_path / "post"), str(tmp_path / "scal")
+    SRCH.build_inverted_index(docs, p, s)
+    total = spark.read.parquet(p).count()
+    df = SRCH.bm25_topk_indexed(spark, p, s, ["dup", "spark"], k=5)
+    txt = formatted(df)
+    pushed = [l for l in txt.splitlines() if "PushedFilters:" in l]
+    assert any("In(term, [dup,spark])" in l for l in pushed), pushed
+    d = spark.read.parquet(p).filter(F.col("term").isin(["dup", "spark"]))
+    d.collect()
+    leaf = d._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    probe_rows = leaf.metrics().apply("numOutputRows").value()
+    assert probe_rows < total * 0.6, (probe_rows, total)
