@@ -4921,9 +4921,18 @@ _PRIORITY_ORDER = [
     # associative-merge contract is now proven by TWO in-window rows:
     # stat_cms_weekly_rollup and the streaming stream_stats_rollup)
     "stat_quantiles_hourly",
-    "stat_sketch_daily",
+    # (stat_sketch_daily rotates to 51+ after green r03-r04 — the
+    # mergeable-sketch contract stays in-window via stat_cms_weekly_rollup
+    # and stat_hll_daily; the DDSketch quantile column itself stays
+    # oracle-pinned locally.  Its slot: the z-order 2D-pruned scan.)
+    "zorder_pruned_scan",
     "stat_catalog_tables",
-    "stat_by_schema",
+    # (stat_by_schema rotates to 51+ after green r03-r04 — grouping-axis
+    # coverage stays via stat_range_hourly + stat_catalog_tables; the
+    # per-schema-hash grouping stays oracle-pinned locally.  Its slot:
+    # the NATIVE watermarked stream-stream interval join, the fourth
+    # stateful-streaming shape.)
+    "stream_interval_attrib",
     "stat_hll_daily",
     # (stat_range_by_producer rotates to 51+: 4th stat_range variant,
     # driver-green r01-r03)
@@ -4970,7 +4979,11 @@ _PRIORITY_ORDER = [
     "dedup_minhash_lsh",
     "dedup_minhash_capped",
     "dedup_incremental",
-    "dedup_simhash",
+    # (dedup_simhash rotates to 51+ after green r01/r03/r04 — the simhash
+    # family stays in-window via dedup_simhash_pairs, which consumes the
+    # same signatures.  Its slot: integer-exact PageRank, the
+    # graph-analytics family beyond connected components.)
+    "graph_pagerank",
     "dedup_simhash_pairs",
     "dedup_clusters",
     # streaming corpus-refresh dedup (r4 verdict ask #5): rotated IN so
