@@ -1,0 +1,294 @@
+"""HTTP service façade — the reference's route table over DP3Engine.
+
+Route parity with server/routes/routes.go:32-68 (the one §2.5 surface
+previously declared a non-goal): every handler was already an engine
+method (engine.py "Service surface" section); this module adds only the
+wire — stdlib ThreadingHTTPServer, JSON request bodies with the
+reference's field names (query.go:34-44, statrange.go:15-22,
+delete.go:14-20, import.go:16-19, export.go:14-20), JSON-lines query
+output, MCAP bytes for /export, and bearer shared-key auth on the
+mutating routes (util/mw/middleware.go:59-77 — the reference itself
+documents shared-key as demo-grade, so stdlib-only is the honest
+equivalent; production fronts Spark with a real gateway).
+
+| route | method | handler |
+|---|---|---|
+| /                                        | GET      | banner "dp3" |
+| /export                                  | POST     | merged-topic MCAP stream |
+| /statrange                               | POST/GET | binned stats for one topic |
+| /databases                               | GET      | database names |
+| /databases/{db}/query                    | POST     | QL -> JSON lines (explain/skeleton/limit/offset) |
+| /databases/{db}/topics                   | GET      | topic list |
+| /databases/{db}/tables                   | GET      | catalog table summary |
+| /databases/{db}/producers                | GET      | producer list |
+| /databases/{db}/schemas/{hash}           | GET      | schema registry lookup (404 on miss) |
+| /databases/{db}/statistics               | GET      | base summary rows |
+| /databases/{db}/statistics/available     | GET      | available-statistics rows |
+| /delete                                  | POST/GET (auth) | tombstone a range |
+| /databases/{db}/import                   | POST (auth) | import MCAP by path |
+| /databases/{db}/producers/{p}/import     | POST (auth) | import MCAP request body |
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from dp3_spark.engine import DP3Engine
+
+
+class DP3Service:
+    """Serve one or more named databases, each backed by a DP3Engine.
+
+    schema_registries: optional {db: registry DataFrame} from
+    read_mcap_schemas for the /schemas/{hash} route."""
+
+    def __init__(
+        self,
+        engines: dict[str, DP3Engine],
+        *,
+        shared_key: str = "",
+        schema_registries: dict | None = None,
+    ):
+        if not engines:
+            raise ValueError("need at least one database")
+        self.engines = engines
+        self.shared_key = shared_key
+        self.schema_registries = schema_registries or {}
+        self._server: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------- wire
+
+    def start(self, host: str = "127.0.0.1", port: int = 0) -> tuple[str, int]:
+        svc = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet test output
+                pass
+
+            def do_GET(self):
+                svc._dispatch(self, "GET")
+
+            def do_POST(self):
+                svc._dispatch(self, "POST")
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self._server.server_address[:2]
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+
+    # -------------------------------------------------------- dispatch
+
+    def _dispatch(self, h: BaseHTTPRequestHandler, method: str) -> None:
+        try:
+            self._route(h, method)
+        except Exception as e:  # surface, never hang the socket
+            name = type(e).__name__
+            if "NotFound" in name:
+                code = 404
+            elif isinstance(e, (ValueError, KeyError)):
+                code = 400
+            else:
+                code = 500
+            _respond(h, code, {"error": f"{name}: {e}"})
+
+    def _route(self, h: BaseHTTPRequestHandler, method: str) -> None:
+        url = urlparse(h.path)
+        parts = [p for p in url.path.split("/") if p]
+        params = {k: v[-1] for k, v in parse_qs(url.query).items()}
+
+        if not parts:
+            _raw(h, 200, b"dp3", "text/plain")
+            return
+        if parts == ["databases"] and method == "GET":
+            _respond(h, 200, sorted(self.engines))
+            return
+        if parts == ["statrange"]:
+            req = {**params, **_body(h)}
+            eng = self._engine(req.get("database"))
+            df = eng.stat_range(
+                topic=req["topic"],
+                start_ns=int(req["start"]),
+                end_ns=int(req["end"]),
+                granularity_ns=int(req["granularity"]),
+                numeric_fields=tuple(req.get("fields") or ("value",)),
+                producer=req.get("producer") or None,
+            )
+            _respond(h, 200, _rows(df))
+            return
+        if parts == ["export"] and method == "POST":
+            req = _body(h)
+            eng = self._engine(req.get("database"))
+            topics = ", ".join(sorted(req["topics"]))
+            ql = f"from {req['producer']} {topics}"
+            if req.get("start") is not None and req.get("end") is not None:
+                ql += f" between {int(req['start'])} and {int(req['end'])}"
+            out = io.BytesIO()
+            eng.query_mcap(ql + ";", out)
+            _raw(h, 200, out.getvalue(), "application/octet-stream")
+            return
+        if parts == ["delete"]:
+            if not self._authed(h):
+                return
+            req = {**params, **_body(h)}
+            eng = self._engine(req.get("database"))
+            v = eng.delete(
+                req["producer"], req["topic"], int(req["start"]), int(req["end"])
+            )
+            _respond(h, 200, {"version": v})
+            return
+
+        if len(parts) >= 2 and parts[0] == "databases":
+            db = parts[1]
+            eng = self._engine(db)
+            rest = parts[2:]
+            if rest == ["query"] and method == "POST":
+                self._query(h, eng)
+                return
+            if rest == ["topics"]:
+                _respond(h, 200, eng.topics())
+                return
+            if rest == ["producers"]:
+                _respond(h, 200, eng.producers())
+                return
+            if rest == ["tables"]:
+                df = eng.tables()
+                if params.get("producer"):
+                    df = df.filter(df["producer"] == params["producer"])
+                if params.get("topic"):
+                    df = df.filter(df["topic"] == params["topic"])
+                _respond(h, 200, _rows(df))
+                return
+            if len(rest) == 2 and rest[0] == "schemas":
+                from dp3_spark.sources.mcap import schema_by_hash
+
+                reg = self.schema_registries.get(db)
+                if reg is None:
+                    _respond(h, 404, {"error": f"no schema registry for {db}"})
+                    return
+                row = schema_by_hash(reg, rest[1])
+                d = row.asDict()
+                d["schema_data"] = bytes(d["schema_data"]).decode(
+                    "utf-8", "replace"
+                )
+                _respond(h, 200, d)
+                return
+            if rest == ["statistics"]:
+                df = eng.summarize(
+                    granularity_ns=int(params.get("granularity", 60 * 10**9)),
+                    numeric_fields=tuple(
+                        (params.get("fields") or "value").split(",")
+                    ),
+                )
+                if params.get("topic"):
+                    df = df.filter(df["topic"] == params["topic"])
+                _respond(h, 200, _rows(df))
+                return
+            if rest == ["statistics", "available"]:
+                _respond(h, 200, _rows(eng.available_statistics()))
+                return
+            if rest == ["import"] and method == "POST":
+                if not self._authed(h):
+                    return
+                req = _body(h)
+                v = eng.import_mcap([(req["path"], req["producer"])])
+                _respond(h, 200, {"version": v})
+                return
+            if len(rest) == 3 and rest[0] == "producers" and rest[2] == "import":
+                if not self._authed(h):
+                    return
+                data = _raw_body(h)
+                with tempfile.NamedTemporaryFile(suffix=".mcap") as f:
+                    f.write(data)
+                    f.flush()
+                    v = eng.import_mcap([(f.name, rest[1])])
+                _respond(h, 200, {"version": v})
+                return
+        _respond(h, 404, {"error": f"no route for {method} {url.path}"})
+
+    # -------------------------------------------------------- handlers
+
+    def _query(self, h: BaseHTTPRequestHandler, eng: DP3Engine) -> None:
+        req = _body(h)
+        stmt = req["query"]
+        if req.get("explain"):
+            df = eng.execute(stmt)
+            txt = "" if df is None else df._jdf.queryExecution().toString()
+            _respond(h, 200, {"explain": txt})
+            return
+        lines_df = eng.query_json(stmt, skeleton=bool(req.get("skeleton")))
+        if lines_df is None:  # truncate statement
+            _respond(h, 200, {"ok": True})
+            return
+        # toJSON() yields plain strings (RDD) in classic Spark, Rows in
+        # some connect shims — accept both
+        lines = [r if isinstance(r, str) else r[0] for r in lines_df.collect()]
+        off = int(req.get("offset") or 0)
+        lim = int(req.get("limit") or 0)
+        if off:
+            lines = lines[off:]
+        if lim:
+            lines = lines[:lim]
+        _raw(h, 200, ("\n".join(lines) + "\n").encode(), "application/json")
+
+    # --------------------------------------------------------- helpers
+
+    def _engine(self, db: str | None) -> DP3Engine:
+        if db is None:
+            if len(self.engines) == 1:
+                return next(iter(self.engines.values()))
+            raise ValueError("database is required")
+        if db not in self.engines:
+            raise KeyError(f"unknown database {db!r}")
+        return self.engines[db]
+
+    def _authed(self, h: BaseHTTPRequestHandler) -> bool:
+        if not self.shared_key:
+            return True
+        tok = h.headers.get("Authorization", "")
+        if tok.removeprefix("Bearer ").strip() == self.shared_key:
+            return True
+        _respond(h, 401, {"error": "invalid token"})
+        return False
+
+
+def _body(h: BaseHTTPRequestHandler) -> dict:
+    data = _raw_body(h)
+    if not data:
+        return {}
+    out = json.loads(data)
+    if not isinstance(out, dict):
+        raise ValueError("request body must be a JSON object")
+    return out
+
+
+def _raw_body(h: BaseHTTPRequestHandler) -> bytes:
+    n = int(h.headers.get("Content-Length") or 0)
+    return h.rfile.read(n) if n else b""
+
+
+def _rows(df) -> list[dict]:
+    return [json.loads(s) for s in df.toJSON().collect()]
+
+
+def _respond(h: BaseHTTPRequestHandler, code: int, obj) -> None:
+    _raw(h, code, json.dumps(obj).encode(), "application/json")
+
+
+def _raw(h: BaseHTTPRequestHandler, code: int, data: bytes, ctype: str) -> None:
+    h.send_response(code)
+    h.send_header("Content-Type", ctype)
+    h.send_header("Content-Length", str(len(data)))
+    h.end_headers()
+    h.wfile.write(data)

@@ -1,0 +1,195 @@
+"""HTTP service façade (dp3_spark/service.py): the reference's route
+table (routes/routes.go:32-68) served over DP3Engine — banner, query
+(JSON lines / explain / skeleton / limit), catalog listings, statrange,
+statistics, schemas, export (MCAP bytes), and the authed delete/import
+mutations, end-to-end over a real socket."""
+
+import io
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from dp3_spark.catalog import events_log_store
+from dp3_spark.engine import DP3Engine
+from dp3_spark.service import DP3Service
+from dp3_spark.streaming.lifecycle import VersionedLogTable
+
+SF = "/root/testdata/sf0.001"
+KEY = "sekrit"
+
+
+@pytest.fixture(scope="module")
+def svc(spark, tmp_path_factory):
+    store = events_log_store(spark, SF, us_truncate=True)
+    ro = DP3Engine(spark, store=store)
+    d = tmp_path_factory.mktemp("svc_table")
+    table = VersionedLogTable(spark, str(d))
+    rows = [("dev1", "/a", 10 + i * 10, i, float(i)) for i in range(4)]
+    table.append(
+        spark.createDataFrame(
+            rows,
+            "producer string, topic string, log_time long, sequence long, v double",
+        )
+    )
+    s = DP3Service(
+        {"events": ro, "scratch": DP3Engine(spark, table=table)}, shared_key=KEY
+    )
+    host, port = s.start()
+    yield f"http://{host}:{port}"
+    s.stop()
+
+
+def _req(url, body=None, *, auth=None, raw=False, method=None):
+    data = None
+    headers = {}
+    if body is not None:
+        data = body if isinstance(body, bytes) else json.dumps(body).encode()
+        headers["Content-Type"] = "application/json"
+    if auth:
+        headers["Authorization"] = f"Bearer {auth}"
+    r = urllib.request.Request(url, data=data, headers=headers, method=method)
+    with urllib.request.urlopen(r) as resp:
+        out = resp.read()
+    return out if raw else json.loads(out)
+
+
+def test_banner_and_databases(svc):
+    assert _req(f"{svc}/", raw=True) == b"dp3"
+    assert _req(f"{svc}/databases") == ["events", "scratch"]
+
+
+def test_query_json_lines_limit(svc):
+    body = {"query": "from * click;", "limit": 3}
+    out = _req(f"{svc}/databases/events/query", body, raw=True)
+    lines = [json.loads(l) for l in out.decode().strip().split("\n")]
+    assert len(lines) == 3
+    assert all(l["topic"] == "click" for l in lines)
+    assert "data" in lines[0] and "log_time" in lines[0]
+    # skeleton strips payloads
+    body["skeleton"] = True
+    out = _req(f"{svc}/databases/events/query", body, raw=True)
+    assert "data" not in json.loads(out.decode().splitlines()[0])
+
+
+def test_query_explain(svc):
+    out = _req(
+        f"{svc}/databases/events/query",
+        {"query": "from * click;", "explain": True},
+    )
+    assert "Physical Plan" in out["explain"] or "Scan" in out["explain"]
+
+
+def test_catalog_routes(svc):
+    topics = _req(f"{svc}/databases/events/topics")
+    assert "click" in topics
+    producers = _req(f"{svc}/databases/events/producers")
+    assert len(producers) > 0
+    tables = _req(f"{svc}/databases/events/tables?topic=click")
+    assert tables and all(t["topic"] == "click" for t in tables)
+
+
+def test_statrange_and_statistics(svc):
+    bins = _req(
+        f"{svc}/statrange",
+        {
+            "database": "events",
+            "topic": "click",
+            "start": 1704067200000000000,
+            "end": 1706745600000000000,
+            "granularity": 86400 * 10**9,
+        },
+    )
+    assert bins and all(b["message_count"] > 0 for b in bins)
+    avail = _req(f"{svc}/databases/events/statistics/available")
+    assert avail
+    stats = _req(f"{svc}/databases/events/statistics?topic=click")
+    assert stats and all(s["topic"] == "click" for s in stats)
+
+
+def test_statrange_too_granular_is_400(svc):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(
+            f"{svc}/statrange",
+            {
+                "database": "events",
+                "topic": "click",
+                "start": 0,
+                "end": 10**18,
+                "granularity": 1,
+            },
+        )
+    assert e.value.code == 400
+
+
+def test_delete_requires_auth_then_tombstones(svc):
+    body = {
+        "database": "scratch",
+        "producer": "dev1",
+        "topic": "/a",
+        "start": 15,
+        "end": 35,
+    }
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(f"{svc}/delete", body)
+    assert e.value.code == 401
+    out = _req(f"{svc}/delete", body, auth=KEY)
+    assert out["version"] >= 2
+    lines = _req(
+        f"{svc}/databases/scratch/query", {"query": "from dev1 /a;"}, raw=True
+    )
+    times = [json.loads(l)["log_time"] for l in lines.decode().strip().split("\n")]
+    assert times == ["0.000000010", "0.000000040"]  # 20 and 30 tombstoned
+
+
+def test_import_by_path_and_stream(svc, tmp_path):
+    from test_mcap_codec import fix_mcap_bytes
+
+    p = tmp_path / "fix.mcap"
+    p.write_bytes(fix_mcap_bytes(n=5))
+    out = _req(
+        f"{svc}/databases/scratch/import",
+        {"producer": "robot", "path": str(p)},
+        auth=KEY,
+    )
+    assert out["version"] >= 3
+    lines = _req(
+        f"{svc}/databases/scratch/query", {"query": "from robot /fix;"}, raw=True
+    )
+    assert len(lines.decode().strip().split("\n")) == 5
+    # raw-body stream import under a different producer
+    out2 = _req(
+        f"{svc}/databases/scratch/producers/robot2/import",
+        fix_mcap_bytes(n=3),
+        auth=KEY,
+    )
+    assert out2["version"] > out["version"]
+    lines = _req(
+        f"{svc}/databases/scratch/query", {"query": "from robot2 /fix;"}, raw=True
+    )
+    assert len(lines.decode().strip().split("\n")) == 3
+
+
+def test_export_returns_mcap_stream(svc):
+    from dp3_spark.sources.mcap_codec import iter_mcap
+
+    out = _req(
+        f"{svc}/export",
+        {"database": "scratch", "producer": "dev1", "topics": {"/a": 0}},
+        raw=True,
+    )
+    assert out.startswith(b"\x89MCAP")
+    layout = iter_mcap(io.BytesIO(out))
+    assert sum(1 for _ in layout) >= 1
+
+
+def test_unknown_routes(svc):
+    for url, code in [
+        (f"{svc}/nope", 404),
+        (f"{svc}/databases/nodb/topics", 400),
+        (f"{svc}/databases/events/schemas/deadbeef", 404),
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(url)
+        assert e.value.code == code, url
