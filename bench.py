@@ -118,7 +118,12 @@ SCALING = [
     "decontam_fuzzy",         # eval-probe decontam (broadcast batch side)
     "dedup_clusters",         # pairs -> connected components
     "stream_stats_rollup",    # streaming: multi-micro-batch ingest stats
+    "stream_interval_attrib", # streaming: native stream-stream join drain
     "lifecycle_delete_versions",  # versioned table: bucketed layout writes
+    # the two flat-at-10x rows — data skipping and index-once/query-many:
+    # wall-clock should track the MATCHED volume, not the corpus
+    "zorder_pruned_scan",
+    "search_bm25_indexed",
 ]
 
 
