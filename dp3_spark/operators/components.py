@@ -242,6 +242,8 @@ def pagerank_int(
     needed."""
     nodes = docs.select(F.col(id_col).alias("id"))
     n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank_int needs a non-empty docs frame")
     base = ((scale // n) * 3) // 20
     edges = pairs.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")

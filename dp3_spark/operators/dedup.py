@@ -690,7 +690,9 @@ def minhash_lsh_pairs_incremental(
     # transport; on broadcast, dedup the verified output instead
     if verify == "shuffle":
         return _verify_shuffle(cand.distinct().repartition(2 * par), all_sigs, threshold)
-    if n_idx is None:
+    if n_new <= PROBE_BROADCAST_MAX_ROWS and n_idx is None:
+        # only pay the (footer-answered) count when the slice is even
+        # possible — a huge batch skips it regardless of index size
         n_idx = index_sigs.count()
     if n_new <= PROBE_BROADCAST_MAX_ROWS and n_idx > ENDPOINT_SLICE_MIN_INDEX_ROWS:
         # probe refinement: the broadcast transport collects (id, shingles)

@@ -157,20 +157,25 @@ def build_inverted_index(
     base = docs.select(
         F.col(id_col).alias("doc_id"), toks.alias("__toks")
     ).select("doc_id", F.size("__toks").alias("dl"), "__toks")
-    base.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).write.mode("overwrite").parquet(scalars_path)
-    postings = (
-        base.select("doc_id", "dl", F.explode("__toks").alias("term"))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    (
-        postings.repartitionByRange(num_files, "term")
-        .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite")
-        .parquet(postings_path)
-    )
+    # one tokenize pass feeds both writes (scalars + postings)
+    base = base.persist()
+    try:
+        base.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+        ).write.mode("overwrite").parquet(scalars_path)
+        postings = (
+            base.select("doc_id", "dl", F.explode("__toks").alias("term"))
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        (
+            postings.repartitionByRange(num_files, "term")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .parquet(postings_path)
+        )
+    finally:
+        base.unpersist()
 
 
 def bm25_topk_indexed(

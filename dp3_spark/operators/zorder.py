@@ -50,6 +50,9 @@ def zvalue_frame(
         raise ValueError("zorder takes 1-4 dimensions")
     if bits * k > 62:
         raise ValueError(f"bits*dims must be <= 62, got {bits}*{k}")
+    reserved = {out_col, *(f"_zq{i}" for i in range(k))} & set(df.columns)
+    if reserved:
+        raise ValueError(f"column names reserved by zorder: {sorted(reserved)}")
     if stats is None:
         row = df.agg(
             *[F.min(c).alias(f"mn{i}") for i, c in enumerate(cols)],

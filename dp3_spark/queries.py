@@ -2225,29 +2225,49 @@ def _bm25_oracle() -> str:
 _REGISTRY["search_bm25"] = (_search_bm25, _bm25_oracle())
 
 
-def _search_index_fixture(spark, sf_dir: str) -> tuple[str, str]:
-    """Build (once per fixture dir, mtime-keyed) the persisted inverted
-    index: term-clustered postings + corpus scalars
-    (operators/search.build_inverted_index) — FIXTURES.md F7 caches."""
+def _derived_fixture(prefix: str, tag: str, sf_dir: str, src_file: str, build) -> str:
+    """Shared mtime-keyed /tmp cache for derived query fixtures
+    (FIXTURES.md F7): key = sha256(tag|sf_dir|mtime(src)) so a
+    regenerated source invalidates; stale partial dirs are cleared
+    before rebuild; the completion marker is written LAST.  build(root)
+    writes the artifacts under root.  Returns root."""
     import hashlib
     import os
+    import shutil
     import tempfile
+
+    src = os.path.join(sf_dir, src_file)
+    key = hashlib.sha256(
+        f"{tag}|{sf_dir}|{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"{prefix}_{key}")
+    marker = os.path.join(root, "fixture_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        build(root)
+        os.makedirs(root, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root
+
+
+def _search_index_fixture(spark, sf_dir: str) -> tuple[str, str]:
+    """Persisted inverted index: term-clustered postings + corpus scalars
+    (operators/search.build_inverted_index)."""
+    import os
 
     from dp3_spark.operators import search as SRCH
 
-    src = f"{sf_dir}/documents.parquet"
-    key = hashlib.sha256(
-        f"searchidx-v1|{sf_dir}|{os.path.getmtime(src)}".encode()
-    ).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), f"dp3_search_idx_{key}")
-    postings, scalars = os.path.join(root, "postings"), os.path.join(root, "scalars")
-    marker = os.path.join(root, "fixture_done")
-    if not os.path.exists(marker):
-        docs = spark.read.parquet(src)
-        SRCH.build_inverted_index(docs, postings, scalars)
-        with open(marker, "w") as f:
-            f.write("ok")
-    return postings, scalars
+    def build(root):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        SRCH.build_inverted_index(
+            docs, os.path.join(root, "postings"), os.path.join(root, "scalars")
+        )
+
+    root = _derived_fixture(
+        "dp3_search_idx", "searchidx-v1", sf_dir, "documents.parquet", build
+    )
+    return os.path.join(root, "postings"), os.path.join(root, "scalars")
 
 
 @register("search_bm25_indexed", _bm25_oracle())
@@ -4349,30 +4369,25 @@ def _zorder_fixture(spark, sf_dir: str) -> str:
     layout operators/zorder.py provides.  The locality payoff itself is
     pinned by tests/test_zorder.py scan metrics; this fixture feeds the
     correctness gate (pruned scan == unpruned oracle)."""
-    import hashlib
     import os
-    import tempfile
 
     from dp3_spark.operators import zorder as Z
 
-    src = f"{sf_dir}/events.parquet"
-    key = hashlib.sha256(
-        f"zorder-v1|{sf_dir}|{os.path.getmtime(src)}".encode()
-    ).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), f"dp3_zorder_{key}")
-    tbl = os.path.join(root, "events_z")
-    marker = os.path.join(root, "fixture_done")
-    if not os.path.exists(marker):
+    def build(root):
         store = events_log_store(spark, sf_dir, us_truncate=True)
         ev = store.normalized().select(
             F.col("producer").cast("long").alias("user_id"),
             "topic", "log_time", "sequence", "value",
         )
-        Z.zorder_write(ev, tbl, ["user_id", "log_time"], bits=16, num_files=32)
-        os.makedirs(root, exist_ok=True)
-        with open(marker, "w") as f:
-            f.write("ok")
-    return tbl
+        Z.zorder_write(
+            ev, os.path.join(root, "events_z"), ["user_id", "log_time"],
+            bits=16, num_files=32,
+        )
+
+    root = _derived_fixture(
+        "dp3_zorder", "zorder-v1", sf_dir, "events.parquet", build
+    )
+    return os.path.join(root, "events_z")
 
 
 _Z_T0 = 1704844800000000000  # 2024-01-10
@@ -4790,34 +4805,27 @@ def decontam_fuzzy(spark, sf_dir):
     once per fixture dir, mtime-keyed — FIXTURES.md derived-fixture
     caches), so the timed/gated path is the probe itself, not
     re-signaturing the corpus every run."""
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from dp3_spark.operators import decontam as DC
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     train = docs.filter(F.col("doc_id") % 37 != 0)
     evl = docs.filter(F.col("doc_id") % 37 == 0)
-    src = f"{sf_dir}/documents.parquet"
-    key = hashlib.sha256(
-        f"decontam-v2|{sf_dir}|{os.path.getmtime(src)}".encode()
-    ).hexdigest()[:16]
-    seed = os.path.join(tempfile.gettempdir(), f"dp3_decontam_sigs_{key}")
-    marker = os.path.join(seed, "_done")
-    if not os.path.exists(marker):
-        shutil.rmtree(seed, ignore_errors=True)
+
+    def build(root):
         par = spark.sparkContext.defaultParallelism
         DD.minhash_signatures(
             train.repartition(par), "doc_id", "text", n=3, num_hashes=128
-        ).write.mode("overwrite").parquet(os.path.join(seed, "sigs"))
-        sigs = spark.read.parquet(os.path.join(seed, "sigs"))
+        ).write.mode("overwrite").parquet(os.path.join(root, "sigs"))
+        sigs = spark.read.parquet(os.path.join(root, "sigs"))
         DD._banded_frame(sigs, 16, 128 // 16).select(
             "id", "band", "band_key"
-        ).write.mode("overwrite").parquet(os.path.join(seed, "bands"))
-        with open(marker, "w") as f:
-            f.write("ok")
+        ).write.mode("overwrite").parquet(os.path.join(root, "bands"))
+
+    seed = _derived_fixture(
+        "dp3_decontam_sigs", "decontam-v2", sf_dir, "documents.parquet", build
+    )
     return DC.minhash_contamination(
         train, evl, "doc_id", "text", n=3, num_hashes=128, bands=16,
         threshold=_FUZZY_TAU,

@@ -122,7 +122,7 @@ class DP3Service:
                 start_ns=int(req["start"]),
                 end_ns=int(req["end"]),
                 granularity_ns=int(req["granularity"]),
-                numeric_fields=tuple(req.get("fields") or ("value",)),
+                numeric_fields=_fields(req.get("fields")),
                 producer=req.get("producer") or None,
             )
             _respond(h, 200, _rows(df))
@@ -187,9 +187,7 @@ class DP3Service:
             if rest == ["statistics"]:
                 df = eng.summarize(
                     granularity_ns=int(params.get("granularity", 60 * 10**9)),
-                    numeric_fields=tuple(
-                        (params.get("fields") or "value").split(",")
-                    ),
+                    numeric_fields=_fields(params.get("fields")),
                 )
                 if params.get("topic"):
                     df = df.filter(df["topic"] == params["topic"])
@@ -227,19 +225,24 @@ class DP3Service:
             txt = "" if df is None else df._jdf.queryExecution().toString()
             _respond(h, 200, {"explain": txt})
             return
-        lines_df = eng.query_json(stmt, skeleton=bool(req.get("skeleton")))
-        if lines_df is None:  # truncate statement
+        from dp3_spark.output import to_json_lines
+
+        df = eng.execute(stmt)
+        if df is None:  # truncate statement
             _respond(h, 200, {"ok": True})
             return
-        # toJSON() yields plain strings (RDD) in classic Spark, Rows in
-        # some connect shims — accept both
-        lines = [r if isinstance(r, str) else r[0] for r in lines_df.collect()]
         off = int(req.get("offset") or 0)
         lim = int(req.get("limit") or 0)
+        if lim:
+            # bound the collect BEFORE it happens: QL output is
+            # time-ordered by construction, so limit(off+lim) is the
+            # deterministic head — never materialize the full table on
+            # the service process for a limited request
+            df = df.limit(off + lim)
+        lines_df = to_json_lines(df, skeleton=bool(req.get("skeleton")))
+        lines = _strs(lines_df.collect())
         if off:
             lines = lines[off:]
-        if lim:
-            lines = lines[:lim]
         _raw(h, 200, ("\n".join(lines) + "\n").encode(), "application/json")
 
     # --------------------------------------------------------- helpers
@@ -256,11 +259,27 @@ class DP3Service:
     def _authed(self, h: BaseHTTPRequestHandler) -> bool:
         if not self.shared_key:
             return True
+        import hmac
+
         tok = h.headers.get("Authorization", "")
-        if tok.removeprefix("Bearer ").strip() == self.shared_key:
+        # bearer scheme required (middleware.go parseBearerToken parity);
+        # constant-time compare
+        if tok.startswith("Bearer ") and hmac.compare_digest(
+            tok[len("Bearer "):].strip(), self.shared_key
+        ):
             return True
         _respond(h, 401, {"error": "invalid token"})
         return False
+
+
+def _fields(v) -> tuple[str, ...]:
+    """fields arrive as a JSON list (POST body) or a comma-joined string
+    (GET query param) — a bare string must split, never char-iterate."""
+    if not v:
+        return ("value",)
+    if isinstance(v, str):
+        return tuple(s for s in v.split(",") if s)
+    return tuple(v)
 
 
 def _body(h: BaseHTTPRequestHandler) -> dict:
@@ -278,8 +297,14 @@ def _raw_body(h: BaseHTTPRequestHandler) -> bytes:
     return h.rfile.read(n) if n else b""
 
 
+def _strs(collected) -> list[str]:
+    """toJSON() yields plain strings (RDD) in classic Spark, Rows in some
+    connect shims — accept both."""
+    return [r if isinstance(r, str) else r[0] for r in collected]
+
+
 def _rows(df) -> list[dict]:
-    return [json.loads(s) for s in df.toJSON().collect()]
+    return [json.loads(s) for s in _strs(df.toJSON().collect())]
 
 
 def _respond(h: BaseHTTPRequestHandler, code: int, obj) -> None:
