@@ -46,6 +46,7 @@ HEADLINE = [
     "stat_cms_weekly_rollup", # CountMin daily build + mergeable weekly rollup
     "stat_twa_daily",         # time-weighted avg (exact int64 weights)
     "events_sessionize",      # stateful sessionization
+    "events_session_native",  # BUILT-IN session_window aggregation
     # streaming drains (r4 verdict ask #9): micro-batch overhead tracked
     # round-over-round like batch queries — availableNow drains, so the
     # number includes stream bootstrap + checkpoint + state maintenance

@@ -13,7 +13,7 @@ rollup whose result is broadcast back (the corpus itself never shuffles).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -77,6 +77,50 @@ def deterministic_sample(
 def deterministic_sample_oracle_pred(id_col: str, *, fraction: float, salt: str = "") -> str:
     _, b_d = _bucket_exprs(id_col, salt, 1_000_000)
     return f"({b_d}) < {int(fraction * 1_000_000)}"
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    *,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exact k-per-group deterministic sample — the fixed-SIZE complement
+    of domain_mix's fixed-RATE sampling (stratified eval sets, per-domain
+    audit samples): rank rows within each group by the md5 hex of
+    (id || salt) — a fixed random-looking order both engines reproduce
+    byte-identically — and keep the first k (ties broken by id; md5
+    collisions on distinct ids are not a concern for ordering since the
+    id tiebreak is total).  Output adds `sample_rank` (1..k).
+
+    Scale shape: ONE window partitioned by the group column — per-group
+    work only, no global sort; groups smaller than k pass through
+    whole."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def sample_k_per_group_oracle(
+    id_col: str, group_col: str, *, k: int, salt: str = "", src: str = "documents"
+) -> str:
+    """DuckDB re-derivation: identical md5-hex ordering window."""
+    key = f"md5(concat(cast({id_col} as varchar), '{salt}'))"
+    return f"""
+    select * from (
+      select *, cast(row_number() over (
+        partition by {group_col} order by {key}, {id_col}
+      ) as int) as sample_rank
+      from {src}) t
+    where sample_rank <= {k}
+    """
 
 
 def _mix_threshold_exprs(

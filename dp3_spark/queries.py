@@ -4640,6 +4640,74 @@ def _split_oracle() -> str:
     """
 
 
+def _sample_k_oracle() -> str:
+    from dp3_spark.operators import sampling as SA
+
+    inner = SA.sample_k_per_group_oracle("doc_id", "source", k=3, salt="audit")
+    return f"select doc_id, source, sample_rank from ({inner}) s"
+
+
+@register("sample_k_per_domain", _sample_k_oracle())
+def sample_k_per_domain(spark, sf_dir):
+    """Exact k-per-domain deterministic sample
+    (operators/sampling.sample_k_per_group): 3 documents per source by
+    stable md5 order — the fixed-SIZE stratified complement of
+    mix_domains' fixed-RATE sampling (per-domain audit/eval draws that
+    never change across corpus refreshes).  One window partitioned by
+    domain; no global sort, no RNG."""
+    from dp3_spark.operators import sampling as SA
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return SA.sample_k_per_group(docs, "doc_id", "source", k=3, salt="audit").select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+@register(
+    "events_session_native",
+    f"""
+    with t as (select user_id, epoch_ns(ts) as t from events),
+    l as (select *, lag(t) over (partition by user_id order by t) as pt from t),
+    s as (select *, case when pt is null or t - pt > {30 * 60 * NS}
+                         then 1 else 0 end as new_s from l),
+    sid as (select *, sum(new_s) over (partition by user_id order by t
+             rows between unbounded preceding and current row) as sess from s)
+    select user_id, min(t) as session_start,
+           max(t) + {30 * 60 * NS} as session_end,
+           cast(count(*) as bigint) as n_events
+    from sid group by user_id, sess
+    """,
+)
+def events_session_native(spark, sf_dir):
+    """Sessionization via Spark's BUILT-IN session_window aggregation —
+    the native idiom next to the repo's two custom formulations (the
+    window-SQL events_sessionize and the applyInPandasWithState
+    streaming drain): groupBy(user, session_window(ts, gap)) merges
+    events into gap-closed sessions inside one aggregate, window.end =
+    last event + gap by definition.  The oracle re-derives the same
+    sessions with the lag/gap CTE — two independent formulations.
+    Timestamps normalized exactly as stream_interval_attrib (µs
+    timestamps either fixture generation)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type.startswith("timestamp"):
+        tsc = F.col("ts").cast("timestamp")
+    else:
+        tsc = F.timestamp_micros(F.expr("ts div 1000"))
+    g = (
+        ev.select(F.col("user_id").cast("long").alias("user_id"), tsc.alias("tsc"))
+        .groupBy("user_id", F.session_window("tsc", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return g.select(
+        "user_id",
+        (F.unix_micros("w.start") * F.lit(1000)).alias("session_start"),
+        (F.unix_micros("w.end") * F.lit(1000)).alias("session_end"),
+        "n_events",
+    )
+
+
 @register("split_train_test", _split_oracle())
 def split_train_test(spark, sf_dir):
     """Deterministic id-hash train/val/test split (operators/sampling.py):

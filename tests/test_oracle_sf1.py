@@ -76,6 +76,8 @@ SF1_QUERIES = [
     # oracle DuckDB's native IEJoin — live at 10x user-density where the
     # broadcast side flips to shuffle
     "events_interval_overlap",
+    # built-in session_window aggregation + exact k-per-group sample
+    "events_session_native", "sample_k_per_domain",
     # native stream-stream join drain: sf1 is a DIRECTORY of part files,
     # so the file source really batches — the fixture-span watermark
     # determinism claim is live here
