@@ -1858,6 +1858,52 @@ group by cube (l_returnflag, l_linestatus)
 """
 _REGISTRY["rel_cube_agg"] = _sql_pair(_CUBE)
 
+# PIVOT shape — expressed as portable conditional aggregation (one
+# CASE-sum per pivoted value), the text Spark AND DuckDB both run
+# verbatim; Spark's PIVOT clause compiles to exactly this plan, so the
+# aggregate shape under test is identical while the oracle stays
+# dialect-free.  Fixed-point cents for the hash gate.
+_PIVOT = """
+select o_orderpriority,
+  cast(sum(case when o_orderstatus = 'F'
+                then cast(round(o_totalprice * 100) as bigint) else 0 end)
+       as bigint) as total_f_c,
+  cast(sum(case when o_orderstatus = 'O'
+                then cast(round(o_totalprice * 100) as bigint) else 0 end)
+       as bigint) as total_o_c,
+  cast(sum(case when o_orderstatus = 'P'
+                then cast(round(o_totalprice * 100) as bigint) else 0 end)
+       as bigint) as total_p_c,
+  count(*) as n_orders
+from orders
+group by o_orderpriority
+"""
+_REGISTRY["rel_pivot_status"] = _sql_pair(_PIVOT)
+
+# max_by/min_by native aggregates (arg_max/arg_min in DuckDB): for each
+# market segment, which customer carries the largest account balance and
+# the balance extremes — the argmax aggregate class none of the other
+# relational shapes exercise.  Balances TIE under the sf1 weak-scaling
+# copies (n_at_max = 10 there), and argmax under ties is
+# engine-arbitrary, so the ordering key composes (balance-cents,
+# custkey) into one strictly-unique int64 (bal_c * 2^30 + key; bal_c <=
+# 1e6, key < 2^30 — lexicographic and overflow-free): ties resolve to
+# the highest custkey identically on both engines.
+_ARGMAX_SPARK = """
+select c_mktsegment,
+  max_by(c_custkey,
+         cast(round(c_acctbal * 100) as bigint) * 1073741824 + c_custkey)
+    as top_custkey,
+  cast(round(max(c_acctbal) * 100) as bigint) as max_bal_c,
+  cast(round(min(c_acctbal) * 100) as bigint) as min_bal_c,
+  cast(sum(case when c_acctbal = mx then 1 else 0 end) as bigint) as n_at_max
+from (select *, max(c_acctbal) over (partition by c_mktsegment) as mx
+      from customer) t
+group by c_mktsegment
+"""
+_ARGMAX_DUCK = _ARGMAX_SPARK.replace("max_by(", "arg_max(")
+_REGISTRY["rel_argmax_customer"] = _sql_pair(_ARGMAX_SPARK, _ARGMAX_DUCK)
+
 
 # --- events analytics: funnel + retention (window/self-join shapes the
 # events stream exercises beyond the dp3 surface) ----------------------

@@ -112,6 +112,7 @@ SF1_QUERIES = [
     "window_running_total", "window_moving_avg", "window_top_customers",
     "rel_cube_agg", "rel_correlated_subquery", "rel_distinct_agg",
     "rel_rollup_agg", "rel_semi_anti", "rel_set_except", "rel_set_intersect",
+    "rel_pivot_status", "rel_argmax_customer",
     # training-data pipeline compositions + lifecycle versioned reads
     # (pack_greedy_bins excluded: first-fit packing is sequential by
     # definition, so its oracle is a one-row-per-iteration recursive CTE
