@@ -41,6 +41,7 @@ class DP3Engine:
         self.spark = spark
         self.table = table
         self._explicit_store = store
+        self._summary = None  # SummaryStore when attached (serve-from-summary)
 
     def _store(self) -> LogStore:
         if self._explicit_store is not None:
@@ -105,16 +106,50 @@ class DP3Engine:
         # both would shuffle the full decoded rows twice
         return self.table.append(read_mcap(self.spark, files))
 
-    def summarize(self, **kwargs) -> DataFrame:
-        """Base statistics summary (routes/statrange.go family)."""
+    def build_summary_store(self, path: str, **kwargs):
+        """Build + attach the persisted base summary table that stat_range
+        and summarize then serve from (the reference's serve-stats-from-
+        stored-inner-nodes design, tree/tree.go:214-258).  In the streaming
+        deployment the table is maintained incrementally instead
+        (streaming/ingest.summary_maintainer); attach that store with
+        attach_summary_store."""
         from dp3_spark.operators import stats as STAT
 
+        self._summary = STAT.write_summary_store(self._store(), path, **kwargs)
+        return self._summary
+
+    def attach_summary_store(self, path: str, **kwargs):
+        """Attach an existing summary store (written by build_summary_store
+        or appended by a summary_maintainer drain) for serving."""
+        from dp3_spark.operators.stats import SummaryStore
+
+        self._summary = SummaryStore(self.spark, path, **kwargs)
+        return self._summary
+
+    def summarize(self, **kwargs) -> DataFrame:
+        """Base statistics summary (routes/statrange.go family).  Served by
+        merging the attached summary store when the request's axes/fields
+        are maintained there; full-corpus aggregation only as fallback."""
+        from dp3_spark.operators import stats as STAT
+
+        if self._summary is not None:
+            g = kwargs.get("granularity_ns", STAT.DEFAULT_GRANULARITY_NS)
+            try:
+                return self._summary.summarize(**{**kwargs, "granularity_ns": g})
+            except ValueError:
+                pass  # unmaintained axis/field/granularity: fall back to raw
         return STAT.summarize(self._store(), **kwargs)
 
     def stat_range(self, **kwargs) -> DataFrame:
-        """GET /statrange analog — binned stats for one topic."""
+        """GET /statrange analog — binned stats for one topic.  Serves from
+        the attached summary store whenever the request merges whole base
+        buckets (granularity a multiple of the base, window bucket-aligned,
+        fields maintained); hash-equality of the two paths is gated by the
+        stat_range_served driver row."""
         from dp3_spark.operators import stats as STAT
 
+        if self._summary is not None and self._summary.can_serve(**kwargs):
+            return self._summary.stat_range(**kwargs)
         return STAT.stat_range(self._store(), **kwargs)
 
     def available_statistics(self) -> DataFrame:

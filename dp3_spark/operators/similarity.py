@@ -510,7 +510,12 @@ def embedding_dup_pairs_lsh(
     instead of quadratic in bucket occupancy (the round-5 scaling fix)."""
     if verify not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"unknown verify mode {verify!r}")
-    n_corpus = df.count()  # parquet footer count; also drives verify gate
+    # count (parquet footer job) only when something needs it: auto LSH
+    # geometry and/or the auto verify-transport gate — a caller supplying
+    # planes, bands AND an explicit verify mode pays no extra job
+    n_corpus = None
+    if planes is None or bands is None or verify == "auto":
+        n_corpus = df.count()
     if planes is None or bands is None:
         auto_planes, auto_bands = lsh_geometry(n_corpus)
         planes = planes if planes is not None else auto_planes

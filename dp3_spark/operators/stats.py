@@ -201,6 +201,235 @@ def stat_range(
     return out.orderBy("bucket_start")
 
 
+# ---------------------------------------------------------------------------
+# Summary-store serving — the reference's defining performance feature.
+#
+# The reference serves StatRange/Statistics from statistics stored on inner
+# tree nodes WITHOUT touching leaf data (tree/tree.go:214-258; README
+# "trillions of points in under a second").  The Spark-native equivalent is a
+# persisted base-granularity summary TABLE — topic-partitioned, bucket-sorted
+# parquet maintained at ingest (streaming/ingest.summary_maintainer) or built
+# by one batch pass (write_summary_store) — that every serving call re-buckets
+# by merging partial aggregates.  A serve reads ~#buckets rows for one topic
+# slice instead of the raw corpus: at 100 TB that is the difference between a
+# sub-second probe and a cluster job.
+# ---------------------------------------------------------------------------
+
+SUMMARY_META_FILE = "_dp3_summary_meta.json"
+
+
+def write_summary_store(
+    store: LogStore,
+    path: str,
+    *,
+    granularity_ns: int = DEFAULT_GRANULARITY_NS,
+    numeric_fields: Sequence[str] = (),
+    text_fields: Sequence[str] = (),
+    group_by_producer: bool = True,
+) -> "SummaryStore":
+    """Build and persist the base summary table, laid out for serving:
+    partitioned by topic (directory pruning per serve) and sorted by
+    bucket_start within files (row-group min/max pruning of the time
+    window).  The partition column must LEAD the sort order or
+    FileFormatWriter re-sorts and silently destroys the clustering."""
+    import json
+    import os
+
+    s = summarize(
+        store,
+        granularity_ns=granularity_ns,
+        numeric_fields=numeric_fields,
+        text_fields=text_fields,
+        group_by_producer=group_by_producer,
+    )
+    (
+        s.repartition("topic")
+        .sortWithinPartitions("topic", "bucket_start")
+        .write.mode("overwrite")
+        .partitionBy("topic")
+        .parquet(path)
+    )
+    meta = {
+        "granularity_ns": granularity_ns,
+        "numeric_fields": list(numeric_fields),
+        "text_fields": list(text_fields),
+        "group_by_producer": group_by_producer,
+    }
+    with open(os.path.join(path, SUMMARY_META_FILE), "w") as f:
+        json.dump(meta, f)
+    spark = store.df.sparkSession
+    return SummaryStore(spark, path)
+
+
+class SummaryStore:
+    """Serving view over a persisted summary table.
+
+    Accepts stores written by write_summary_store (meta sidecar) or
+    maintained incrementally by streaming/ingest.summary_maintainer (pass
+    the base granularity/fields explicitly).  A maintained store may hold
+    MULTIPLE partial rows per (producer, topic, bucket) — a bucket whose
+    rows spanned micro-batches — so every serve merges partials with the
+    associative inner-node combine (nodestore/statistics.go:400-433); it
+    never assumes one row per bucket.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        *,
+        granularity_ns: int | None = None,
+        numeric_fields: Sequence[str] | None = None,
+        text_fields: Sequence[str] = (),
+        group_by_producer: bool | None = None,
+    ):
+        import json
+        import os
+
+        meta_path = os.path.join(path, SUMMARY_META_FILE)
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        self.spark = spark
+        self.path = path
+        self.granularity_ns = granularity_ns or meta.get("granularity_ns")
+        if self.granularity_ns is None:
+            raise ValueError("summary store needs a base granularity (meta or arg)")
+        self.numeric_fields = tuple(
+            numeric_fields if numeric_fields is not None else meta.get("numeric_fields", ())
+        )
+        self.text_fields = tuple(text_fields or meta.get("text_fields", ()))
+        self.group_by_producer = (
+            group_by_producer
+            if group_by_producer is not None
+            else meta.get("group_by_producer", True)
+        )
+
+    def _read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def can_serve(
+        self,
+        *,
+        start_ns: int,
+        end_ns: int,
+        granularity_ns: int,
+        numeric_fields: Sequence[str],
+        producer: str | None = None,
+        group_by_producer: bool = False,
+        **_ignored,
+    ) -> bool:
+        """A request is summary-servable iff it merges whole base buckets:
+        the requested granularity is a multiple of the base AND the window
+        is base-bucket-aligned (a misaligned edge would need a partial
+        bucket only raw rows can split), the fields are a subset of the
+        maintained ones, and any producer axis was kept at build time."""
+        b = self.granularity_ns
+        if granularity_ns < TREE_LEAF_WIDTH_NS:
+            return True  # serve() raises the reference's too-granular error
+        if granularity_ns % b or start_ns % b or end_ns % b:
+            return False
+        if not set(numeric_fields) <= set(self.numeric_fields):
+            return False
+        if (producer is not None or group_by_producer) and not self.group_by_producer:
+            return False
+        return True
+
+    def stat_range(
+        self,
+        *,
+        topic: str,
+        start_ns: int,
+        end_ns: int,
+        granularity_ns: int,
+        numeric_fields: Sequence[str],
+        producer: str | None = None,
+        group_by_producer: bool = False,
+    ) -> DataFrame:
+        """StatRange served from the summary store — same result schema
+        (and, for servable requests, hash-identical results: gated by the
+        stat_range_served driver row) as stats.stat_range over raw, while
+        reading only the topic's summary slice."""
+        if granularity_ns < TREE_LEAF_WIDTH_NS:
+            raise TooGranularError("sorry, too granular")
+        if not self.can_serve(
+            start_ns=start_ns,
+            end_ns=end_ns,
+            granularity_ns=granularity_ns,
+            numeric_fields=numeric_fields,
+            producer=producer,
+            group_by_producer=group_by_producer,
+        ):
+            raise ValueError(
+                "request is not summary-servable (misaligned window, "
+                "non-multiple granularity, or unmaintained field/axis)"
+            )
+        df = self._read().filter(F.col("topic") == topic)
+        df = df.filter(
+            (F.col("bucket_start") >= start_ns) & (F.col("bucket_start") < end_ns)
+        )
+        if producer is not None:
+            df = df.filter(F.col("producer") == producer)
+        keys = [
+            (F.col("bucket_start") - F.col("bucket_start") % granularity_ns).alias(
+                "bucket_start"
+            )
+        ]
+        if group_by_producer:
+            keys.insert(0, F.col("producer"))
+        aggs = [F.sum("message_count").alias("message_count")]
+        for f in numeric_fields:
+            aggs += [
+                F.sum(f"{f}_count").alias(f"{f}_count"),
+                F.sum(F.col(f"{f}_sum").cast("decimal(25,6)")).cast("double").alias(f"{f}_sum"),
+                F.min(f"{f}_min").alias(f"{f}_min"),
+                F.max(f"{f}_max").alias(f"{f}_max"),
+            ]
+        out = df.groupBy(*keys).agg(*aggs)
+        for f in numeric_fields:
+            out = out.withColumn(f"{f}_mean", F.col(f"{f}_sum") / F.col(f"{f}_count"))
+        return out.orderBy("bucket_start")
+
+    def summarize(
+        self,
+        *,
+        granularity_ns: int,
+        numeric_fields: Sequence[str] = (),
+        text_fields: Sequence[str] = (),
+        group_by_producer: bool = True,
+        **_ignored,
+    ) -> DataFrame:
+        """Statistics endpoint served from the store: merge partials and
+        re-bucket via rollup_summary (never touches raw).  Requires the
+        requested axes/fields to be maintained."""
+        if granularity_ns % self.granularity_ns:
+            raise ValueError("granularity must be a multiple of the store base")
+        if not set(numeric_fields) <= set(self.numeric_fields):
+            raise ValueError("field not maintained in the summary store")
+        if not set(text_fields) <= set(self.text_fields):
+            raise ValueError("text field not maintained in the summary store")
+        if group_by_producer and not self.group_by_producer:
+            raise ValueError("store was built without the producer axis")
+        base = self._read()
+        if not group_by_producer and self.group_by_producer:
+            base = base.drop("producer")
+        keep = ["message_count", "min_observed_time", "max_observed_time"]
+        for f in numeric_fields:
+            keep += [f"{f}_count", f"{f}_sum", f"{f}_min", f"{f}_max"]
+        for f in text_fields:
+            keep += [f"{f}_text_min", f"{f}_text_max"]
+        keys = [c for c in ("producer", "topic", "schema_hash") if c in base.columns]
+        base = base.select(*keys, "bucket_start", *keep)
+        return rollup_summary(
+            base,
+            from_granularity_ns=self.granularity_ns,
+            to_granularity_ns=granularity_ns,
+            numeric_fields=numeric_fields,
+            text_fields=text_fields,
+        )
+
+
 def quantiles_exact(
     store: LogStore,
     *,

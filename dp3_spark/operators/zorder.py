@@ -44,7 +44,12 @@ def zvalue_frame(
     `out_col` (int64).  stats maps col -> (min, max); when omitted it is
     computed with one tiny aggregate (two int64s per dimension).
     Quantization is least-significant-bits-first interleave: bit j of
-    dimension i lands at z bit j*k + i."""
+    dimension i lands at z bit j*k + i.
+
+    Rows with a NULL in any z dimension get a NULL z-value and cluster
+    into one (unordered) group at the range boundary — same behavior as
+    Delta's OPTIMIZE ZORDER; an all-NULL dimension or an empty frame is
+    rejected outright (no usable min/max)."""
     k = len(cols)
     if not 1 <= k <= 4:
         raise ValueError("zorder takes 1-4 dimensions")
@@ -58,6 +63,12 @@ def zvalue_frame(
             *[F.min(c).alias(f"mn{i}") for i, c in enumerate(cols)],
             *[F.max(c).alias(f"mx{i}") for i, c in enumerate(cols)],
         ).first()
+        for i, c in enumerate(cols):
+            if row[f"mn{i}"] is None or row[f"mx{i}"] is None:
+                raise ValueError(
+                    f"cannot z-order on {c!r}: no non-NULL values (empty "
+                    "frame or all-NULL dimension)"
+                )
         stats = {
             c: (int(row[f"mn{i}"]), int(row[f"mx{i}"])) for i, c in enumerate(cols)
         }

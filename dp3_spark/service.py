@@ -31,7 +31,6 @@ equivalent; production fronts Spark with a real gateway).
 
 from __future__ import annotations
 
-import io
 import json
 import tempfile
 import threading
@@ -39,6 +38,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from dp3_spark.engine import DP3Engine
+
+
+class DatabaseNotFound(Exception):
+    """Unknown database name -> 404 (the reference's route semantics);
+    kept distinct from KeyError so missing request-body fields still map
+    to 400."""
 
 
 class DP3Service:
@@ -94,6 +99,12 @@ class DP3Service:
         try:
             self._route(h, method)
         except Exception as e:  # surface, never hang the socket
+            if getattr(h, "_dp3_streaming", False):
+                # chunked headers already sent: an error response is
+                # impossible — drop the connection so the client sees a
+                # truncated chunk stream instead of a silent short body
+                h.close_connection = True
+                return
             name = type(e).__name__
             if "NotFound" in name:
                 code = 404
@@ -130,13 +141,28 @@ class DP3Service:
         if parts == ["export"] and method == "POST":
             req = _body(h)
             eng = self._engine(req.get("database"))
+            # the QL statement is assembled from request strings: accept
+            # only names the catalog actually knows, so a crafted value
+            # (e.g. a producer containing ';') can never change the parsed
+            # statement shape
+            producer = req["producer"]
+            if producer != "*" and producer not in eng.producers():
+                raise ValueError(f"unknown producer {producer!r}")
+            known = set(eng.topics())
+            bad = sorted(set(req["topics"]) - known)
+            if bad:
+                raise ValueError(f"unknown topics {bad}")
             topics = ", ".join(sorted(req["topics"]))
-            ql = f"from {req['producer']} {topics}"
+            ql = f"from {producer} {topics}"
             if req.get("start") is not None and req.get("end") is not None:
                 ql += f" between {int(req['start'])} and {int(req['end'])}"
-            out = io.BytesIO()
+            # stream the MCAP as it is produced (query_to_mcap writes
+            # incrementally off toLocalIterator) — never buffer the full
+            # export in the service process (reference pipes its response
+            # the same way, routes/export.go)
+            out = _ChunkedWriter(h, "application/octet-stream")
             eng.query_mcap(ql + ";", out)
-            _raw(h, 200, out.getvalue(), "application/octet-stream")
+            out.close()
             return
         if parts == ["delete"]:
             if not self._authed(h):
@@ -234,16 +260,22 @@ class DP3Service:
         off = int(req.get("offset") or 0)
         lim = int(req.get("limit") or 0)
         if lim:
-            # bound the collect BEFORE it happens: QL output is
+            # bound the scan BEFORE materialization: QL output is
             # time-ordered by construction, so limit(off+lim) is the
-            # deterministic head — never materialize the full table on
-            # the service process for a limited request
+            # deterministic head
             df = df.limit(off + lim)
         lines_df = to_json_lines(df, skeleton=bool(req.get("skeleton")))
-        lines = _strs(lines_df.collect())
-        if off:
-            lines = lines[off:]
-        _raw(h, 200, ("\n".join(lines) + "\n").encode(), "application/json")
+        # stream the response as it executes (routes/query.go:92-135 pipes
+        # results the same way): toLocalIterator pulls one partition at a
+        # time, so an unlimited query of a big topic never materializes on
+        # the service process
+        out = _ChunkedWriter(h, "application/json")
+        for i, row in enumerate(lines_df.toLocalIterator()):
+            if i < off:
+                continue
+            line = row if isinstance(row, str) else row[0]
+            out.write(line.encode() + b"\n")
+        out.close()
 
     # --------------------------------------------------------- helpers
 
@@ -253,7 +285,7 @@ class DP3Service:
                 return next(iter(self.engines.values()))
             raise ValueError("database is required")
         if db not in self.engines:
-            raise KeyError(f"unknown database {db!r}")
+            raise DatabaseNotFound(f"unknown database {db!r}")
         return self.engines[db]
 
     def _authed(self, h: BaseHTTPRequestHandler) -> bool:
@@ -270,6 +302,55 @@ class DP3Service:
             return True
         _respond(h, 401, {"error": "invalid token"})
         return False
+
+
+class _ChunkedWriter:
+    """File-like over the response socket using HTTP/1.1 chunked transfer
+    encoding.  Headers go out lazily on the first write, so a handler that
+    fails BEFORE producing any bytes still gets a proper error response;
+    a failure mid-stream can only drop the connection (the client sees a
+    truncated chunk stream, never a silent short body).  Writes are
+    buffered to ~64 KiB chunks so a line-at-a-time producer doesn't emit
+    a chunk frame per line."""
+
+    CHUNK = 64 * 1024
+
+    def __init__(self, h: BaseHTTPRequestHandler, ctype: str):
+        self.h = h
+        self.ctype = ctype
+        self.started = False
+        self.buf = bytearray()
+
+    def _start(self) -> None:
+        if not self.started:
+            self.h.send_response(200)
+            self.h.send_header("Content-Type", self.ctype)
+            self.h.send_header("Transfer-Encoding", "chunked")
+            self.h.end_headers()
+            self.h._dp3_streaming = True  # dispatch: error responses impossible now
+            self.started = True
+
+    def _emit(self, data: bytes) -> None:
+        self.h.wfile.write(b"%x\r\n" % len(data) + data + b"\r\n")
+
+    def write(self, data: bytes) -> int:
+        self._start()
+        self.buf += data
+        if len(self.buf) >= self.CHUNK:
+            self._emit(bytes(self.buf))
+            self.buf.clear()
+        return len(data)
+
+    def flush(self) -> None:
+        if self.buf:
+            self._start()
+            self._emit(bytes(self.buf))
+            self.buf.clear()
+
+    def close(self) -> None:
+        self._start()  # zero-row result still yields a valid empty response
+        self.flush()
+        self.h.wfile.write(b"0\r\n\r\n")
 
 
 def _fields(v) -> tuple[str, ...]:

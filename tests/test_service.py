@@ -184,10 +184,58 @@ def test_export_returns_mcap_stream(svc):
     assert sum(1 for _ in layout) >= 1
 
 
+def test_query_streams_unlimited_without_collect(svc, monkeypatch):
+    """An UNLIMITED query must be served with chunked transfer encoding off
+    toLocalIterator — never a full-result collect on the service process
+    (the r5 scale finding: an unlimited query of a big topic would OOM the
+    service JVM-side)."""
+    import pyspark.rdd
+    import pyspark.sql
+
+    def boom(self, *a, **k):
+        raise AssertionError("service collected a full query result")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", boom)
+    monkeypatch.setattr(pyspark.rdd.RDD, "collect", boom)
+    r = urllib.request.Request(
+        f"{svc}/databases/events/query",
+        data=json.dumps({"query": "from * click;"}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(r) as resp:
+        assert resp.headers.get("Transfer-Encoding") == "chunked"
+        assert resp.headers.get("Content-Length") is None
+        lines = resp.read().decode().strip().split("\n")
+    assert len(lines) > 100  # the whole topic, not a bounded head
+    assert all(json.loads(l)["topic"] == "click" for l in lines[:5])
+
+
+def test_export_streams_chunked_and_validates_names(svc):
+    # chunked response, no full-body buffering
+    r = urllib.request.Request(
+        f"{svc}/export",
+        data=json.dumps(
+            {"database": "scratch", "producer": "dev1", "topics": {"/a": 0}}
+        ).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(r) as resp:
+        assert resp.headers.get("Transfer-Encoding") == "chunked"
+        assert resp.read().startswith(b"\x89MCAP")
+    # a crafted producer/topic can never reach the QL parser
+    for body in (
+        {"database": "scratch", "producer": "dev1; truncate x /y now", "topics": {"/a": 0}},
+        {"database": "scratch", "producer": "dev1", "topics": {"/a between 0 and 1": 0}},
+    ):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(f"{svc}/export", body)
+        assert e.value.code == 400
+
+
 def test_unknown_routes(svc):
     for url, code in [
         (f"{svc}/nope", 404),
-        (f"{svc}/databases/nodb/topics", 400),
+        (f"{svc}/databases/nodb/topics", 404),  # unknown resource, not bad request
         (f"{svc}/databases/events/schemas/deadbeef", 404),
     ]:
         with pytest.raises(urllib.error.HTTPError) as e:

@@ -1,0 +1,180 @@
+"""Summary-store serving (stats.SummaryStore + engine dispatch): StatRange
+and Statistics answered from the persisted base summary table — the
+reference serves stats from stored inner-node summaries without touching
+leaves (tree/tree.go:214-258) — hash-equal to the raw-derived answers, with
+raw fallback whenever a request can't be assembled from whole base buckets.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dp3_spark.catalog import LogStore
+from dp3_spark.engine import DP3Engine
+from dp3_spark.operators import stats as ST
+
+MIN_NS = 60 * 10**9
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    # 3 producers x 2 topics, values with 2 decimals, ~4 hours of minutes
+    rows = []
+    for p in range(3):
+        for t, topic in enumerate(("/a", "/b")):
+            for i in range(240):
+                rows.append(
+                    (
+                        f"p{p}",
+                        topic,
+                        i * MIN_NS + (p + t) * 7 * 10**6,
+                        i,
+                        round((i * 1.37 + p * 0.11 + t) % 50, 2),
+                    )
+                )
+    df = spark.createDataFrame(
+        rows,
+        "producer string, topic string, log_time long, sequence long, value double",
+    )
+    return LogStore(df, "producer", "topic", "log_time", "sequence", ("value",))
+
+
+@pytest.fixture(scope="module")
+def summary_path(spark, store):
+    d = tempfile.mkdtemp(prefix="dp3_sumstore_")
+    ST.write_summary_store(
+        store, d, granularity_ns=MIN_NS, numeric_fields=["value"],
+        text_fields=[], group_by_producer=True,
+    )
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _collect_sorted(df):
+    cols = sorted(df.columns)
+    return [tuple(r[c] for c in cols) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+REQ = dict(
+    topic="/a",
+    start_ns=0,
+    end_ns=4 * 3600 * 10**9,
+    granularity_ns=3600 * 10**9,
+    numeric_fields=["value"],
+)
+
+
+def test_summary_served_equals_raw(spark, store, summary_path):
+    raw = ST.stat_range(store, **REQ)
+    served = ST.SummaryStore(spark, summary_path).stat_range(**REQ)
+    assert served.columns == raw.columns
+    assert _collect_sorted(served) == _collect_sorted(raw)
+
+
+def test_summary_served_grouped_and_producer_filter(spark, store, summary_path):
+    req = {**REQ, "group_by_producer": True}
+    raw = ST.stat_range(store, **req)
+    served = ST.SummaryStore(spark, summary_path).stat_range(**req)
+    assert _collect_sorted(served) == _collect_sorted(raw)
+
+    req = {**REQ, "producer": "p1"}
+    raw = ST.stat_range(store, **req)
+    served = ST.SummaryStore(spark, summary_path).stat_range(**req)
+    assert _collect_sorted(served) == _collect_sorted(raw)
+
+
+def test_engine_dispatches_summary_then_falls_back(spark, store, summary_path):
+    eng = DP3Engine(spark, store=store)
+    eng.attach_summary_store(summary_path)
+
+    served = eng.stat_range(**REQ)
+    # summary-served plan reads the summary store, not the raw frame
+    assert "dp3_sumstore_" in served._jdf.queryExecution().toString()
+    assert _collect_sorted(served) == _collect_sorted(ST.stat_range(store, **REQ))
+
+    # misaligned window: engine must fall back to raw and still be right
+    req = {**REQ, "start_ns": 30 * 10**9, "end_ns": REQ["end_ns"] - 30 * 10**9}
+    fallback = eng.stat_range(**req)
+    assert "dp3_sumstore_" not in fallback._jdf.queryExecution().toString()
+    assert _collect_sorted(fallback) == _collect_sorted(ST.stat_range(store, **req))
+
+    # non-multiple granularity falls back too
+    req = {**REQ, "granularity_ns": 90 * 10**9}
+    assert _collect_sorted(eng.stat_range(**req)) == _collect_sorted(
+        ST.stat_range(store, **req)
+    )
+
+
+def test_engine_summarize_served_and_fallback(spark, store, summary_path):
+    eng = DP3Engine(spark, store=store)
+    eng.attach_summary_store(summary_path)
+    for kw in (
+        dict(granularity_ns=3600 * 10**9, numeric_fields=["value"]),
+        dict(granularity_ns=3600 * 10**9, numeric_fields=["value"], group_by_producer=False),
+    ):
+        served = eng.summarize(**kw)
+        raw = ST.summarize(store, **kw)
+        assert sorted(served.columns) == sorted(raw.columns)
+        assert _collect_sorted(served.select(*raw.columns)) == _collect_sorted(raw)
+    # unmaintained field: falls back to raw instead of erroring
+    out = eng.summarize(granularity_ns=3600 * 10**9, numeric_fields=[])
+    assert _collect_sorted(out) == _collect_sorted(
+        ST.summarize(store, granularity_ns=3600 * 10**9, numeric_fields=[])
+    )
+
+
+def test_maintained_store_with_partial_rows(spark, store, summary_path):
+    """A streaming-maintained store holds multiple PARTIAL rows per bucket
+    (buckets split across micro-batches); serving must merge them."""
+    d = tempfile.mkdtemp(prefix="dp3_sumpartial_")
+    try:
+        base = spark.read.parquet(summary_path)
+        # split every summary row into two partials that re-merge exactly:
+        # counts split k/(n-k); sums split by an exact half on cents, with
+        # the b-half carrying zero sum when its count share is zero
+        bhalf = F.when(
+            F.expr("value_count div 2") > 0, F.round(F.col("value_sum") * 100 / 2) / 100
+        ).otherwise(F.lit(0.0))
+        a = base.withColumn(
+            "value_sum", (F.col("value_sum") - bhalf).cast("double")
+        ).withColumn(
+            "message_count", F.expr("message_count - message_count div 2")
+        ).withColumn("value_count", F.expr("value_count - value_count div 2"))
+        b = base.withColumn("value_sum", bhalf.cast("double")).withColumn(
+            "message_count", F.expr("message_count div 2")
+        ).withColumn("value_count", F.expr("value_count div 2")).filter(
+            F.col("message_count") > 0
+        )
+        a.unionByName(b).write.mode("overwrite").parquet(d)
+        served = ST.SummaryStore(
+            spark, d, granularity_ns=MIN_NS, numeric_fields=["value"],
+            group_by_producer=True,
+        ).stat_range(**REQ)
+        raw = ST.stat_range(store, **REQ)
+        assert _collect_sorted(served) == _collect_sorted(raw)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_summary_serve_rejects_and_too_granular(spark, summary_path):
+    s = ST.SummaryStore(spark, summary_path)
+    with pytest.raises(ST.TooGranularError):
+        s.stat_range(**{**REQ, "granularity_ns": 10**9})
+    with pytest.raises(ValueError):
+        s.stat_range(**{**REQ, "start_ns": 1})  # misaligned
+    with pytest.raises(ValueError):
+        s.stat_range(**{**REQ, "numeric_fields": ["nope"]})
+
+
+def test_summary_probe_plan_prunes(spark, summary_path):
+    """The serving read must push the bucket_start window into the parquet
+    scan and prune the topic partition directory — the probe reads the
+    topic's summary slice, not the store."""
+    df = ST.SummaryStore(spark, summary_path).stat_range(**REQ)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "bucket_start" in plan.split("PushedFilters")[1][:400]
+    # topic is a partition column: it appears as partition filter, not data filter
+    assert "PartitionFilters" in plan
