@@ -38,7 +38,9 @@ from dp3_spark.session import get_spark
 HEADLINE = [
     "ql_merge_playback",      # 5-topic ordered-union playback (workload #1)
     "ql_asof_precedes",       # as-of join (workload #2)
-    "stat_range_hourly",      # multigranular stats (workload #3)
+    "stat_range_hourly",      # multigranular stats (workload #3), raw-served
+    "stat_range_served",      # same API served from the PERSISTED summary
+                              # store (probe cost ∝ summary slice, not corpus)
     "stat_quantiles_hourly",  # quantile stats
     "stat_hll_daily",         # mergeable HLL distinct-count sketch
     "stat_resample_hourly",   # zero-order-hold grid resample (no-join plan)
@@ -54,6 +56,7 @@ HEADLINE = [
     "stream_stats_rollup",    # foreachBatch summary maintenance drain
     "stream_corpus_dedup",    # foreachBatch corpus-refresh dedup drain
     "stream_interval_attrib", # NATIVE watermarked stream-stream join drain
+    "stream_ingest_dedup",    # idempotent-ingest dedup drain (overlap files)
     "tpch_q1_pricing",        # wide aggregation
     "tpch_q3_shipping",       # join + top-k
     "tpch_q5_region_revenue", # 6-way join
@@ -121,10 +124,14 @@ SCALING = [
     "stream_stats_rollup",    # streaming: multi-micro-batch ingest stats
     "stream_interval_attrib", # streaming: native stream-stream join drain
     "lifecycle_delete_versions",  # versioned table: bucketed layout writes
-    # the two flat-at-10x rows — data skipping and index-once/query-many:
+    # the flat-at-10x rows — data skipping and index-once/query-many:
     # wall-clock should track the MATCHED volume, not the corpus
     "zorder_pruned_scan",
     "search_bm25_indexed",
+    # raw-vs-summary StatRange pair at sf1: the reference's serve-from-
+    # stored-summaries claim quantified on this engine (r5 verdict ask #8)
+    "stat_range_hourly",
+    "stat_range_served",
 ]
 
 

@@ -1,0 +1,255 @@
+"""dp3 command-line client — the reference's CLI surface
+(cli/cmd/{query,import,export,tail,statrange}.go plus the catalog verbs)
+as a thin stdlib HTTP client over the DP3Service routes.
+
+    python -m dp3_spark.cli --server http://host:port --database events \\
+        query "from * click limit 10;"
+    python -m dp3_spark.cli export --producer dev1 --topic /a -o out.mcap
+    python -m dp3_spark.cli statrange --topic click --start S --end E \\
+        --granularity 3600000000000
+    python -m dp3_spark.cli tail --follow --interval 2
+    python -m dp3_spark.cli import --producer robot file.mcap --token KEY
+
+Responses stream: query/tail/export bodies are copied to stdout (or the
+-o file) chunk-by-chunk, never buffered whole — the same discipline as
+the service side.  Exit code 0 on success, 1 with the server's error
+JSON on stderr otherwise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+import urllib.error
+import urllib.request
+
+
+def _request(url: str, body=None, *, token: str = "", method: str | None = None):
+    headers = {}
+    data = None
+    if body is not None:
+        data = body if isinstance(body, bytes) else json.dumps(body).encode()
+        headers["Content-Type"] = "application/json"
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
+    req = urllib.request.Request(url, data=data, headers=headers, method=method)
+    return urllib.request.urlopen(req)
+
+
+def _copy(resp, out) -> None:
+    """Stream the response body without buffering it whole."""
+    shutil.copyfileobj(resp, out, length=64 * 1024)
+
+
+def _print_json_lines(resp) -> None:
+    _copy(resp, sys.stdout.buffer)
+    sys.stdout.buffer.flush()
+
+
+def cmd_query(args) -> int:
+    body = {"query": args.statement}
+    if args.limit:
+        body["limit"] = args.limit
+    if args.offset:
+        body["offset"] = args.offset
+    if args.skeleton:
+        body["skeleton"] = True
+    if args.explain:
+        body["explain"] = True
+    with _request(f"{args.server}/databases/{args.database}/query", body) as r:
+        if args.explain:
+            print(json.load(r)["explain"])
+        else:
+            _print_json_lines(r)
+    return 0
+
+
+def cmd_statrange(args) -> int:
+    body = {
+        "database": args.database,
+        "topic": args.topic,
+        "start": args.start,
+        "end": args.end,
+        "granularity": args.granularity,
+    }
+    if args.fields:
+        body["fields"] = args.fields.split(",")
+    if args.producer:
+        body["producer"] = args.producer
+    with _request(f"{args.server}/statrange", body) as r:
+        for row in json.load(r):
+            print(json.dumps(row))
+    return 0
+
+
+def cmd_export(args) -> int:
+    body = {
+        "database": args.database,
+        "producer": args.producer,
+        "topics": {t: 0 for t in args.topic},
+    }
+    if args.start is not None and args.end is not None:
+        body["start"], body["end"] = args.start, args.end
+    with _request(f"{args.server}/export", body) as r:
+        if args.output == "-":
+            _copy(r, sys.stdout.buffer)
+        else:
+            with open(args.output, "wb") as f:
+                _copy(r, f)
+    return 0
+
+
+def cmd_import(args) -> int:
+    url = f"{args.server}/databases/{args.database}"
+    if args.stream:
+        with open(args.file, "rb") as f:
+            data = f.read()
+        with _request(
+            f"{url}/producers/{args.producer}/import", data, token=args.token
+        ) as r:
+            print(json.dumps(json.load(r)))
+    else:
+        with _request(
+            f"{url}/import", {"producer": args.producer, "path": args.file},
+            token=args.token,
+        ) as r:
+            print(json.dumps(json.load(r)))
+    return 0
+
+
+def cmd_tail(args) -> int:
+    """Poll /tail: print new rows as JSON lines, advancing the version
+    cursor; --follow loops forever (the reference's push tail is the
+    tail_stream engine surface; polling is the wire-level equivalent)."""
+    cursor = args.frm
+    while True:
+        url = f"{args.server}/databases/{args.database}/tail?from={cursor}&limit={args.limit}"
+        with _request(url) as r:
+            first = r.readline()
+            cursor = max(cursor, json.loads(first)["version"])
+            for line in r:
+                sys.stdout.buffer.write(line)
+        sys.stdout.buffer.flush()
+        if not args.follow:
+            return 0
+        time.sleep(args.interval)
+
+
+def cmd_topics(args) -> int:
+    with _request(f"{args.server}/databases/{args.database}/topics") as r:
+        print("\n".join(json.load(r)))
+    return 0
+
+
+def cmd_producers(args) -> int:
+    with _request(f"{args.server}/databases/{args.database}/producers") as r:
+        print("\n".join(json.load(r)))
+    return 0
+
+
+def cmd_tables(args) -> int:
+    q = []
+    if args.producer:
+        q.append(f"producer={args.producer}")
+    if args.topic:
+        q.append(f"topic={args.topic}")
+    qs = ("?" + "&".join(q)) if q else ""
+    with _request(f"{args.server}/databases/{args.database}/tables{qs}") as r:
+        for row in json.load(r):
+            print(json.dumps(row))
+    return 0
+
+
+def cmd_delete(args) -> int:
+    body = {
+        "database": args.database,
+        "producer": args.producer,
+        "topic": args.topic,
+        "start": args.start,
+        "end": args.end,
+    }
+    with _request(f"{args.server}/delete", body, token=args.token) as r:
+        print(json.dumps(json.load(r)))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dp3", description=__doc__.splitlines()[0])
+    p.add_argument("--server", default="http://127.0.0.1:8089")
+    p.add_argument("--database", default="default")
+    p.add_argument("--token", default="", help="bearer token for authed routes")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("query", help="run a QL statement, JSON lines to stdout")
+    q.add_argument("statement")
+    q.add_argument("--limit", type=int, default=0)
+    q.add_argument("--offset", type=int, default=0)
+    q.add_argument("--skeleton", action="store_true")
+    q.add_argument("--explain", action="store_true")
+    q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("statrange", help="binned statistics for one topic")
+    s.add_argument("--topic", required=True)
+    s.add_argument("--start", type=int, required=True)
+    s.add_argument("--end", type=int, required=True)
+    s.add_argument("--granularity", type=int, required=True)
+    s.add_argument("--fields", default="")
+    s.add_argument("--producer", default="")
+    s.set_defaults(fn=cmd_statrange)
+
+    e = sub.add_parser("export", help="export topics as one MCAP stream")
+    e.add_argument("--producer", required=True)
+    e.add_argument("--topic", action="append", required=True)
+    e.add_argument("--start", type=int)
+    e.add_argument("--end", type=int)
+    e.add_argument("-o", "--output", default="-")
+    e.set_defaults(fn=cmd_export)
+
+    i = sub.add_parser("import", help="import an MCAP file")
+    i.add_argument("file")
+    i.add_argument("--producer", required=True)
+    i.add_argument(
+        "--stream", action="store_true",
+        help="ship the file bytes in the request body instead of by path",
+    )
+    i.set_defaults(fn=cmd_import)
+
+    t = sub.add_parser("tail", help="poll rows appended after a version")
+    t.add_argument("--from", dest="frm", type=int, default=0)
+    t.add_argument("--limit", type=int, default=10000)
+    t.add_argument("--follow", action="store_true")
+    t.add_argument("--interval", type=float, default=2.0)
+    t.set_defaults(fn=cmd_tail)
+
+    for name, fn in (("topics", cmd_topics), ("producers", cmd_producers)):
+        c = sub.add_parser(name, help=f"list {name}")
+        c.set_defaults(fn=fn)
+
+    tb = sub.add_parser("tables", help="catalog table summary")
+    tb.add_argument("--producer", default="")
+    tb.add_argument("--topic", default="")
+    tb.set_defaults(fn=cmd_tables)
+
+    d = sub.add_parser("delete", help="tombstone a time range (authed)")
+    d.add_argument("--producer", required=True)
+    d.add_argument("--topic", required=True)
+    d.add_argument("--start", type=int, required=True)
+    d.add_argument("--end", type=int, required=True)
+    d.set_defaults(fn=cmd_delete)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except urllib.error.HTTPError as e:
+        sys.stderr.write(e.read().decode(errors="replace") + "\n")
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

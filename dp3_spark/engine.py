@@ -218,6 +218,12 @@ class DP3Engine:
             raise ValueError("export requires a writable VersionedLogTable")
         return self.table.read(as_of_version=as_of_version)
 
+    def version(self) -> int:
+        """Current table version (the poll-tail cursor)."""
+        if self.table is None:
+            raise ValueError("version requires a writable VersionedLogTable")
+        return self.table.current_version()
+
     def tail(self, from_version: int) -> DataFrame:
         """Poll-based tail: rows appended strictly after `from_version`."""
         if self.table is None:

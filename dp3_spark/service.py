@@ -23,6 +23,7 @@ equivalent; production fronts Spark with a real gateway).
 | /databases/{db}/producers                | GET      | producer list |
 | /databases/{db}/schemas/{hash}           | GET      | schema registry lookup (404 on miss) |
 | /databases/{db}/statistics               | GET      | base summary rows |
+| /databases/{db}/tail                     | GET      | rows after ?from= version + new cursor |
 | /databases/{db}/statistics/available     | GET      | available-statistics rows |
 | /delete                                  | POST/GET (auth) | tombstone a range |
 | /databases/{db}/import                   | POST (auth) | import MCAP by path |
@@ -218,6 +219,20 @@ class DP3Service:
                 if params.get("topic"):
                     df = df.filter(df["topic"] == params["topic"])
                 _respond(h, 200, _rows(df))
+                return
+            if rest == ["tail"]:
+                # poll-based tail (cli/cmd/tail.go shape): rows appended
+                # strictly after ?from=, plus the new cursor.  JSON lines:
+                # first line carries the version so a client can stream
+                # rows without buffering them behind one object.
+                frm = int(params.get("from", 0))
+                cap = int(params.get("limit", 10000))
+                df = eng.tail(frm).orderBy("log_time", "producer", "topic", "sequence")
+                out = _ChunkedWriter(h, "application/json")
+                out.write(json.dumps({"version": eng.version()}).encode() + b"\n")
+                for i, s in enumerate(df.limit(cap).toJSON().toLocalIterator()):
+                    out.write((s if isinstance(s, str) else s[0]).encode() + b"\n")
+                out.close()
                 return
             if rest == ["statistics", "available"]:
                 _respond(h, 200, _rows(eng.available_statistics()))

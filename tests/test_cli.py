@@ -1,0 +1,143 @@
+"""CLI client (dp3_spark/cli.py) — the reference's cli/cmd surface
+(query/import/export/tail/statrange + catalog verbs) driven end-to-end
+against a live DP3Service socket."""
+
+import json
+
+import pytest
+
+from dp3_spark import cli
+from dp3_spark.catalog import events_log_store
+from dp3_spark.engine import DP3Engine
+from dp3_spark.service import DP3Service
+from dp3_spark.streaming.lifecycle import VersionedLogTable
+
+SF = "/root/testdata/sf0.001"
+KEY = "cli-sekrit"
+
+
+@pytest.fixture(scope="module")
+def env(spark, tmp_path_factory):
+    store = events_log_store(spark, SF, us_truncate=True)
+    d = tmp_path_factory.mktemp("cli_table")
+    table = VersionedLogTable(spark, str(d))
+    rows = [("dev1", "/a", 10 + i * 10, i, float(i)) for i in range(4)]
+    table.append(
+        spark.createDataFrame(
+            rows,
+            "producer string, topic string, log_time long, sequence long, v double",
+        )
+    )
+    s = DP3Service(
+        {
+            "events": DP3Engine(spark, store=store),
+            "scratch": DP3Engine(spark, table=table),
+        },
+        shared_key=KEY,
+    )
+    host, port = s.start()
+    yield f"http://{host}:{port}"
+    s.stop()
+
+
+def run(env, *argv):
+    return cli.main(["--server", env, *argv])
+
+
+def test_cli_query_json_lines(env, capfd):
+    assert run(env, "--database", "events", "query", "from * click;", "--limit", "3") == 0
+    lines = capfd.readouterr().out.strip().split("\n")
+    assert len(lines) == 3
+    assert all(json.loads(l)["topic"] == "click" for l in lines)
+
+
+def test_cli_query_explain(env, capfd):
+    assert run(env, "--database", "events", "query", "from * click;", "--explain") == 0
+    out = capfd.readouterr().out
+    assert "Physical Plan" in out or "Scan" in out
+
+
+def test_cli_statrange(env, capfd):
+    assert (
+        run(
+            env, "--database", "events", "statrange", "--topic", "click",
+            "--start", "1704067200000000000", "--end", "1706745600000000000",
+            "--granularity", str(86400 * 10**9),
+        )
+        == 0
+    )
+    rows = [json.loads(l) for l in capfd.readouterr().out.strip().split("\n")]
+    assert rows and all(r["message_count"] > 0 for r in rows)
+
+
+def test_cli_catalog_verbs(env, capfd):
+    assert run(env, "--database", "events", "topics") == 0
+    assert "click" in capfd.readouterr().out.split("\n")
+    assert run(env, "--database", "events", "producers") == 0
+    assert capfd.readouterr().out.strip()
+    assert run(env, "--database", "events", "tables", "--topic", "click") == 0
+    rows = [json.loads(l) for l in capfd.readouterr().out.strip().split("\n")]
+    assert all(r["topic"] == "click" for r in rows)
+
+
+def test_cli_import_tail_export_delete(env, tmp_path, capfd):
+    from test_mcap_codec import fix_mcap_bytes
+
+    p = tmp_path / "fix.mcap"
+    p.write_bytes(fix_mcap_bytes(n=5))
+
+    # import by path (authed)
+    assert (
+        run(
+            env, "--database", "scratch", "--token", KEY, "import", str(p),
+            "--producer", "robot",
+        )
+        == 0
+    )
+    v_imp = json.loads(capfd.readouterr().out)["version"]
+    assert v_imp >= 2
+
+    # tail from before the import sees the imported rows
+    assert run(env, "--database", "scratch", "tail", "--from", str(v_imp - 1)) == 0
+    lines = [json.loads(l) for l in capfd.readouterr().out.strip().split("\n")]
+    assert len(lines) == 5 and all(r["topic"] == "/fix" for r in lines)
+
+    # export the original topic to a file: valid MCAP magic
+    out = tmp_path / "out.mcap"
+    assert (
+        run(
+            env, "--database", "scratch", "export", "--producer", "dev1",
+            "--topic", "/a", "-o", str(out),
+        )
+        == 0
+    )
+    capfd.readouterr()
+    assert out.read_bytes().startswith(b"\x89MCAP")
+
+    # authed delete tombstones a range
+    assert (
+        run(
+            env, "--database", "scratch", "--token", KEY, "delete",
+            "--producer", "dev1", "--topic", "/a", "--start", "15", "--end", "35",
+        )
+        == 0
+    )
+    assert json.loads(capfd.readouterr().out)["version"] > v_imp
+    assert run(env, "--database", "scratch", "query", "from dev1 /a;") == 0
+    times = [
+        json.loads(l)["log_time"]
+        for l in capfd.readouterr().out.strip().split("\n")
+    ]
+    assert times == ["0.000000010", "0.000000040"]
+
+
+def test_cli_error_paths(env, capfd):
+    # unknown database -> exit 1, server error JSON on stderr
+    assert run(env, "--database", "nope", "query", "from * click;") == 1
+    assert "unknown database" in capfd.readouterr().err
+    # unauthed import -> exit 1
+    assert (
+        run(env, "--database", "scratch", "import", "/no/file", "--producer", "x")
+        == 1
+    )
+    assert "invalid token" in capfd.readouterr().err
