@@ -158,6 +158,50 @@ def test_maintained_store_with_partial_rows(spark, store, summary_path):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_streaming_maintained_store_serves(spark, store, tmp_path):
+    """End-to-end deployment shape: ingest drains through the foreachBatch
+    summary maintainer (streaming/ingest.summary_maintainer), the engine
+    attaches the maintained store, and /statrange-style serving off it
+    equals the raw-derived answer — write path and serve path joined."""
+    from dp3_spark.streaming.ingest import summary_maintainer
+
+    in_dir = str(tmp_path / "incoming")
+    store.normalized().select(
+        "producer", "topic", "log_time", "sequence", "value"
+    ).repartition(5).write.mode("overwrite").parquet(in_dir)
+
+    partials = str(tmp_path / "summary_store")
+    maintain = summary_maintainer(
+        spark.read.parquet(in_dir), granularity_ns=MIN_NS, numeric_fields=["value"]
+    )
+
+    def sink(batch, epoch):
+        maintain(batch, epoch).write.mode("append").parquet(partials)
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(in_dir).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    eng = DP3Engine(spark, store=store)
+    eng.attach_summary_store(
+        partials, granularity_ns=MIN_NS, numeric_fields=["value"],
+        group_by_producer=True,
+    )
+    served = eng.stat_range(**REQ)
+    # the scan reads summary columns (bucket_start partials), not raw rows
+    plan = served._jdf.queryExecution().toString()
+    assert "ReadSchema" in plan and "bucket_start" in plan.split("ReadSchema")[1]
+    assert "log_time" not in plan.split("ReadSchema")[1]
+    assert _collect_sorted(served) == _collect_sorted(ST.stat_range(store, **REQ))
+
+
 def test_summary_serve_rejects_and_too_granular(spark, summary_path):
     s = ST.SummaryStore(spark, summary_path)
     with pytest.raises(ST.TooGranularError):
