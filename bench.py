@@ -272,8 +272,7 @@ def final_line(timings: dict[str, float], sf: float) -> str:
     deltas."""
     return json.dumps(
         {
-            "metric": "headline steady-state sec (fresh session/query, "
-            "min of 2 timed)",
+            "metric": "headline steady-state sec (fresh session/query)",
             "value": round(sum(timings.values()), 2),
             "unit": "sec",
             "queries": {n: round(t, 2) for n, t in timings.items()},

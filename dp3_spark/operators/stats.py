@@ -169,8 +169,12 @@ def stat_range(
     """StatRange API analog (routes/statrange.go:14-79): binned stats for one
     topic over [start, end) at the requested granularity.
 
-    Served from raw here; in the summary-table deployment this re-buckets the
-    base summary instead (rollup_summary).  Unlike the reference we can bin
+    This is the RAW-derivation path — the correctness baseline and the
+    fallback for requests that cannot be assembled from whole summary
+    buckets.  The serving deployment answers from the persisted summary
+    store instead (SummaryStore.stat_range below; DP3Engine.stat_range
+    dispatches automatically), reading the topic's summary slice rather
+    than the corpus.  Unlike the reference we can bin
     at ANY granularity >= the 60 s leaf width (exact aggregation, not tree
     buckets) — a documented superset; sub-leaf requests raise the
     reference's "sorry, too granular" error (tree.go:252-254), and

@@ -4641,8 +4641,8 @@ def zorder_pruned_scan(spark, sf_dir):
 # =========================================================================
 
 _CC_CTES = f"""
-with recursive pairs as ({_minhash_oracle(128, 16, 0.7, bucket_cap=64)}),
-edges as (select id_a as a, id_b as b from pairs
+with recursive pairs as materialized ({_minhash_oracle(128, 16, 0.7, bucket_cap=64)}),
+edges as materialized (select id_a as a, id_b as b from pairs
           union all select id_b, id_a from pairs),
 reach(id, r) as (
   select doc_id, doc_id from documents
@@ -4730,10 +4730,10 @@ def _pagerank_iter_sql(prev: str, out: str) -> str:
 
 
 _PR_ORACLE = f"""
-with recursive pairs as ({_minhash_oracle(128, 16, 0.7, bucket_cap=64)}),
-edges as (select id_a as u, id_b as v from pairs
+with recursive pairs as materialized ({_minhash_oracle(128, 16, 0.7, bucket_cap=64)}),
+edges as materialized (select id_a as u, id_b as v from pairs
           union all select id_b as u, id_a as v from pairs),
-deg as (select u, cast(count(*) as bigint) as deg from edges group by u),
+deg as materialized (select u, cast(count(*) as bigint) as deg from edges group by u),
 nn as (select cast(count(*) as bigint) as n from documents),
 pr0 as (select doc_id as id, (1000000 // nn.n) as pr from documents cross join nn),
 {_pagerank_iter_sql("pr0", "pr1")},

@@ -16,16 +16,31 @@ What this catches that sf0.01 cannot:
 Opt-in (adds ~10 min; scale data is generated on first use):
     DP3_SF1=1 python -m pytest tests/test_oracle_sf1.py -q
 
-Excluded families, with reasons (not silent gaps — see COVERAGE.md):
-- minhash/simhash/LSH/IVF/SemDeDup rows (incl. dedup_incremental,
-  dedup_clusters/dedup_keep_best — whose reach oracle is a recursive
-  CTE over the minhash pair graph — and the stream_corpus_dedup drain,
-  whose oracles re-derive full-corpus
-  near-match pairs): corpus-size-aware parameters (lsh_geometry locks
-  its oracle geometry at <=2048 vectors; sf1 ships 20k) or DuckDB
-  oracle cost that is quadratic-by-design at 200k docs; their SEMANTICS
-  are scale-invariant and pinned at sf0.01, and their 10x wall-clock is
-  pinned by bench.py's scaling section.
+Round 6 expanded the sweep from 97 to 113 of 129: the ENTIRE minhash
+family (lsh/capped/incremental/clusters/keep_best/pagerank/
+decontam_fuzzy/stream_corpus_dedup) runs at 10x now — measured at sf1,
+the 0.7-jaccard pair volume is LINEAR in the weak-scaled corpus (5.8k
+capped / 6.8k all pairs; perturbed copies do NOT cross-match), so the
+oracles are minutes, not the feared quadratic blowup.  The one real
+blowup found was EXECUTION, not semantics: DuckDB inlines a CTE
+referenced from a recursive CTE's step, so the 2-minute pair
+derivation re-ran once per reachability iteration — fixed by AS
+MATERIALIZED on the shared pairs/edges CTEs (results unchanged).  The
+fixed-geometry LSH/IVF gate rows (sim_lsh_topk/recall,
+sim_ivf_topk/recall) were never size-locked — their signatures pin
+planes/bands explicitly — and their oracles run in seconds at sf1.
+
+Excluded rows, with reasons (not silent gaps — see COVERAGE.md):
+- sim_dup_pairs_lsh: geometry is lsh_geometry(corpus rows) BY DESIGN
+  (rows-per-band grows with the corpus), so at 20k vectors the operator
+  legitimately computes a different banding than the fixture-geometry
+  oracle text — a scale-adaptive answer cannot have one fixed oracle
+  string.  The adaptive geometry itself is pinned by unit tests; the
+  fixed-geometry LSH surface is sf1-swept via sim_lsh_topk/recall.
+- dedup_simhash_pairs: OUTPUT-quadratic at sf1 (measured 191M pairs —
+  hamming-3 blocks collide across weak-scaling copies); collecting both
+  sides is infeasible and the operator would never be run in 'all
+  pairs' form on such a corpus.  Signatures stay swept (dedup_simhash).
 - sim_dup_pairs / dedup_ngram_jaccard: documented quadratic oracle
   baselines — running them at 10x is the quadratic trap the capped
   variants exist to avoid.
@@ -33,6 +48,8 @@ Excluded families, with reasons (not silent gaps — see COVERAGE.md):
   same python kernel proves nothing new.
 - mcap_roundtrip_agg: re-encodes the corpus through the python MCAP
   writer — minutes of fixture construction, no new plan surface.
+- pack_greedy_bins: first-fit packing is sequential by definition; its
+  oracle is a one-row-per-iteration recursive CTE — O(n^2) at 200k.
 """
 
 from __future__ import annotations
@@ -85,8 +102,27 @@ SF1_QUERIES = [
     # text pipeline (fingerprint sums are int64 — overflow check at 10x)
     "text_metrics", "text_gopher_flags", "text_langid", "text_fingerprint",
     "text_vocab_topk", "text_pii_scrub", "text_repetition", "text_lm_score",
+    # StatRange served from the persisted summary store: summary-served ==
+    # raw-derived must hold at 10x summary volume too
+    "stat_range_served",
+    # ingest dedup drain: overlapping re-delivered files == exact distinct
+    "stream_ingest_dedup",
     # dedup rows whose oracles are linear-cost in DuckDB
     "dedup_exact", "dedup_paragraphs", "dedup_substring_flags",
+    "dedup_simhash",
+    # the minhash family at 10x: pair volume measured LINEAR on the
+    # weak-scaled corpus (5.8k capped / 6.8k all); shared pairs CTE
+    # materialized so the recursive/unrolled consumers stay ~2 min each
+    "dedup_minhash_lsh", "dedup_minhash_capped", "dedup_incremental",
+    "dedup_clusters", "dedup_keep_best", "graph_pagerank",
+    "decontam_fuzzy", "stream_corpus_dedup",
+    # SemDeDup: k=8 seeded centroids at any scale; cluster-quadratic
+    # screen is the documented cost, tractable at 20k vectors (~30 s)
+    "sem_dedup",
+    # fixed-geometry ANN gate rows (planes/bands pinned in the signature,
+    # never corpus-size-aware): signatures, banding, candidates and
+    # millicosine reranks re-derive in seconds at 10x
+    "sim_lsh_topk", "sim_lsh_recall", "sim_ivf_topk", "sim_ivf_recall",
     # similarity rows with corpus-size-independent parameters
     "sim_cosine_topk", "sim_knn_classify",
     # PQ compressed-index ANN: seeds are the 16 lowest-id vectors at ANY
