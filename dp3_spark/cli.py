@@ -8,7 +8,7 @@ as a thin stdlib HTTP client over the DP3Service routes.
     python -m dp3_spark.cli statrange --topic click --start S --end E \\
         --granularity 3600000000000
     python -m dp3_spark.cli tail --follow --interval 2
-    python -m dp3_spark.cli import --producer robot file.mcap --token KEY
+    python -m dp3_spark.cli --token KEY import --producer robot file.mcap
 
 Responses stream: query/tail/export bodies are copied to stdout (or the
 -o file) chunk-by-chunk, never buffered whole — the same discipline as
@@ -19,6 +19,7 @@ JSON on stderr otherwise.
 from __future__ import annotations
 
 import argparse
+import http.client
 import json
 import shutil
 import sys
@@ -91,7 +92,9 @@ def cmd_export(args) -> int:
         "producer": args.producer,
         "topics": {t: 0 for t in args.topic},
     }
-    if args.start is not None and args.end is not None:
+    if (args.start is None) != (args.end is None):
+        raise SystemExit("export: --start and --end must be given together")
+    if args.start is not None:
         body["start"], body["end"] = args.start, args.end
     with _request(f"{args.server}/export", body) as r:
         if args.output == "-":
@@ -248,6 +251,12 @@ def main(argv: list[str] | None = None) -> int:
         return args.fn(args)
     except urllib.error.HTTPError as e:
         sys.stderr.write(e.read().decode(errors="replace") + "\n")
+        return 1
+    except urllib.error.URLError as e:  # unreachable server
+        sys.stderr.write(f"connection failed: {e.reason}\n")
+        return 1
+    except http.client.HTTPException as e:  # mid-stream disconnect
+        sys.stderr.write(f"connection lost mid-response: {e!r}\n")
         return 1
 
 

@@ -38,12 +38,19 @@ def _clean(field: str):
     return F.when(~(F.isnan(c) | c.isin(float("inf"), float("-inf"))), c)
 
 
-def _sum_exact(field: str):
-    """Exact (order-independent) sum: decimal accumulation cast back to
-    double.  Float sums depend on partition order — at 1000 executors the
-    same query would return different last bits run-to-run; decimal sums are
-    associative AND exact, which also makes them oracle-comparable."""
-    return F.sum(_clean(field).cast("decimal(25,6)")).cast("double")
+def _sum_exact(field: str, *, exact: bool = False):
+    """Exact (order-independent) sum: decimal accumulation, cast back to
+    double for API output.  Float sums depend on partition order — at 1000
+    executors the same query would return different last bits run-to-run;
+    decimal sums are associative AND exact, which also makes them
+    oracle-comparable.
+
+    exact=True keeps the decimal(25,6) (for PERSISTED summary partials: a
+    double bucket sum loses the 6th decimal past ~4.5e9, so re-merging
+    double partials would diverge from the raw decimal path exactly at the
+    scale the store exists for)."""
+    s = F.sum(_clean(field).cast("decimal(25,6)"))
+    return s.cast("decimal(25,6)") if exact else s.cast("double")
 
 
 def summarize(
@@ -54,9 +61,15 @@ def summarize(
     text_fields: Sequence[str] = (),
     group_by_producer: bool = True,
     schema_hash_col: str | None = None,
+    exact_sums: bool = False,
 ) -> DataFrame:
     """Base summary table: one row per (producer?, topic[, schema_hash],
     bucket) with associative stats per field.
+
+    exact_sums=True keeps `{f}_sum` as decimal(25,6) instead of double —
+    required when the output is PERSISTED as summary partials that later
+    merges re-sum (see _sum_exact); the serving layer casts to double at
+    output.  API callers keep the double schema.
 
     bucket_start = floor(log_time / granularity) * granularity (int64 ns).
     One shuffle, partial aggregation map-side; at 100 TB this is the table
@@ -83,7 +96,7 @@ def summarize(
         c = _clean(f)
         aggs += [
             F.count(c).alias(f"{f}_count"),
-            _sum_exact(f).alias(f"{f}_sum"),
+            _sum_exact(f, exact=exact_sums).alias(f"{f}_sum"),
             F.min(c).alias(f"{f}_min"),
             F.max(c).alias(f"{f}_max"),
         ]
@@ -91,7 +104,9 @@ def summarize(
         aggs += [F.min(f).alias(f"{f}_text_min"), F.max(f).alias(f"{f}_text_max")]
     out = df.groupBy(*keys).agg(*aggs)
     for f in numeric_fields:
-        out = out.withColumn(f"{f}_mean", F.col(f"{f}_sum") / F.col(f"{f}_count"))
+        out = out.withColumn(
+            f"{f}_mean", F.col(f"{f}_sum").cast("double") / F.col(f"{f}_count")
+        )
     return out
 
 
@@ -245,6 +260,7 @@ def write_summary_store(
         numeric_fields=numeric_fields,
         text_fields=text_fields,
         group_by_producer=group_by_producer,
+        exact_sums=True,  # persisted partials must not round-trip double
     )
     (
         s.repartition("topic")
@@ -402,11 +418,15 @@ class SummaryStore:
         numeric_fields: Sequence[str] = (),
         text_fields: Sequence[str] = (),
         group_by_producer: bool = True,
-        **_ignored,
+        schema_hash_col: str | None = None,
     ) -> DataFrame:
         """Statistics endpoint served from the store: merge partials and
         re-bucket via rollup_summary (never touches raw).  Requires the
-        requested axes/fields to be maintained."""
+        requested axes/fields to be maintained; every unservable request
+        raises ValueError so engine.summarize falls back to raw — an axis
+        the store lacks must NEVER be silently dropped (a schema_hash axis
+        dropped here would merge stats across schema generations, exactly
+        what the per-generation keying exists to prevent)."""
         if granularity_ns % self.granularity_ns:
             raise ValueError("granularity must be a multiple of the store base")
         if not set(numeric_fields) <= set(self.numeric_fields):
@@ -416,6 +436,12 @@ class SummaryStore:
         if group_by_producer and not self.group_by_producer:
             raise ValueError("store was built without the producer axis")
         base = self._read()
+        if schema_hash_col is not None and "schema_hash" not in base.columns:
+            raise ValueError("store was built without the schema-hash axis")
+        if schema_hash_col is None and "schema_hash" in base.columns:
+            # axis maintained but not requested: merge generations away
+            # (associative stats), matching raw summarize's output shape
+            base = base.drop("schema_hash")
         if not group_by_producer and self.group_by_producer:
             base = base.drop("producer")
         keep = ["message_count", "min_observed_time", "max_observed_time"]

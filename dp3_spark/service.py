@@ -33,12 +33,17 @@ equivalent; production fronts Spark with a real gateway).
 from __future__ import annotations
 
 import json
+import re
 import tempfile
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from dp3_spark.engine import DP3Engine
+
+# names interpolated into a QL statement (export route): anything outside
+# this set could change the parsed statement shape
+_QL_NAME = re.compile(r"[A-Za-z0-9_\-./]+")
 
 
 class DatabaseNotFound(Exception):
@@ -74,6 +79,12 @@ class DP3Service:
         svc = self
 
         class Handler(BaseHTTPRequestHandler):
+            # chunked transfer framing is an HTTP/1.1 construct — a 1.0
+            # status line with Transfer-Encoding: chunked mis-frames the
+            # body for spec-compliant clients (and forces
+            # connection-per-request on the tail poller)
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):  # quiet test output
                 pass
 
@@ -142,17 +153,22 @@ class DP3Service:
         if parts == ["export"] and method == "POST":
             req = _body(h)
             eng = self._engine(req.get("database"))
-            # the QL statement is assembled from request strings: accept
-            # only names the catalog actually knows, so a crafted value
-            # (e.g. a producer containing ';') can never change the parsed
-            # statement shape
+            # the QL statement is assembled from request strings: reject
+            # any name containing QL metacharacters (whitespace, ',', ';',
+            # quotes, ...) so a crafted value can never change the parsed
+            # statement shape.  A charset check — NOT catalog membership —
+            # because (a) membership costs two full-corpus distinct scans
+            # per request, and (b) a hostile name that was previously
+            # INGESTED passes membership yet still rewrites the statement;
+            # the charset gate blocks it regardless of catalog state.
+            # Unknown-but-well-formed names just export zero rows.
             producer = req["producer"]
-            if producer != "*" and producer not in eng.producers():
-                raise ValueError(f"unknown producer {producer!r}")
-            known = set(eng.topics())
-            bad = sorted(set(req["topics"]) - known)
-            if bad:
-                raise ValueError(f"unknown topics {bad}")
+            for name in [producer, *req["topics"]]:
+                if name != "*" and not _QL_NAME.fullmatch(name):
+                    raise ValueError(
+                        f"name {name!r} contains QL metacharacters "
+                        "(allowed: letters, digits, '_', '-', '.', '/')"
+                    )
             topics = ", ".join(sorted(req["topics"]))
             ql = f"from {producer} {topics}"
             if req.get("start") is not None and req.get("end") is not None:
@@ -224,14 +240,31 @@ class DP3Service:
                 # poll-based tail (cli/cmd/tail.go shape): rows appended
                 # strictly after ?from=, plus the new cursor.  JSON lines:
                 # first line carries the version so a client can stream
-                # rows without buffering them behind one object.
+                # rows without buffering them behind one object.  The
+                # ?limit= cap cuts at a VERSION boundary: a follow client
+                # advances its cursor to the served version, so serving
+                # "latest version" with a row-truncated body would strand
+                # the capped-off rows forever.  Per-version counts are one
+                # row per append since `from` — a bounded collect — and at
+                # least one version always ships, so the poller makes
+                # progress even when a single append exceeds the cap.
                 frm = int(params.get("from", 0))
                 cap = int(params.get("limit", 10000))
-                df = eng.tail(frm).orderBy("log_time", "producer", "topic", "sequence")
+                tl = eng.tail(frm)
+                per_v = tl.groupBy("version").count().orderBy("version").collect()
+                upto, n = frm, 0
+                for r in per_v:
+                    if n and n + r["count"] > cap:
+                        break
+                    upto, n = r["version"], n + r["count"]
                 out = _ChunkedWriter(h, "application/json")
-                out.write(json.dumps({"version": eng.version()}).encode() + b"\n")
-                for i, s in enumerate(df.limit(cap).toJSON().toLocalIterator()):
-                    out.write((s if isinstance(s, str) else s[0]).encode() + b"\n")
+                out.write(json.dumps({"version": upto}).encode() + b"\n")
+                if upto > frm:
+                    rows = tl.filter(tl["version"] <= upto).orderBy(
+                        "log_time", "producer", "topic", "sequence"
+                    )
+                    for s in rows.toJSON().toLocalIterator():
+                        out.write((s if isinstance(s, str) else s[0]).encode() + b"\n")
                 out.close()
                 return
             if rest == ["statistics", "available"]:
@@ -321,9 +354,11 @@ class DP3Service:
 
 class _ChunkedWriter:
     """File-like over the response socket using HTTP/1.1 chunked transfer
-    encoding.  Headers go out lazily on the first write, so a handler that
-    fails BEFORE producing any bytes still gets a proper error response;
-    a failure mid-stream can only drop the connection (the client sees a
+    encoding.  Headers go out lazily on the first SOCKET EMIT (not the
+    first buffered write), so a handler that fails before any bytes hit
+    the wire — even after buffering a sub-64 KiB prefix like the tail
+    cursor line — still gets a proper 4xx/5xx; only a failure after the
+    first emitted chunk must drop the connection (the client sees a
     truncated chunk stream, never a silent short body).  Writes are
     buffered to ~64 KiB chunks so a line-at-a-time producer doesn't emit
     a chunk frame per line."""
@@ -346,10 +381,10 @@ class _ChunkedWriter:
             self.started = True
 
     def _emit(self, data: bytes) -> None:
+        self._start()
         self.h.wfile.write(b"%x\r\n" % len(data) + data + b"\r\n")
 
     def write(self, data: bytes) -> int:
-        self._start()
         self.buf += data
         if len(self.buf) >= self.CHUNK:
             self._emit(bytes(self.buf))
@@ -358,7 +393,6 @@ class _ChunkedWriter:
 
     def flush(self) -> None:
         if self.buf:
-            self._start()
             self._emit(bytes(self.buf))
             self.buf.clear()
 

@@ -113,7 +113,13 @@ def ingest_writer(
 def summary_maintainer(df: DataFrame, *, granularity_ns: int, numeric_fields: list[str]):
     """foreachBatch summary maintenance: each micro-batch computes partial
     aggregates at the base granularity; merging into the summary store is
-    associative (stats.rollup_summary) so batches can land in any order."""
+    associative (stats.rollup_summary) so batches can land in any order.
+
+    Sums are persisted as decimal(25,6) (see stats._sum_exact).  Serving
+    casts on read, so stores written before this change stay readable —
+    but do not APPEND decimal partials into an old double-sum store
+    directory (mixed parquet column types break the read); rebuild via
+    write_summary_store instead."""
     from dp3_spark.operators.stats import _clean, _sum_exact
 
     def update(batch: DataFrame, _epoch: int) -> DataFrame:
@@ -130,7 +136,9 @@ def summary_maintainer(df: DataFrame, *, granularity_ns: int, numeric_fields: li
         for f in numeric_fields:
             aggs += [
                 F.count(_clean(f)).alias(f"{f}_count"),
-                _sum_exact(f).alias(f"{f}_sum"),
+                # exact=True: these partials are persisted and re-merged;
+                # a double round-trip loses the 6th decimal past ~4.5e9
+                _sum_exact(f, exact=True).alias(f"{f}_sum"),
                 F.min(_clean(f)).alias(f"{f}_min"),
                 F.max(_clean(f)).alias(f"{f}_max"),
             ]

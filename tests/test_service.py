@@ -241,3 +241,50 @@ def test_unknown_routes(svc):
         with pytest.raises(urllib.error.HTTPError) as e:
             _req(url)
         assert e.value.code == code, url
+
+
+def test_responses_are_http11(svc):
+    with urllib.request.urlopen(f"{svc}/databases") as resp:
+        assert resp.version == 11  # chunked framing is an HTTP/1.1 construct
+
+
+def test_tail_cap_cuts_at_version_boundary(spark, tmp_path):
+    """A capped /tail must never strand rows: the follow client advances
+    its cursor to the served version, so the cap cuts at a version
+    boundary (and a single over-cap version still ships whole)."""
+    from dp3_spark.engine import DP3Engine as _E
+    from dp3_spark.service import DP3Service as _S
+    from dp3_spark.streaming.lifecycle import VersionedLogTable as _T
+
+    table = _T(spark, str(tmp_path / "tailtbl"))
+    schema = "producer string, topic string, log_time long, sequence long, v double"
+    for k in range(3):  # three appends -> three versions, 2 rows each
+        table.append(
+            spark.createDataFrame(
+                [("d", "/t", 100 * k + i, 2 * k + i, float(k)) for i in range(2)],
+                schema,
+            )
+        )
+    s = _S({"tt": _E(spark, table=table)})
+    host, port = s.start()
+    base = f"http://{host}:{port}/databases/tt/tail"
+    try:
+        def poll(frm, limit):
+            with urllib.request.urlopen(f"{base}?from={frm}&limit={limit}") as r:
+                lines = [json.loads(x) for x in r.read().splitlines() if x]
+            return lines[0]["version"], lines[1:]
+
+        seen, cursor = [], 0
+        for _ in range(10):
+            cursor2, rows = poll(cursor, 3)  # cap below two versions' 4 rows
+            if cursor2 == cursor:
+                break
+            assert len(rows) == 2  # exactly one whole version per poll
+            seen += rows
+            cursor = cursor2
+        assert sorted(r["sequence"] for r in seen) == list(range(6))  # no loss
+        # a single version larger than the cap still ships whole (progress)
+        v2, rows2 = poll(0, 1)
+        assert len(rows2) == 2 and v2 == 1
+    finally:
+        s.stop()

@@ -222,3 +222,44 @@ def test_summary_probe_plan_prunes(spark, summary_path):
     assert "bucket_start" in plan.split("PushedFilters")[1][:400]
     # topic is a partition column: it appears as partition filter, not data filter
     assert "PartitionFilters" in plan
+
+
+def test_schema_hash_axis_never_silently_merged(spark, store, summary_path):
+    """A schema_hash request against a store built WITHOUT that axis must
+    raise (so engine.summarize falls back to raw) — **_ignored-style
+    swallowing would merge stats across schema generations silently."""
+    s = ST.SummaryStore(spark, summary_path)
+    with pytest.raises(ValueError, match="schema-hash"):
+        s.summarize(
+            granularity_ns=3600 * 10**9,
+            numeric_fields=["value"],
+            schema_hash_col="schema_hash",
+        )
+
+
+def test_store_sums_are_decimal_exact_at_large_magnitude(spark, tmp_path):
+    """Persisted partials hold decimal(25,6) sums: a bucket sum past ~4.5e9
+    round-tripped through double loses the 6th decimal, and summary-served
+    would diverge from raw exactly at the scale the store exists for."""
+    rows = [
+        ("p0", "/big", i * MIN_NS, i, 9_000_000.000001) for i in range(1000)
+    ]  # bucket sums ~9e9 with a live 6th decimal
+    df = spark.createDataFrame(
+        rows,
+        "producer string, topic string, log_time long, sequence long, value double",
+    )
+    st = LogStore(df, "producer", "topic", "log_time", "sequence", ("value",))
+    d = str(tmp_path / "bigsum")
+    ST.write_summary_store(
+        st, d, granularity_ns=MIN_NS, numeric_fields=["value"],
+        text_fields=[], group_by_producer=True,
+    )
+    stored = spark.read.parquet(d)
+    assert "decimal" in dict(stored.dtypes)["value_sum"]
+    req = dict(
+        topic="/big", start_ns=0, end_ns=1000 * MIN_NS,
+        granularity_ns=100 * MIN_NS, numeric_fields=["value"],
+    )
+    served = ST.SummaryStore(spark, d).stat_range(**req)
+    raw = ST.stat_range(st, **req)
+    assert _collect_sorted(served) == _collect_sorted(raw)
