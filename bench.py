@@ -71,6 +71,8 @@ HEADLINE = [
     "text_metrics",           # text analysis over documents
     "text_gopher_flags",      # Gopher quality screen (map-only, pure codegen)
     "text_lm_score",          # corpus char-trigram LM scoring (broadcast model)
+    "bpe_train_merges",       # BPE tokenizer training (1 corpus pass +
+                              # vocab-sized merge iterations)
     "search_bm25",            # BM25 ranked retrieval (query-term postings only)
     "search_bm25_indexed",    # BM25 probe of the PERSISTED inverted index
     "search_hybrid_rrf",      # BM25 ∪ dense cosine fused by reciprocal rank
@@ -128,6 +130,10 @@ SCALING = [
     # wall-clock should track the MATCHED volume, not the corpus
     "zorder_pruned_scan",
     "search_bm25_indexed",
+    # near-flat by construction: merge iterations run on the vocab table,
+    # whose size is corpus-invariant under the weak-scaling copies — only
+    # the single word-count pass sees 10x rows
+    "bpe_train_merges",
     # raw-vs-summary StatRange pair at sf1: the reference's serve-from-
     # stored-summaries claim quantified on this engine (r5 verdict ask #8)
     "stat_range_hourly",

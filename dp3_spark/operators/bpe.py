@@ -1,0 +1,197 @@
+"""Byte-pair-encoding tokenizer training — the subword-vocabulary stage of
+a training-data pipeline (Sennrich et al., arXiv:1508.07909: learn the
+n most frequent adjacent symbol pairs over a word-frequency table, merging
+greedily left-to-right; GPT-2/RoBERTa-style preprocessing trains the same
+way over word counts, not raw text).
+
+Scale shape — why this survives 100 TB:
+- The corpus is touched ONCE: `word_counts` is a map-combinable
+  explode+groupBy (partial aggregation collapses each task's words before
+  the single shuffle).  Every training iteration afterwards runs on the
+  DISTINCT-WORD table, whose size is bounded by the corpus vocabulary
+  (~10-100 M rows for web-scale text), not by corpus bytes.
+- Each merge iteration is one vocab-sized pair-count aggregation (again
+  map-combinable — symbol-pair cardinality is far below word cardinality)
+  plus a 1-row argmax collect (bounded) and a projection applying the
+  merge.  n_merges iterations = n_merges small jobs, zero corpus passes.
+- `encode_token_counts` re-touches the corpus exactly once more and joins
+  the exploded words against the final vocab states — the vocab side is
+  the broadcast side by construction.
+
+Determinism (the cross-engine hash-gate discipline):
+- A word's partial merge state is a STRING with every symbol prefixed by
+  one space (' c a t _'); applying merge (a,b) is
+  replace(state, ' a b', ' ab').  Left-to-right non-overlapping `replace`
+  over this encoding IS exact greedy BPE: consecutive occurrences
+  ('a b a b') both merge in one pass because each symbol carries its own
+  leading space, and false boundaries are impossible because every match
+  must start at a symbol's own space.  Python str.replace, Spark
+  `replace`, and DuckDB `replace` all share these semantics — pinned by
+  tests against a pure-python reference.
+- Argmax tie-break is (count DESC, left ASC, right ASC) on binary string
+  order; words are restricted to [a-z0-9]+ so collation cannot diverge
+  (the argmax-tie lesson from the sf1 sweep).
+- '_' is the end-of-word marker: the word regex can never produce it, so
+  it is unambiguous, and merges ending in '_' learn word-final units
+  exactly as the reference algorithm does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# non-capturing split; lowercase first.  [a-z0-9]+ keeps the symbol
+# alphabet closed under ASCII so binary-collation tie-breaks are
+# engine-independent.
+WORD_SPLIT_RE = "[^a-z0-9]+"
+MARKER = "_"
+
+# truncate plan lineage every few merges: each iteration stacks a
+# projection + the pair-count subtree on a tiny table; unchecked, plan
+# compilation (not execution) becomes the cost at n_merges ~ 50+
+_CHECKPOINT_EVERY = 8
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, freq): the single corpus pass.  Map-combinable groupBy — the
+    shuffle carries one row per distinct word per task, not per
+    occurrence."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(par)
+        .select(
+            F.explode(F.split(F.lower(F.col(text_col)), WORD_SPLIT_RE)).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _initial_states(words: DataFrame) -> DataFrame:
+    """(w, freq, state) with state = ' c h a r s _' (space-prefixed
+    symbols + end-of-word marker)."""
+    return words.withColumn(
+        "state",
+        F.concat(
+            F.regexp_replace(F.col("w"), "(.)", " $1"), F.lit(" " + MARKER)
+        ),
+    )
+
+
+def _pair_counts(states: DataFrame) -> DataFrame:
+    """(a, b, cnt): adjacent-symbol pair frequencies over current states,
+    weighted by word frequency.  Overlapping positions count separately
+    ('aaa' contributes (a,a) twice), matching reference BPE counting."""
+    # materialize the split once per row before the transform — a split
+    # inside the lambda would re-run per position (the O(len^2) lesson
+    # from lm._trigrams)
+    return (
+        states.select(F.split(F.ltrim(F.col("state")), " ").alias("__s"), "freq")
+        .select(
+            # sequence(1, 0) is DESCENDING in Spark, not empty (the
+            # lm._trigrams gotcha) — fully-merged single-symbol states
+            # take the explicit empty branch
+            F.expr(
+                "explode(case when size(__s) >= 2 then "
+                "transform(sequence(1, size(__s) - 1), "
+                "i -> struct(element_at(__s, i) as a, element_at(__s, i + 1) as b)) "
+                "else array() end)"
+            ).alias("p"),
+            "freq",
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 12,
+) -> tuple[DataFrame, DataFrame]:
+    """Learn `n_merges` BPE merges.  Returns (merges, final_states):
+    merges = (step, lhs, rhs, pair_count) — the learned merge table in
+    order; final_states = (w, freq, state) — every word's subword
+    segmentation under the learned merges (the tokenizer's word cache).
+
+    The per-iteration collect is ONE row (the argmax pair) — bounded by
+    construction, the same discipline as the k-row centroid seeds in
+    similarity.py."""
+    spark = df.sparkSession
+    states = _initial_states(word_counts(df, text_col)).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        top = (
+            _pair_counts(states)
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:  # every word fully merged to one symbol
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        merges.append((step, a, b, int(cnt)))
+        states = states.withColumn(
+            "state",
+            F.replace(
+                F.col("state"), F.lit(f" {a} {b}"), F.lit(f" {a}{b}")
+            ),
+        )
+        if step % _CHECKPOINT_EVERY == 0:
+            states = states.localCheckpoint()
+    merges_df = spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, pair_count bigint"
+    )
+    return merges_df, states
+
+
+def vocab_counts(final_states: DataFrame, *, top_k: int | None = None) -> DataFrame:
+    """(token, token_count): corpus frequency of every learned subword
+    token (symbols of the final states weighted by word frequency) —
+    the vocabulary report a tokenizer build emits."""
+    out = (
+        final_states.select(
+            F.explode(F.split(F.ltrim(F.col("state")), " ")).alias("token"),
+            "freq",
+        )
+        .groupBy("token")
+        .agg(F.sum("freq").alias("token_count"))
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("token_count").desc(), F.col("token").asc()
+        ).limit(top_k)
+    return out
+
+
+def encode_token_counts(
+    docs: DataFrame,
+    final_states: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_words, n_tokens): apply the trained tokenizer to documents.
+    One corpus pass (explode words) joined against the final vocab states
+    — the vocab is the small side and broadcasts; a word outside the
+    training vocab falls back to character-level (chars + marker), the
+    standard unknown-word behavior for count purposes."""
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), WORD_SPLIT_RE)).alias("w"),
+    ).filter(F.col("w") != "")
+    vocab = F.broadcast(
+        final_states.select(
+            "w", F.size(F.split(F.ltrim(F.col("state")), " ")).alias("n_sym")
+        )
+    )
+    joined = words.join(vocab, "w", "left").select(
+        "id",
+        F.coalesce(F.col("n_sym"), F.length(F.col("w")) + 1).alias("n_sym"),
+    )
+    return joined.groupBy(F.col("id").alias(id_col)).agg(
+        F.count("*").alias("n_words"), F.sum("n_sym").alias("n_tokens")
+    )

@@ -2375,6 +2375,129 @@ _REGISTRY["text_lm_score"] = (
 )
 
 
+# BPE tokenizer training (operators/bpe.py — the subword-vocabulary stage,
+# Sennrich arXiv:1508.07909).  The oracle unrolls the merge loop as a
+# MATERIALIZED CTE chain (the recursive-CTE re-inlining lesson from the
+# sf1 sweep: lvl{k} is referenced by both pc{k} and lvl{k+1}, so without
+# AS MATERIALIZED the chain re-derives exponentially).  Word states are
+# space-prefixed symbol strings, so one left-to-right `replace` per level
+# IS exact greedy BPE in both engines; the argmax tie-break is
+# (count desc, lhs, rhs) over the closed [a-z0-9_] alphabet.
+_BPE_N_MERGES = 12
+
+
+def _bpe_chain_ctes(n: int) -> str:
+    """DuckDB CTE chain lvl0..lvl{n}: lvl{k} = (w, freq, state) after k
+    merges; best{k} = the k+1'th learned merge.  chr(9) separates the
+    pair key (words are [a-z0-9]+, so it can never collide)."""
+    ctes = [
+        """lvl0 as materialized (
+      select w, cast(count(*) as bigint) as freq,
+             regexp_replace(w, '(.)', ' \\1', 'g') || ' _' as state
+      from (select unnest(string_split_regex(lower(text), '[^a-z0-9]+')) as w
+            from documents) t
+      where w <> '' group by w)"""
+    ]
+    for k in range(n):
+        ctes.append(
+            f"""pc{k} as materialized (
+      select split_part(p, chr(9), 1) as a, split_part(p, chr(9), 2) as b,
+             cast(sum(freq) as bigint) as cnt
+      from (select unnest(list_transform(generate_series(1, len(s) - 1),
+                          i -> s[i] || chr(9) || s[i + 1])) as p, freq
+            from (select string_split(ltrim(state), ' ') as s, freq
+                  from lvl{k}) t0) t1
+      group by 1, 2)"""
+        )
+        ctes.append(
+            f"""best{k} as materialized (
+      select {k + 1} as step, a, b, cnt from pc{k}
+      order by cnt desc, a asc, b asc limit 1)"""
+        )
+        ctes.append(
+            f"""lvl{k + 1} as materialized (
+      select w, freq, replace(state, ' ' || a || ' ' || b, ' ' || a || b) as state
+      from lvl{k}, best{k})"""
+        )
+    return "with " + ",\n".join(ctes)
+
+
+_BPE_MERGES_DUCK = (
+    _bpe_chain_ctes(_BPE_N_MERGES)
+    + "\nselect * from ("
+    + " union all ".join(
+        f"select step, a as lhs, b as rhs, cnt as pair_count from best{k}"
+        for k in range(_BPE_N_MERGES)
+    )
+    + ") order by step"
+)
+
+
+@register("bpe_train_merges", _BPE_MERGES_DUCK)
+def bpe_train_merges(spark, sf_dir):
+    """The learned merge table: one corpus pass (map-combinable word
+    count), then n_merges vocab-sized iterations — zero further corpus
+    passes, 1-row argmax collects only."""
+    from dp3_spark.operators import bpe as B
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges, _ = B.bpe_train(docs, n_merges=_BPE_N_MERGES)
+    return merges
+
+
+_BPE_VOCAB_DUCK = (
+    _bpe_chain_ctes(_BPE_N_MERGES)
+    + f"""
+    select token, cast(sum(freq) as bigint) as token_count
+    from (select unnest(string_split(ltrim(state), ' ')) as token, freq
+          from lvl{_BPE_N_MERGES}) t
+    group by token
+    order by token_count desc, token asc limit 25"""
+)
+
+
+@register("bpe_vocab_topk", _BPE_VOCAB_DUCK)
+def bpe_vocab_topk(spark, sf_dir):
+    """Top-25 learned subword tokens by corpus frequency (deterministic
+    tie-break on the token string)."""
+    from dp3_spark.operators import bpe as B
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, states = B.bpe_train(docs, n_merges=_BPE_N_MERGES)
+    return B.vocab_counts(states, top_k=25)
+
+
+_BPE_ENCODE_DUCK = (
+    _bpe_chain_ctes(_BPE_N_MERGES)
+    + f""",
+    vocab as (select w, len(string_split(ltrim(state), ' ')) as n_sym
+              from lvl{_BPE_N_MERGES}),
+    words as (
+      select doc_id, w
+      from (select doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) as w
+            from documents) t
+      where w <> '')
+    select words.doc_id,
+           cast(count(*) as bigint) as n_words,
+           cast(sum(coalesce(vocab.n_sym, len(words.w) + 1)) as bigint) as n_tokens
+    from words left join vocab on words.w = vocab.w
+    group by words.doc_id"""
+)
+
+
+@register("bpe_encode_counts", _BPE_ENCODE_DUCK)
+def bpe_encode_counts(spark, sf_dir):
+    """Tokenize the corpus with the learned merges: per-document word and
+    subword-token counts.  The second (and last) corpus pass; the vocab
+    states broadcast."""
+    from dp3_spark.operators import bpe as B
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, states = B.bpe_train(docs, n_merges=_BPE_N_MERGES)
+    return B.encode_token_counts(docs, states)
+
+
 # PII scrubbing (functions/text.py redact_pii / pii_count): the fixture
 # text carries no PII, so each document is augmented with a synthetic
 # email + IPv4 derived from its id — IN SQL, identically in both engines —
@@ -5220,9 +5343,13 @@ _PRIORITY_ORDER = [
     # the NATIVE watermarked stream-stream interval join, the fourth
     # stateful-streaming shape.)
     "stream_interval_attrib",
-    "stat_hll_daily",
-    # (stat_range_by_producer rotates to 51+: 4th stat_range variant,
-    # driver-green r01-r03)
+    # (stat_hll_daily rotates to 51+ after green r03-r05 — the mergeable-
+    # sketch contract stays in-window via stat_cms_weekly_rollup; the HLL
+    # column stays oracle-pinned locally and in the sf1 sweep.  Its slot:
+    # bpe_train_merges, the round-6 tokenizer-training family.
+    # stat_range_by_producer rotated to 51+ earlier: 4th stat_range
+    # variant, driver-green r01-r03.)
+    "bpe_train_merges",
     # signal analytics (round-3 family, first driver rows this round;
     # reference lineage nodestore/statistics.go mergeable aggregates)
     "stat_resample_hourly",
@@ -5259,9 +5386,13 @@ _PRIORITY_ORDER = [
     # re-delivered files through deduped_stream == exact distinct
     "stream_ingest_dedup",
     "events_props_json",
-    # text analysis (text_langid / text_fingerprint rotate to 51+ after
-    # three green rounds; gopher-quality flags take their slot)
-    "text_metrics",
+    # text analysis (text_langid / text_fingerprint rotated to 51+ after
+    # three green rounds; text_metrics rotates to 51+ after five green
+    # rounds r01-r05 — the codegen text-metric family stays in-window via
+    # text_gopher_flags.  Its slot: bpe_encode_counts, the trained
+    # tokenizer applied corpus-wide — the corpus-pass + broadcast-vocab
+    # join shape, complementing bpe_train_merges' iterative build.)
+    "bpe_encode_counts",
     "text_gopher_flags",
     # BM25 ranked retrieval — first driver row of the keyword-search
     # family (rotated in round 5; idf micro-quantized, int64 partial sums)

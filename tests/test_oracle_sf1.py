@@ -102,6 +102,10 @@ SF1_QUERIES = [
     # text pipeline (fingerprint sums are int64 — overflow check at 10x)
     "text_metrics", "text_gopher_flags", "text_langid", "text_fingerprint",
     "text_vocab_topk", "text_pii_scrub", "text_repetition", "text_lm_score",
+    # BPE tokenizer training: the weak-scaled copies preserve the word
+    # distribution, so the learned merges must be IDENTICAL at 10x rows
+    # (10x pair counts) — any argmax/tie divergence at scale fails the hash
+    "bpe_train_merges", "bpe_vocab_topk", "bpe_encode_counts",
     # StatRange served from the persisted summary store: summary-served ==
     # raw-derived must hold at 10x summary volume too
     "stat_range_served",

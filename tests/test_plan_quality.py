@@ -451,3 +451,30 @@ def test_bm25_indexed_probe_reads_only_query_term_postings(spark, tmp_path):
     leaf = d._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
     probe_rows = leaf.metrics().apply("numOutputRows").value()
     assert probe_rows < total * 0.6, (probe_rows, total)
+
+
+def test_bpe_iterations_touch_vocab_not_corpus(spark):
+    """bpe_train's scale contract: the corpus is read once (word_counts'
+    map-combinable groupBy — partial aggregation below the single word
+    shuffle); every merge iteration plans over the checkpointed vocab
+    table, and the encoder joins exploded words against a BROADCAST
+    vocab — the corpus side never shuffles for the join."""
+    from dp3_spark.operators import bpe as B
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    wc = B.word_counts(docs)
+    wtxt = plan_of(wc)
+    # partial aggregation before the single shuffle (map-side combine)
+    assert wtxt.count("HashAggregate") >= 2
+    assert wtxt.count("Exchange") <= 2  # repartition + the groupBy shuffle
+
+    merges, states = B.bpe_train(docs, n_merges=2)
+    # iteration input is a checkpointed (scan-like) vocab table: the
+    # per-merge pair-count plan must not re-read the documents parquet
+    ptxt = plan_of(B._pair_counts(states))
+    assert "documents.parquet" not in ptxt
+
+    enc = B.encode_token_counts(docs, states)
+    etxt = plan_of(enc)
+    assert "BroadcastHashJoin" in etxt  # vocab is the broadcast side
+    assert "SortMergeJoin" not in etxt and "CartesianProduct" not in etxt
