@@ -41,7 +41,9 @@ HEADLINE = [
     "stat_range_hourly",      # multigranular stats (workload #3), raw-served
     "stat_range_served",      # same API served from the PERSISTED summary
                               # store (probe cost ∝ summary slice, not corpus)
-    "stat_quantiles_hourly",  # quantile stats
+    "stat_quantiles_hourly",  # quantile stats (exact, raw-derived)
+    "stat_quantiles_served",  # quantiles from the store's persisted
+                              # DDSketch columns — raw rows never touched
     "stat_hll_daily",         # mergeable HLL distinct-count sketch
     "stat_resample_hourly",   # zero-order-hold grid resample (no-join plan)
     "stat_resample_lerp",     # linear-interpolation resample (same no-join plan)
@@ -138,6 +140,8 @@ SCALING = [
     # stored-summaries claim quantified on this engine (r5 verdict ask #8)
     "stat_range_hourly",
     "stat_range_served",
+    # quantiles from persisted sketches: probe ∝ summary slice at any sf
+    "stat_quantiles_served",
 ]
 
 
@@ -278,7 +282,7 @@ def final_line(timings: dict[str, float], sf: float) -> str:
     deltas."""
     return json.dumps(
         {
-            "metric": "headline steady-state sec (fresh session/query)",
+            "metric": "headline steady-state sec",
             "value": round(sum(timings.values()), 2),
             "unit": "sec",
             "queries": {n: round(t, 2) for n, t in timings.items()},

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dp3_spark.catalog import LogStore
 from dp3_spark.output import to_json_lines, to_json_shape
@@ -151,6 +152,61 @@ class DP3Engine:
         if self._summary is not None and self._summary.can_serve(**kwargs):
             return self._summary.stat_range(**kwargs)
         return STAT.stat_range(self._store(), **kwargs)
+
+    def stat_quantiles(
+        self,
+        *,
+        topic: str,
+        start_ns: int,
+        end_ns: int,
+        granularity_ns: int,
+        field: str = "value",
+        quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+        producer: str | None = None,
+        values: bool = True,
+    ) -> DataFrame:
+        """Binned quantiles for one topic.  Serves from the attached
+        summary store's persisted DDSketch columns when the field is
+        maintained and the window merges whole base buckets (summary ==
+        raw gated by the stat_quantiles_served driver row); otherwise
+        computes the same sketch from raw — identical bins either way,
+        since merging base sketches IS binning raw at the coarser
+        bucket."""
+        from dp3_spark.operators import sketch as SK
+        from dp3_spark.operators import stats as STAT
+
+        if granularity_ns < STAT.TREE_LEAF_WIDTH_NS:
+            raise STAT.TooGranularError("sorry, too granular")
+        s = self._summary
+        b = s.granularity_ns if s is not None else 0
+        if (
+            s is not None
+            and field in s.sketch_fields
+            and b
+            and not (granularity_ns % b or start_ns % b or end_ns % b)
+            and (producer is None or s.group_by_producer)
+        ):
+            return s.quantiles(
+                topic=topic, start_ns=start_ns, end_ns=end_ns,
+                granularity_ns=granularity_ns, field=field,
+                quantiles=quantiles, producer=producer, values=values,
+            )
+        ev = (
+            self._store()
+            .normalized()
+            .filter(F.col("topic") == topic)
+            .filter((F.col("log_time") >= start_ns) & (F.col("log_time") < end_ns))
+            .withColumn(
+                "bucket_start",
+                F.col("log_time") - F.col("log_time") % granularity_ns,
+            )
+        )
+        if producer is not None:
+            ev = ev.filter(F.col("producer") == producer)
+        sk = SK.sketch_summarize(ev, keys=["bucket_start"], field=field)
+        return SK.sketch_quantiles(
+            sk, keys=["bucket_start"], quantiles=quantiles, values=values
+        ).orderBy("bucket_start")
 
     def available_statistics(self) -> DataFrame:
         from dp3_spark.operators import stats as STAT

@@ -245,12 +245,19 @@ def write_summary_store(
     numeric_fields: Sequence[str] = (),
     text_fields: Sequence[str] = (),
     group_by_producer: bool = True,
+    sketch_fields: Sequence[str] = (),
 ) -> "SummaryStore":
     """Build and persist the base summary table, laid out for serving:
     partitioned by topic (directory pruning per serve) and sorted by
     bucket_start within files (row-group min/max pruning of the time
     window).  The partition column must LEAD the sort order or
-    FileFormatWriter re-sorts and silently destroys the clustering."""
+    FileFormatWriter re-sorts and silently destroys the clustering.
+
+    sketch_fields: additionally maintain a mergeable DDSketch-style
+    quantile sketch per field as a `{f}_sketch` map<bin,count> column
+    (operators/sketch.py) — the reference stores quantile summaries on
+    inner nodes the same way (nodestore/statistics.go:129-155), which is
+    what lets StatRange quantiles serve without touching raw rows."""
     import json
     import os
 
@@ -262,6 +269,11 @@ def write_summary_store(
         group_by_producer=group_by_producer,
         exact_sums=True,  # persisted partials must not round-trip double
     )
+    if sketch_fields:
+        s = _attach_sketches(
+            store.normalized(), s, granularity_ns=granularity_ns,
+            sketch_fields=sketch_fields, group_by_producer=group_by_producer,
+        )
     (
         s.repartition("topic")
         .sortWithinPartitions("topic", "bucket_start")
@@ -274,11 +286,40 @@ def write_summary_store(
         "numeric_fields": list(numeric_fields),
         "text_fields": list(text_fields),
         "group_by_producer": group_by_producer,
+        "sketch_fields": list(sketch_fields),
     }
     with open(os.path.join(path, SUMMARY_META_FILE), "w") as f:
         json.dump(meta, f)
     spark = store.df.sparkSession
     return SummaryStore(spark, path)
+
+
+def _attach_sketches(
+    df: DataFrame,
+    base: DataFrame,
+    *,
+    granularity_ns: int,
+    sketch_fields: Sequence[str],
+    group_by_producer: bool,
+) -> DataFrame:
+    """Left-join per-(keys, bucket) DDSketch map columns onto the base
+    summary frame.  A bucket with no finite values for a field keeps a
+    NULL sketch (the serve path skips NULL maps before exploding)."""
+    from dp3_spark.operators import sketch as SK
+
+    keys = (["producer"] if group_by_producer else []) + ["topic"]
+    bucketed = df.withColumn(
+        "bucket_start", F.col("log_time") - F.col("log_time") % granularity_ns
+    )
+    out = base
+    for f in sketch_fields:
+        sk = SK.sketch_summarize(
+            bucketed, keys=[*keys, "bucket_start"], field=f
+        ).withColumnRenamed("sketch", f"{f}_sketch").withColumnRenamed(
+            "sketch_n", f"{f}_sketch_n"
+        )
+        out = out.join(sk, [*keys, "bucket_start"], "left")
+    return out
 
 
 class SummaryStore:
@@ -302,6 +343,7 @@ class SummaryStore:
         numeric_fields: Sequence[str] | None = None,
         text_fields: Sequence[str] = (),
         group_by_producer: bool | None = None,
+        sketch_fields: Sequence[str] | None = None,
     ):
         import json
         import os
@@ -324,6 +366,9 @@ class SummaryStore:
             group_by_producer
             if group_by_producer is not None
             else meta.get("group_by_producer", True)
+        )
+        self.sketch_fields = tuple(
+            sketch_fields if sketch_fields is not None else meta.get("sketch_fields", ())
         )
 
     def _read(self) -> DataFrame:
@@ -410,6 +455,60 @@ class SummaryStore:
         for f in numeric_fields:
             out = out.withColumn(f"{f}_mean", F.col(f"{f}_sum") / F.col(f"{f}_count"))
         return out.orderBy("bucket_start")
+
+    def quantiles(
+        self,
+        *,
+        topic: str,
+        start_ns: int,
+        end_ns: int,
+        granularity_ns: int,
+        field: str,
+        quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+        producer: str | None = None,
+        values: bool = False,
+    ) -> DataFrame:
+        """Quantiles served from the store's persisted DDSketch columns —
+        the reference keeps quantile summaries on inner nodes for exactly
+        this (nodestore/statistics.go:129-155): the probe reads the
+        topic's summary slice, merges base-bucket sketch maps to the
+        requested buckets (associative), and walks the merged bins; raw
+        rows are never touched.  Merging 60 s sketches IS binning raw at
+        the coarser bucket (bins are per-value), so the result is
+        bit-identical to a raw derivation — the stat_quantiles_served
+        driver row gates that end-to-end.
+
+        values=False emits covering-bin indices (p{N}_bin, the
+        cross-engine-exact surface); values=True emits representative
+        float values (relative error <= the sketch accuracy)."""
+        from dp3_spark.operators import sketch as SK
+
+        if granularity_ns < TREE_LEAF_WIDTH_NS:
+            raise TooGranularError("sorry, too granular")
+        b = self.granularity_ns
+        if granularity_ns % b or start_ns % b or end_ns % b:
+            raise ValueError("window/granularity not aligned to the store base")
+        if field not in self.sketch_fields:
+            raise ValueError(f"no sketch maintained for field {field!r}")
+        if producer is not None and not self.group_by_producer:
+            raise ValueError("store was built without the producer axis")
+        df = self._read().filter(F.col("topic") == topic)
+        df = df.filter(
+            (F.col("bucket_start") >= start_ns) & (F.col("bucket_start") < end_ns)
+        )
+        if producer is not None:
+            df = df.filter(F.col("producer") == producer)
+        sk = df.filter(F.col(f"{field}_sketch").isNotNull()).select(
+            (
+                F.col("bucket_start") - F.col("bucket_start") % granularity_ns
+            ).alias("bucket_start"),
+            F.col(f"{field}_sketch").alias("sketch"),
+            F.col(f"{field}_sketch_n").alias("sketch_n"),
+        )
+        merged = SK.sketch_merge(sk, keys=["bucket_start"])
+        return SK.sketch_quantiles(
+            merged, keys=["bucket_start"], quantiles=quantiles, values=values
+        ).orderBy("bucket_start")
 
     def summarize(
         self,

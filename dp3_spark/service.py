@@ -140,14 +140,32 @@ class DP3Service:
         if parts == ["statrange"]:
             req = {**params, **_body(h)}
             eng = self._engine(req.get("database"))
-            df = eng.stat_range(
-                topic=req["topic"],
-                start_ns=int(req["start"]),
-                end_ns=int(req["end"]),
-                granularity_ns=int(req["granularity"]),
-                numeric_fields=_fields(req.get("fields")),
-                producer=req.get("producer") or None,
-            )
+            if req.get("quantiles"):
+                # quantile stats ride the summary store's persisted
+                # DDSketch columns when servable (engine.stat_quantiles);
+                # the reference keeps quantile summaries on inner nodes
+                # for the same reason (nodestore/statistics.go:129-155)
+                qs = req["quantiles"]
+                if isinstance(qs, str):
+                    qs = [float(x) for x in qs.split(",") if x]
+                df = eng.stat_quantiles(
+                    topic=req["topic"],
+                    start_ns=int(req["start"]),
+                    end_ns=int(req["end"]),
+                    granularity_ns=int(req["granularity"]),
+                    field=(_fields(req.get("fields")) or ("value",))[0],
+                    quantiles=tuple(qs),
+                    producer=req.get("producer") or None,
+                )
+            else:
+                df = eng.stat_range(
+                    topic=req["topic"],
+                    start_ns=int(req["start"]),
+                    end_ns=int(req["end"]),
+                    granularity_ns=int(req["granularity"]),
+                    numeric_fields=_fields(req.get("fields")),
+                    producer=req.get("producer") or None,
+                )
             _respond(h, 200, _rows(df))
             return
         if parts == ["export"] and method == "POST":

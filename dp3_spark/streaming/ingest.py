@@ -110,7 +110,13 @@ def ingest_writer(
     )
 
 
-def summary_maintainer(df: DataFrame, *, granularity_ns: int, numeric_fields: list[str]):
+def summary_maintainer(
+    df: DataFrame,
+    *,
+    granularity_ns: int,
+    numeric_fields: list[str],
+    sketch_fields: list[str] = (),
+):
     """foreachBatch summary maintenance: each micro-batch computes partial
     aggregates at the base granularity; merging into the summary store is
     associative (stats.rollup_summary) so batches can land in any order.
@@ -119,8 +125,12 @@ def summary_maintainer(df: DataFrame, *, granularity_ns: int, numeric_fields: li
     casts on read, so stores written before this change stay readable —
     but do not APPEND decimal partials into an old double-sum store
     directory (mixed parquet column types break the read); rebuild via
-    write_summary_store instead."""
-    from dp3_spark.operators.stats import _clean, _sum_exact
+    write_summary_store instead.
+
+    sketch_fields: additionally maintain per-bucket DDSketch quantile maps
+    ({f}_sketch) — partial maps per micro-batch; serving merges them
+    (SummaryStore.quantiles), so this too is batch-order-independent."""
+    from dp3_spark.operators.stats import _attach_sketches, _clean, _sum_exact
 
     def update(batch: DataFrame, _epoch: int) -> DataFrame:
         keys = [
@@ -142,6 +152,12 @@ def summary_maintainer(df: DataFrame, *, granularity_ns: int, numeric_fields: li
                 F.min(_clean(f)).alias(f"{f}_min"),
                 F.max(_clean(f)).alias(f"{f}_max"),
             ]
-        return batch.groupBy(*keys).agg(*aggs)
+        out = batch.groupBy(*keys).agg(*aggs)
+        if sketch_fields:
+            out = _attach_sketches(
+                batch, out, granularity_ns=granularity_ns,
+                sketch_fields=list(sketch_fields), group_by_producer=True,
+            )
+        return out
 
     return update

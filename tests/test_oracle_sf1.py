@@ -106,8 +106,9 @@ SF1_QUERIES = [
     # distribution, so the learned merges must be IDENTICAL at 10x rows
     # (10x pair counts) — any argmax/tie divergence at scale fails the hash
     "bpe_train_merges", "bpe_vocab_topk", "bpe_encode_counts",
-    # StatRange served from the persisted summary store: summary-served ==
-    # raw-derived must hold at 10x summary volume too
+    # StatRange + quantiles served from the persisted summary store:
+    # summary-served == raw-derived must hold at 10x summary volume too
+    "stat_quantiles_served",
     "stat_range_served",
     # ingest dedup drain: overlapping re-delivered files == exact distinct
     "stream_ingest_dedup",

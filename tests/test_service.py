@@ -288,3 +288,19 @@ def test_tail_cap_cuts_at_version_boundary(spark, tmp_path):
         assert len(rows2) == 2 and v2 == 1
     finally:
         s.stop()
+
+
+def test_statrange_quantiles_param(svc):
+    out = _req(
+        f"{svc}/statrange",
+        {
+            "database": "events",
+            "topic": "view",
+            "start": 1704067200000000000,
+            "end": 1706745600000000000,
+            "granularity": 86400 * 10**9,
+            "quantiles": [0.5, 0.9],
+        },
+    )
+    assert out  # daily buckets over the fixture span
+    assert {"bucket_start", "p50", "p90"} <= set(out[0])

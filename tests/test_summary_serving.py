@@ -46,7 +46,7 @@ def summary_path(spark, store):
     d = tempfile.mkdtemp(prefix="dp3_sumstore_")
     ST.write_summary_store(
         store, d, granularity_ns=MIN_NS, numeric_fields=["value"],
-        text_fields=[], group_by_producer=True,
+        text_fields=[], group_by_producer=True, sketch_fields=["value"],
     )
     yield d
     shutil.rmtree(d, ignore_errors=True)
@@ -172,7 +172,8 @@ def test_streaming_maintained_store_serves(spark, store, tmp_path):
 
     partials = str(tmp_path / "summary_store")
     maintain = summary_maintainer(
-        spark.read.parquet(in_dir), granularity_ns=MIN_NS, numeric_fields=["value"]
+        spark.read.parquet(in_dir), granularity_ns=MIN_NS,
+        numeric_fields=["value"], sketch_fields=["value"],
     )
 
     def sink(batch, epoch):
@@ -262,4 +263,95 @@ def test_store_sums_are_decimal_exact_at_large_magnitude(spark, tmp_path):
     )
     served = ST.SummaryStore(spark, d).stat_range(**req)
     raw = ST.stat_range(st, **req)
+    assert _collect_sorted(served) == _collect_sorted(raw)
+
+
+def _raw_quantile_bins(store, *, topic, start_ns, end_ns, granularity_ns, qs):
+    """Raw-derived covering bins: the independent same-session baseline
+    (the driver row stat_quantiles_served pins the DuckDB re-derivation)."""
+    from dp3_spark.operators import sketch as SK
+
+    ev = (
+        store.normalized()
+        .filter(F.col("topic") == topic)
+        .filter((F.col("log_time") >= start_ns) & (F.col("log_time") < end_ns))
+        .withColumn(
+            "bucket_start", F.col("log_time") - F.col("log_time") % granularity_ns
+        )
+    )
+    sk = SK.sketch_summarize(ev, keys=["bucket_start"], field="value")
+    return SK.sketch_quantiles(
+        sk, keys=["bucket_start"], quantiles=qs, values=False
+    )
+
+
+def test_quantiles_served_from_persisted_sketches(spark, store, summary_path):
+    """Merging 60 s sketch maps to hour buckets == binning raw at hours:
+    the summary-served quantile bins must equal the raw derivation
+    exactly, while reading only summary columns."""
+    s = ST.SummaryStore(spark, summary_path)
+    req = dict(
+        topic="/a", start_ns=0, end_ns=4 * 3600 * 10**9,
+        granularity_ns=3600 * 10**9,
+    )
+    served = s.quantiles(**req, field="value", quantiles=[0.5, 0.9, 0.99])
+    raw = _raw_quantile_bins(store, **req, qs=[0.5, 0.9, 0.99])
+    assert _collect_sorted(served) == _collect_sorted(raw)
+    plan = served._jdf.queryExecution().toString()
+    assert "log_time" not in plan.split("ReadSchema")[1]  # never touches raw
+
+
+def test_quantiles_served_rejects_unservable(spark, summary_path):
+    s = ST.SummaryStore(spark, summary_path)
+    base = dict(
+        topic="/a", start_ns=0, end_ns=3600 * 10**9,
+        granularity_ns=3600 * 10**9, field="value",
+    )
+    with pytest.raises(ST.TooGranularError):
+        s.quantiles(**{**base, "granularity_ns": 10**9})
+    with pytest.raises(ValueError):
+        s.quantiles(**{**base, "start_ns": 7})  # misaligned window
+    with pytest.raises(ValueError):
+        s.quantiles(**{**base, "field": "nope"})  # no sketch maintained
+
+
+def test_streaming_maintained_sketches_serve_quantiles(spark, store, tmp_path):
+    """Micro-batch partial sketch maps merged at serve time equal the
+    batch-built store's answer — sketch maintenance is order-independent."""
+    from dp3_spark.streaming.ingest import summary_maintainer
+
+    in_dir = str(tmp_path / "incoming_sk")
+    store.normalized().select(
+        "producer", "topic", "log_time", "sequence", "value"
+    ).repartition(5).write.mode("overwrite").parquet(in_dir)
+    partials = str(tmp_path / "summary_store_sk")
+    maintain = summary_maintainer(
+        spark.read.parquet(in_dir), granularity_ns=MIN_NS,
+        numeric_fields=["value"], sketch_fields=["value"],
+    )
+
+    def sink(batch, epoch):
+        maintain(batch, epoch).write.mode("append").parquet(partials)
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(in_dir).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    s = ST.SummaryStore(
+        spark, partials, granularity_ns=MIN_NS, numeric_fields=["value"],
+        group_by_producer=True, sketch_fields=["value"],
+    )
+    req = dict(
+        topic="/b", start_ns=0, end_ns=4 * 3600 * 10**9,
+        granularity_ns=3600 * 10**9,
+    )
+    served = s.quantiles(**req, field="value", quantiles=[0.5, 0.9])
+    raw = _raw_quantile_bins(store, **req, qs=[0.5, 0.9])
     assert _collect_sorted(served) == _collect_sorted(raw)
