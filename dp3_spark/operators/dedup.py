@@ -752,6 +752,24 @@ def simhash_dup_pairs(
     never a cartesian product.  (Two halves only guarantee recall for
     d <= 1; four segments are required for the default max_hamming=3.)"""
     sig = simhash(df, id_col, text_col, bits=bits, n=n)
+    return hamming_pairs(sig, bits=bits, max_hamming=max_hamming)
+
+
+def hamming_pairs(
+    sig: DataFrame,
+    *,
+    bits: int,
+    max_hamming: int,
+    id_col: str = "id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Pairs at Hamming distance <= max_hamming over any (id, signature)
+    frame — the pigeonhole blocking shared by text SimHash and image
+    perceptual hashes (multimodal dhash): max_hamming+1 bit segments, a
+    pair within distance d differs in at most d segments, so >= 1 segment
+    matches exactly; candidate generation is an equi-join, never a
+    cartesian product, and the blocking is LOSSLESS."""
+    sig = sig.select(F.col(id_col).alias("id"), F.col(sig_col).alias("simhash"))
     nseg = max_hamming + 1
     width = (bits + nseg - 1) // nseg
     mask = (1 << width) - 1

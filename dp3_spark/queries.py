@@ -3906,6 +3906,133 @@ def mm_feature_topk(spark, sf_dir):
     return SIM.cosine_topk(feats, q, id_col="doc_id", vec_col="features", k=3)
 
 
+# Image near-dup dedup: each document renders a deterministic 32x32 gray
+# frame — 8x8 blocks of 4x4 pixels, block value from an xorshift-multiply
+# hash of (effective group, block index), plus a within-block texture
+# (r%4)*(c%4) that cancels in block-sum gradients — a formula BOTH
+# engines compute bit-identically.  doc_id % G picks the dup group and
+# (doc_id // G) % 3 the class: 0 = exact copy, 1 = one block bumped +100
+# (flips <= 2 gradient signs -> hamming 1-2 near-dups), 2 = a different
+# base image entirely (its own exact-dup cluster).  G scales with the
+# corpus (greatest(8, n // 10), the lsh_geometry discipline) so dup-group
+# SIZE — and pair volume per doc — stays constant at any scale; measured
+# LINEAR: 1.2k / 11.7k / 117k pairs at 500 / 5k / 50k docs.  The hash
+# must be genuinely nonlinear (xor between multiplies): every polynomial
+# or multiply-only mix collapses mod 246 to a constant per-group offset
+# that cancels in gradients, gluing thousands of groups into one hash
+# class and making the output quadratic (measured: 61M pairs at sf1).
+# Spark round-trips the frame through REAL PNG bytes and dHashes the
+# DECODED pixels (multimodal.image_dhash), pairs via the pigeonhole
+# hamming blocking (dedup.hamming_pairs); the oracle derives the same
+# 56-bit dHash from the block-value formula.
+_IDH_HAM = 2
+_IDH_M31 = 2**31
+
+
+def _idh_mix(x):
+    """xorshift-multiply over int64 (numpy-safe magnitudes), mirrored
+    verbatim in the oracle SQL below."""
+    h = (x ^ (x // 65536)) * 73244475 % _IDH_M31
+    h = (h ^ (h // 65536)) * 73244475 % _IDH_M31
+    return h ^ (h // 65536)
+
+
+def _image_dedup_oracle() -> str:
+    return f"""
+    with gg as (select greatest(8, count(*) // 10) as G from documents),
+    cell as (
+      select d.doc_id, bb.b // 8 as rb, bb.b % 8 as cb, t5.bv as s
+      from documents d, gg,
+           unnest(generate_series(0, 63)) bb(b),
+           lateral (select (d.doc_id // gg.G) % 3 as k,
+                           case when (d.doc_id // gg.G) % 3 = 2
+                                then d.doc_id % gg.G + gg.G
+                                else d.doc_id % gg.G end as e) t0,
+           lateral (select t0.e * 64 + bb.b as h0) t1,
+           lateral (select (xor(t1.h0, t1.h0 // 65536) * 73244475)
+                           % {_IDH_M31} as h1) t2,
+           lateral (select (xor(t2.h1, t2.h1 // 65536) * 73244475)
+                           % {_IDH_M31} as h2) t3,
+           lateral (select xor(t3.h2, t3.h2 // 65536) % 246 as bv0) t4,
+           lateral (select case when t0.k = 1 and bb.b = d.doc_id % 64
+                                then (t4.bv0 + 100) % 246
+                                else t4.bv0 end as bv) t5
+    ),
+    bits as (
+      select doc_id, rb, cb,
+             case when s > lead(s) over (partition by doc_id, rb order by cb)
+                  then 1 else 0 end as b
+      from cell
+    ),
+    sig as materialized (
+      select doc_id,
+             cast(sum(b * (cast(1 as bigint) << (rb * 7 + cb))) as bigint) as dhash
+      from bits where cb < 7 group by doc_id
+    ),
+    -- candidate generation via the same pigeonhole theorem (3 segments,
+    -- hamming <= 2 => >= 1 segment equal), re-implemented independently:
+    -- the plain quadratic join is correct but 1.25B bit_count evals at
+    -- the sf1 sweep's 50k docs; the segment equi-join is lossless by
+    -- construction, so results are identical
+    blocks as (
+      select doc_id, dhash, u.k as blk,
+             (dhash >> (u.k * 19)) & 524287 as key
+      from sig, unnest([0, 1, 2]) u(k)
+    ),
+    cand as (
+      select distinct a.doc_id as id_a, b.doc_id as id_b,
+             a.dhash as da, b.dhash as db
+      from blocks a join blocks b using (blk, key)
+      where a.doc_id < b.doc_id
+    )
+    select id_a, id_b, cast(bit_count(xor(da, db)) as int) as hamming
+    from cand where bit_count(xor(da, db)) <= {_IDH_HAM}
+    """
+
+
+@register("mm_image_dedup", _image_dedup_oracle())
+def mm_image_dedup(spark, sf_dir):
+    """Perceptual-hash image deduplication end to end: render -> REAL PNG
+    encode -> real decode -> dHash over decoded pixels -> pigeonhole
+    hamming pairs.  The gate proves the whole chain at once — a lossy
+    codec bug, a dHash arithmetic slip, or a blocking recall hole all
+    hash-mismatch against the formula-derived oracle."""
+    import numpy as np
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # corpus-scaled group count (one bounded count job, the lsh_geometry
+    # discipline): dup-group size stays ~10 at any corpus size
+    g_groups = max(8, docs.count() // 10)
+
+    def render(batches):
+        r = np.arange(32).reshape(-1, 1)
+        c = np.arange(32).reshape(1, -1)
+        blk = np.arange(64).reshape(8, 8)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                g, k = d % g_groups, (d // g_groups) % 3
+                e = g + g_groups if k == 2 else g
+                bv = _idh_mix(e * 64 + blk) % 246
+                if k == 1:
+                    bv = np.where(blk == d % 64, (bv + 100) % 246, bv)
+                # block-constant value + a texture that cancels in the
+                # block-sum gradients (same sum added to every block);
+                # max 245 + 9 < 256, so no wrap breaks the cancellation
+                v = bv[r // 4, c // 4] + (r % 4) * (c % 4)
+                gray = v.astype(np.uint8)
+                img = np.repeat(gray[..., None], 3, axis=2)
+                rows.append((d, MM.encode_png(img)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(render, "doc_id long, payload binary")
+    return MM.image_dup_pairs(payloads, max_hamming=_IDH_HAM).select(
+        F.col("id_a"), F.col("id_b"), F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 # 16 rows = three full cycles of the encoder's row-filter rotation
 # (None/Sub/Up/Average/Paeth), so the round-trip exercises every
 # unfilter branch on every document
@@ -5364,7 +5491,12 @@ _PRIORITY_ORDER = [
     # unbounded/immediate/succeeds emission variants stay oracle-pinned
     # locally.  ql_where_regex / ql_between_iso8601 rotated earlier after
     # being driver-green r01-r03.)
-    "mm_audio_features",
+    # (mm_audio_features rotates to 51+ after green r03-r05 — the ADPCM
+    # decode family stays in-window via mm_video_frames + the audio rows
+    # in the local suite.  Its slot: mm_image_dedup — perceptual-hash
+    # image near-dup over REAL decoded PNG bytes, the multimodal dedup
+    # stage tying the codec chain to the hamming-blocking machinery.)
+    "mm_image_dedup",
     "mm_video_frames",
     "mm_png_decode",
     # progressive (SOF2) JPEG — the last reachable-format stub closed in

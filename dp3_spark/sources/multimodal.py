@@ -1208,3 +1208,74 @@ def encode_wav_pcm(samples, *, rate: int = 8000, channels: int = 1) -> bytes:
         + b"data" + struct.pack("<I", len(pcm)) + pcm
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def image_dhash(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    block: int = 4,
+    grid_h: int = 8,
+    grid_w: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash over REAL decoded image payloads (PNG or
+    BMP auto-detected): average-pool the luma plane to a (grid_h, grid_w)
+    grid of `block`x`block` integer block SUMS, then bit (r, c) =
+    sum(r, c) > sum(r, c+1) — the standard dHash horizontal-gradient
+    sign pattern (grid_h * (grid_w-1) bits; 8x8 -> 56 bits, which keeps
+    the packed key strictly positive in int64 for both engines' shift
+    semantics).  Comparing SUMS, not means, avoids division entirely:
+    every bit is exact integer arithmetic, so the hash is reproducible
+    bit-for-bit from the pixel values in any engine.
+
+    One mapInPandas crossing (the codec); the downstream near-dup join
+    (dedup.hamming_pairs) runs on the packed int64 JVM-side."""
+    import numpy as np
+
+    nbits_row = grid_w - 1
+    H, W = grid_h * block, grid_w * block
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                data = _payload_bytes(p)
+                img = decode_png(data) if data[:4] == b"\x89PNG" else decode_bmp(data)
+                img = np.asarray(img)
+                if img.shape[0] != H or img.shape[1] != W:
+                    raise ValueError(
+                        f"image_dhash expects {H}x{W} frames, got {img.shape}"
+                    )
+                luma = img[..., 0].astype(np.int64)  # gray fixtures: R==G==B
+                sums = luma.reshape(grid_h, block, grid_w, block).sum(axis=(1, 3))
+                bits = sums[:, :-1] > sums[:, 1:]
+                idx = (
+                    np.arange(grid_h).reshape(-1, 1) * nbits_row
+                    + np.arange(nbits_row).reshape(1, -1)
+                )
+                hashes.append(int((bits.astype(np.int64) << idx).sum()))
+                ids.append(int(did))
+            yield pd.DataFrame({"id": ids, "dhash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(run, "id long, dhash long")
+
+
+def image_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-duplicate image pairs: real decode -> dHash -> pigeonhole
+    Hamming blocking (dedup.hamming_pairs — the text-SimHash machinery
+    reused on a perceptual hash).  The image-dedup stage of a multimodal
+    training-data pipeline: one codec crossing, then pure-codegen
+    blocking/verify; never a cartesian product."""
+    from dp3_spark.operators.dedup import hamming_pairs
+
+    sig = image_dhash(df, id_col=id_col, payload_col=payload_col)
+    return hamming_pairs(
+        sig, bits=56, max_hamming=max_hamming, id_col="id", sig_col="dhash"
+    )

@@ -106,6 +106,10 @@ SF1_QUERIES = [
     # distribution, so the learned merges must be IDENTICAL at 10x rows
     # (10x pair counts) — any argmax/tie divergence at scale fails the hash
     "bpe_train_merges", "bpe_vocab_topk", "bpe_encode_counts",
+    # image near-dup: the group count scales with the corpus (dup-group
+    # size constant), so pair volume is LINEAR at 10x docs (11.7k ->
+    # 117k measured); the oracle blocks candidates by the same pigeonhole
+    "mm_image_dedup",
     # StatRange + quantiles served from the persisted summary store:
     # summary-served == raw-derived must hold at 10x summary volume too
     "stat_quantiles_served",
