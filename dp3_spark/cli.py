@@ -80,6 +80,10 @@ def cmd_statrange(args) -> int:
         body["fields"] = args.fields.split(",")
     if args.producer:
         body["producer"] = args.producer
+    if args.quantiles:
+        # quantile stats (served from the summary store's persisted
+        # sketches when the server has one attached)
+        body["quantiles"] = [float(x) for x in args.quantiles.split(",") if x]
     with _request(f"{args.server}/statrange", body) as r:
         for row in json.load(r):
             print(json.dumps(row))
@@ -201,6 +205,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--granularity", type=int, required=True)
     s.add_argument("--fields", default="")
     s.add_argument("--producer", default="")
+    s.add_argument("--quantiles", default="", help="e.g. 0.5,0.9,0.99")
     s.set_defaults(fn=cmd_statrange)
 
     e = sub.add_parser("export", help="export topics as one MCAP stream")

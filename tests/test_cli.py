@@ -68,6 +68,17 @@ def test_cli_statrange(env, capfd):
     )
     rows = [json.loads(l) for l in capfd.readouterr().out.strip().split("\n")]
     assert rows and all(r["message_count"] > 0 for r in rows)
+    # quantile stats via the same verb
+    assert (
+        run(
+            env, "--database", "events", "statrange", "--topic", "click",
+            "--start", "1704067200000000000", "--end", "1706745600000000000",
+            "--granularity", str(86400 * 10**9), "--quantiles", "0.5,0.9",
+        )
+        == 0
+    )
+    rows = [json.loads(l) for l in capfd.readouterr().out.strip().split("\n")]
+    assert rows and all({"p50", "p90"} <= set(r) for r in rows)
 
 
 def test_cli_catalog_verbs(env, capfd):
