@@ -374,6 +374,83 @@ class SummaryStore:
     def _read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
 
+    def compact(self) -> int:
+        """Merge partial rows back to ONE row per (keys, bucket) — the
+        WAL-merge analog for maintained stores: a summary_maintainer
+        drain appends one partial per (bucket, micro-batch), so a
+        long-running store's serve-time merge reads ever more rows for
+        the same buckets.  Every serve stays correct without compaction
+        (merging is associative); compaction restores the read
+        amplification to 1 row/bucket.  Rewrites in place via a staging
+        directory swap; returns the compacted row count.
+
+        Sketch map columns merge with the same explode+re-sum the serve
+        path uses; sums stay decimal (never round-trip double)."""
+        import os
+        import shutil
+
+        df = self._read()
+        keys = [c for c in ("producer", "topic", "schema_hash") if c in df.columns]
+        aggs = [
+            F.sum("message_count").alias("message_count"),
+            F.min("min_observed_time").alias("min_observed_time"),
+            F.max("max_observed_time").alias("max_observed_time"),
+        ]
+        for f in self.numeric_fields:
+            aggs += [
+                F.sum(f"{f}_count").alias(f"{f}_count"),
+                F.sum(F.col(f"{f}_sum").cast("decimal(25,6)"))
+                .cast("decimal(25,6)")
+                .alias(f"{f}_sum"),
+                F.min(f"{f}_min").alias(f"{f}_min"),
+                F.max(f"{f}_max").alias(f"{f}_max"),
+            ]
+        for f in self.text_fields:
+            aggs += [
+                F.min(f"{f}_text_min").alias(f"{f}_text_min"),
+                F.max(f"{f}_text_max").alias(f"{f}_text_max"),
+            ]
+        out = df.groupBy(*keys, "bucket_start").agg(*aggs)
+        for f in self.numeric_fields:
+            out = out.withColumn(
+                f"{f}_mean", F.col(f"{f}_sum").cast("double") / F.col(f"{f}_count")
+            )
+        for f in self.sketch_fields:
+            sk = (
+                df.filter(F.col(f"{f}_sketch").isNotNull())
+                .select(*keys, "bucket_start", F.explode(f"{f}_sketch").alias("bin", "cnt"))
+                .groupBy(*keys, "bucket_start", "bin")
+                .agg(F.sum("cnt").alias("cnt"))
+                .groupBy(*keys, "bucket_start")
+                .agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("bin", "cnt"))
+                    ).alias(f"{f}_sketch"),
+                    F.sum("cnt").alias(f"{f}_sketch_n"),
+                )
+            )
+            out = out.join(sk, [*keys, "bucket_start"], "left")
+        staging = self.path.rstrip("/") + "._compact"
+        writer = out
+        if "topic" in keys:
+            writer = out.repartition("topic").sortWithinPartitions(
+                "topic", "bucket_start"
+            )
+            writer.write.mode("overwrite").partitionBy("topic").parquet(staging)
+        else:
+            writer.sortWithinPartitions("bucket_start").write.mode(
+                "overwrite"
+            ).parquet(staging)
+        n = self.spark.read.parquet(staging).count()
+        meta_src = os.path.join(self.path, SUMMARY_META_FILE)
+        if os.path.exists(meta_src):
+            shutil.copy2(meta_src, os.path.join(staging, SUMMARY_META_FILE))
+        old = self.path.rstrip("/") + "._old"
+        os.rename(self.path, old)
+        os.rename(staging, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        return n
+
     def can_serve(
         self,
         *,

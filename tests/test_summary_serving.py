@@ -355,3 +355,58 @@ def test_streaming_maintained_sketches_serve_quantiles(spark, store, tmp_path):
     served = s.quantiles(**req, field="value", quantiles=[0.5, 0.9])
     raw = _raw_quantile_bins(store, **req, qs=[0.5, 0.9])
     assert _collect_sorted(served) == _collect_sorted(raw)
+
+
+def test_compact_merges_partials_and_preserves_serving(spark, store, tmp_path):
+    """A maintained store accumulates one partial per (bucket, batch);
+    compact() must merge to one row per bucket WITHOUT changing any
+    served answer (stat_range and sketch quantiles), and keep the meta
+    sidecar so the store reopens from path alone."""
+    from dp3_spark.streaming.ingest import summary_maintainer
+
+    partials = str(tmp_path / "store_c")
+    base = store.normalized().select(
+        "producer", "topic", "log_time", "sequence", "value"
+    )
+    maintain = summary_maintainer(
+        base, granularity_ns=MIN_NS,
+        numeric_fields=["value"], sketch_fields=["value"],
+    )
+    # three micro-batches hitting the SAME minute buckets (each batch is
+    # the base shifted +10s within the minute), so every bucket ends up
+    # with three partial rows — the long-running maintained-store shape
+    for epoch in range(3):
+        batch = base.withColumn(
+            "log_time", F.col("log_time") + F.lit(epoch * 10 * 10**9)
+        )
+        maintain(batch, epoch).write.mode("append").parquet(partials)
+
+    s = ST.SummaryStore(
+        spark, partials, granularity_ns=MIN_NS, numeric_fields=["value"],
+        group_by_producer=True, sketch_fields=["value"],
+    )
+    qreq = dict(
+        topic="/a", start_ns=0, end_ns=4 * 3600 * 10**9,
+        granularity_ns=3600 * 10**9,
+    )
+    before_range = _collect_sorted(s.stat_range(**REQ))
+    before_q = _collect_sorted(s.quantiles(**qreq, field="value"))
+    rows_before = spark.read.parquet(partials).count()
+
+    n = s.compact()
+    assert n < rows_before  # partials actually merged
+    # one row per (producer, topic, bucket) now
+    dup = (
+        spark.read.parquet(partials)
+        .groupBy("producer", "topic", "bucket_start").count()
+        .filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    # served answers unchanged, and the store reopens from meta... (the
+    # maintained store has no meta sidecar — reopen with explicit args)
+    s2 = ST.SummaryStore(
+        spark, partials, granularity_ns=MIN_NS, numeric_fields=["value"],
+        group_by_producer=True, sketch_fields=["value"],
+    )
+    assert _collect_sorted(s2.stat_range(**REQ)) == before_range
+    assert _collect_sorted(s2.quantiles(**qreq, field="value")) == before_q
