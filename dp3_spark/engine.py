@@ -178,13 +178,12 @@ class DP3Engine:
         if granularity_ns < STAT.TREE_LEAF_WIDTH_NS:
             raise STAT.TooGranularError("sorry, too granular")
         s = self._summary
-        b = s.granularity_ns if s is not None else 0
-        if (
-            s is not None
-            and field in s.sketch_fields
-            and b
-            and not (granularity_ns % b or start_ns % b or end_ns % b)
-            and (producer is None or s.group_by_producer)
+        if s is not None and s.can_serve_quantiles(
+            start_ns=start_ns,
+            end_ns=end_ns,
+            granularity_ns=granularity_ns,
+            field=field,
+            producer=producer,
         ):
             return s.quantiles(
                 topic=topic, start_ns=start_ns, end_ns=end_ns,

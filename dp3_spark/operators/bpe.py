@@ -19,15 +19,18 @@ Scale shape — why this survives 100 TB:
   the broadcast side by construction.
 
 Determinism (the cross-engine hash-gate discipline):
-- A word's partial merge state is a STRING with every symbol prefixed by
-  one space (' c a t _'); applying merge (a,b) is
-  replace(state, ' a b', ' ab').  Left-to-right non-overlapping `replace`
-  over this encoding IS exact greedy BPE: consecutive occurrences
-  ('a b a b') both merge in one pass because each symbol carries its own
-  leading space, and false boundaries are impossible because every match
-  must start at a symbol's own space.  Python str.replace, Spark
-  `replace`, and DuckDB `replace` all share these semantics — pinned by
-  tests against a pure-python reference.
+- A word's partial merge state is a STRING with every symbol rendered as
+  ' sym,' — space-prefixed AND comma-terminated (' c, a, t, _,');
+  applying merge (a,b) is replace(state, ' a, b,', ' ab,').
+  Left-to-right non-overlapping `replace` over this encoding IS exact
+  greedy BPE: the leading space anchors the LEFT boundary (a symbol
+  merely ending in `a` cannot match), the comma anchors the RIGHT
+  boundary (a symbol merely starting with `b` cannot match — the defect
+  a space-only encoding has), and consecutive occurrences
+  ('a, b, a, b,') all merge in one pass because each match consumes
+  exactly its own delimiters.  Pinned by a 20k-case randomized property
+  test against a token-list greedy reference; Python str.replace, Spark
+  `replace`, and DuckDB `replace` share the semantics.
 - Argmax tie-break is (count DESC, left ASC, right ASC) on binary string
   order; words are restricted to [a-z0-9]+ so collation cannot diverge
   (the argmax-tie lesson from the sf1 sweep).
@@ -52,15 +55,24 @@ MARKER = "_"
 # compilation (not execution) becomes the cost at n_merges ~ 50+
 _CHECKPOINT_EVERY = 8
 
+# state string -> symbol array: split on the comma terminators, strip the
+# leading spaces, drop the empty tail element
+_SYMS_EXPR = "filter(transform(split(state, ','), x -> ltrim(x)), x -> x <> '')"
+
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(w, freq): the single corpus pass.  Map-combinable groupBy — the
     shuffle carries one row per distinct word per task, not per
     occurrence."""
     par = df.sparkSession.sparkContext.defaultParallelism
+    # spread only UNDER-PARALLEL inputs (a small fixture arrives as one
+    # split); a corpus already in many input splits must NOT be
+    # repartitioned — that would shuffle the full text bytes before the
+    # explode, doubling ingest I/O at the 100 TB design point
+    if df.rdd.getNumPartitions() < max(2, par // 2):
+        df = df.repartition(par)
     return (
-        df.repartition(par)
-        .select(
+        df.select(
             F.explode(F.split(F.lower(F.col(text_col)), WORD_SPLIT_RE)).alias("w")
         )
         .filter(F.col("w") != "")
@@ -70,12 +82,13 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _initial_states(words: DataFrame) -> DataFrame:
-    """(w, freq, state) with state = ' c h a r s _' (space-prefixed
-    symbols + end-of-word marker)."""
+    """(w, freq, state) with state = ' c, h, a, r, s, _,' (every symbol
+    space-prefixed and comma-terminated, + end-of-word marker)."""
     return words.withColumn(
         "state",
         F.concat(
-            F.regexp_replace(F.col("w"), "(.)", " $1"), F.lit(" " + MARKER)
+            F.regexp_replace(F.col("w"), "(.)", " $1,"),
+            F.lit(" " + MARKER + ","),
         ),
     )
 
@@ -84,11 +97,11 @@ def _pair_counts(states: DataFrame) -> DataFrame:
     """(a, b, cnt): adjacent-symbol pair frequencies over current states,
     weighted by word frequency.  Overlapping positions count separately
     ('aaa' contributes (a,a) twice), matching reference BPE counting."""
-    # materialize the split once per row before the transform — a split
-    # inside the lambda would re-run per position (the O(len^2) lesson
-    # from lm._trigrams)
+    # materialize the symbol list once per row before the transform — a
+    # split inside the lambda would re-run per position (the O(len^2)
+    # lesson from lm._trigrams)
     return (
-        states.select(F.split(F.ltrim(F.col("state")), " ").alias("__s"), "freq")
+        states.select(F.expr(_SYMS_EXPR).alias("__s"), "freq")
         .select(
             # sequence(1, 0) is DESCENDING in Spark, not empty (the
             # lm._trigrams gotcha) — fully-merged single-symbol states
@@ -137,7 +150,7 @@ def bpe_train(
         states = states.withColumn(
             "state",
             F.replace(
-                F.col("state"), F.lit(f" {a} {b}"), F.lit(f" {a}{b}")
+                F.col("state"), F.lit(f" {a}, {b},"), F.lit(f" {a}{b},")
             ),
         )
         if step % _CHECKPOINT_EVERY == 0:
@@ -154,7 +167,7 @@ def vocab_counts(final_states: DataFrame, *, top_k: int | None = None) -> DataFr
     the vocabulary report a tokenizer build emits."""
     out = (
         final_states.select(
-            F.explode(F.split(F.ltrim(F.col("state")), " ")).alias("token"),
+            F.explode(F.expr(_SYMS_EXPR)).alias("token"),
             "freq",
         )
         .groupBy("token")
@@ -185,7 +198,7 @@ def encode_token_counts(
     ).filter(F.col("w") != "")
     vocab = F.broadcast(
         final_states.select(
-            "w", F.size(F.split(F.ltrim(F.col("state")), " ")).alias("n_sym")
+            "w", F.size(F.expr(_SYMS_EXPR)).alias("n_sym")
         )
     )
     joined = words.join(vocab, "w", "left").select(

@@ -384,6 +384,15 @@ class SummaryStore:
         amplification to 1 row/bucket.  Rewrites in place via a staging
         directory swap; returns the compacted row count.
 
+        CONTRACT: quiesce the maintainer first — run compaction between
+        drains (or stop the streaming query).  A partial row appended
+        after the staging write's input listing but before the swap
+        lands only in the superseded directory and is dropped with it.
+        Crash safety: a crash between the two renames leaves the store
+        path missing with the full pre-compact data intact at
+        '<path>._old' — recover by renaming it back (the staging dir is
+        complete too; either is a valid store).
+
         Sketch map columns merge with the same explode+re-sum the serve
         path uses; sums stay decimal (never round-trip double)."""
         import os
@@ -533,6 +542,30 @@ class SummaryStore:
             out = out.withColumn(f"{f}_mean", F.col(f"{f}_sum") / F.col(f"{f}_count"))
         return out.orderBy("bucket_start")
 
+    def can_serve_quantiles(
+        self,
+        *,
+        start_ns: int,
+        end_ns: int,
+        granularity_ns: int,
+        field: str,
+        producer: str | None = None,
+    ) -> bool:
+        """Single source of truth for quantile servability (shared by
+        SummaryStore.quantiles and engine.stat_quantiles' dispatch —
+        duplicated inline predicates drift): whole-base-bucket assembly
+        plus a maintained sketch for the field."""
+        b = self.granularity_ns
+        if granularity_ns < TREE_LEAF_WIDTH_NS:
+            return True  # quantiles() raises the reference's error itself
+        if granularity_ns % b or start_ns % b or end_ns % b:
+            return False
+        if field not in self.sketch_fields:
+            return False
+        if producer is not None and not self.group_by_producer:
+            return False
+        return True
+
     def quantiles(
         self,
         *,
@@ -562,13 +595,18 @@ class SummaryStore:
 
         if granularity_ns < TREE_LEAF_WIDTH_NS:
             raise TooGranularError("sorry, too granular")
-        b = self.granularity_ns
-        if granularity_ns % b or start_ns % b or end_ns % b:
-            raise ValueError("window/granularity not aligned to the store base")
-        if field not in self.sketch_fields:
-            raise ValueError(f"no sketch maintained for field {field!r}")
-        if producer is not None and not self.group_by_producer:
-            raise ValueError("store was built without the producer axis")
+        if not self.can_serve_quantiles(
+            start_ns=start_ns,
+            end_ns=end_ns,
+            granularity_ns=granularity_ns,
+            field=field,
+            producer=producer,
+        ):
+            raise ValueError(
+                "request is not sketch-servable (misaligned window, "
+                "non-multiple granularity, unmaintained sketch field, or "
+                "missing producer axis)"
+            )
         df = self._read().filter(F.col("topic") == topic)
         df = df.filter(
             (F.col("bucket_start") >= start_ns) & (F.col("bucket_start") < end_ns)

@@ -2445,16 +2445,26 @@ _BPE_N_MERGES = 12
 
 def _bpe_chain_ctes(n: int) -> str:
     """DuckDB CTE chain lvl0..lvl{n}: lvl{k} = (w, freq, state) after k
-    merges; best{k} = the k+1'th learned merge.  chr(9) separates the
-    pair key (words are [a-z0-9]+, so it can never collide)."""
+    merges; best{k} = the k+1'th learned merge.  State encoding mirrors
+    operators/bpe.py: every symbol rendered ' sym,' (space = left
+    boundary, comma = right boundary — a space-only encoding falsely
+    merges into symbols that merely START with the right token).
+    chr(9) separates the pair key (words are [a-z0-9]+, never collides).
+    lvl{k+1} LEFT-joins best{k} so a dried-out merge sequence (no pairs
+    left) is the identity, matching bpe_train's break — a cross join
+    would silently empty every later level."""
     ctes = [
         """lvl0 as materialized (
       select w, cast(count(*) as bigint) as freq,
-             regexp_replace(w, '(.)', ' \\1', 'g') || ' _' as state
+             regexp_replace(w, '(.)', ' \\1,', 'g') || ' _,' as state
       from (select unnest(string_split_regex(lower(text), '[^a-z0-9]+')) as w
             from documents) t
       where w <> '' group by w)"""
     ]
+    syms = (
+        "list_filter(list_transform(string_split(state, ','), "
+        "x -> ltrim(x)), x -> x <> '')"
+    )
     for k in range(n):
         ctes.append(
             f"""pc{k} as materialized (
@@ -2462,7 +2472,7 @@ def _bpe_chain_ctes(n: int) -> str:
              cast(sum(freq) as bigint) as cnt
       from (select unnest(list_transform(generate_series(1, len(s) - 1),
                           i -> s[i] || chr(9) || s[i + 1])) as p, freq
-            from (select string_split(ltrim(state), ' ') as s, freq
+            from (select {syms} as s, freq
                   from lvl{k}) t0) t1
       group by 1, 2)"""
         )
@@ -2473,8 +2483,11 @@ def _bpe_chain_ctes(n: int) -> str:
         )
         ctes.append(
             f"""lvl{k + 1} as materialized (
-      select w, freq, replace(state, ' ' || a || ' ' || b, ' ' || a || b) as state
-      from lvl{k}, best{k})"""
+      select w, freq,
+             case when b.a is null then state
+                  else replace(state, ' ' || b.a || ', ' || b.b || ',',
+                               ' ' || b.a || b.b || ',') end as state
+      from lvl{k} left join best{k} b on true)"""
         )
     return "with " + ",\n".join(ctes)
 
@@ -2506,7 +2519,7 @@ _BPE_VOCAB_DUCK = (
     _bpe_chain_ctes(_BPE_N_MERGES)
     + f"""
     select token, cast(sum(freq) as bigint) as token_count
-    from (select unnest(string_split(ltrim(state), ' ')) as token, freq
+    from (select unnest(list_filter(list_transform(string_split(state, ','), x -> ltrim(x)), x -> x <> '')) as token, freq
           from lvl{_BPE_N_MERGES}) t
     group by token
     order by token_count desc, token asc limit 25"""
@@ -2527,7 +2540,7 @@ def bpe_vocab_topk(spark, sf_dir):
 _BPE_ENCODE_DUCK = (
     _bpe_chain_ctes(_BPE_N_MERGES)
     + f""",
-    vocab as (select w, len(string_split(ltrim(state), ' ')) as n_sym
+    vocab as (select w, len(list_filter(list_transform(string_split(state, ','), x -> ltrim(x)), x -> x <> '')) as n_sym
               from lvl{_BPE_N_MERGES}),
     words as (
       select doc_id, w

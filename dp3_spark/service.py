@@ -148,12 +148,19 @@ class DP3Service:
                 qs = req["quantiles"]
                 if isinstance(qs, str):
                     qs = [float(x) for x in qs.split(",") if x]
+                flds = _fields(req.get("fields")) or ("value",)
+                if len(flds) != 1:
+                    # silently quantiling only fields[0] would misattribute
+                    # p-columns; one field per request, explicit
+                    raise ValueError(
+                        f"quantiles accept exactly one field, got {list(flds)}"
+                    )
                 df = eng.stat_quantiles(
                     topic=req["topic"],
                     start_ns=int(req["start"]),
                     end_ns=int(req["end"]),
                     granularity_ns=int(req["granularity"]),
-                    field=(_fields(req.get("fields")) or ("value",))[0],
+                    field=flds[0],
                     quantiles=tuple(qs),
                     producer=req.get("producer") or None,
                 )

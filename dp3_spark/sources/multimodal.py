@@ -1220,7 +1220,8 @@ def image_dhash(
     grid_w: int = 8,
 ) -> DataFrame:
     """Perceptual difference-hash over REAL decoded image payloads (PNG or
-    BMP auto-detected): average-pool the luma plane to a (grid_h, grid_w)
+    BMP auto-detected): average-pool an integer fixed-point luma plane ((2R+5G+B)//8 —
+    exactly the channel value on gray frames) to a (grid_h, grid_w)
     grid of `block`x`block` integer block SUMS, then bit (r, c) =
     sum(r, c) > sum(r, c+1) — the standard dHash horizontal-gradient
     sign pattern (grid_h * (grid_w-1) bits; 8x8 -> 56 bits, which keeps
@@ -1247,7 +1248,10 @@ def image_dhash(
                     raise ValueError(
                         f"image_dhash expects {H}x{W} frames, got {img.shape}"
                     )
-                luma = img[..., 0].astype(np.int64)  # gray fixtures: R==G==B
+                # integer fixed-point luma (2R+5G+B)//8 — exact (no float
+                # weights), reduces to the channel value on gray frames
+                rgb = img.astype(np.int64)
+                luma = (2 * rgb[..., 0] + 5 * rgb[..., 1] + rgb[..., 2]) // 8
                 sums = luma.reshape(grid_h, block, grid_w, block).sum(axis=(1, 3))
                 bits = sums[:, :-1] > sums[:, 1:]
                 idx = (

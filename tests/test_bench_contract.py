@@ -20,10 +20,9 @@ import bench
 
 
 def test_final_line_fits_driver_tail_worst_case():
-    # worst-case: every headline at a 3-digit-seconds timing (the slowest
-    # real headline is ~8 s; 999 s/query would hit the driver's round
-    # timeout long before the line length mattered)
-    timings = {n: 999.999 for n in bench.HEADLINE}
+    # worst-case: every headline at a 4-digit-seconds timing — the guard
+    # must not depend on queries staying fast
+    timings = {n: 9999.999 for n in bench.HEADLINE}
     line = bench.final_line(timings, 0.1)
     assert len(line) <= bench.FINAL_LINE_MAX_BYTES, (
         f"{len(line)} B final line exceeds the {bench.FINAL_LINE_MAX_BYTES} B "

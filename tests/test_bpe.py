@@ -1,8 +1,10 @@
 """BPE tokenizer training (operators/bpe.py) against an independent
-pure-python reference on random corpora: the space-prefixed-state
-`replace` trick must reproduce exact greedy BPE (consecutive pairs merge
-in one pass, no false boundaries), the argmax tie-break must be
-deterministic, and the encoder must fall back per-char on unseen words."""
+TOKEN-LIST greedy reference (no string tricks) on random corpora: the
+' sym,' state encoding must reproduce exact greedy BPE — left boundary
+from the space, right boundary from the comma (a space-only encoding
+falsely merges into tokens that merely START with the right symbol),
+consecutive pairs all merging in one pass — with a deterministic argmax
+tie-break and per-char fallback for unseen words in the encoder."""
 
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -11,14 +13,28 @@ from hypothesis import strategies as st
 from dp3_spark.operators import bpe as B
 
 
+def _greedy_merge(syms, a, b):
+    """Textbook left-to-right non-overlapping merge on a TOKEN LIST."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def _py_bpe(word_freqs, n_merges):
-    """Reference: textbook greedy BPE over a word-frequency table."""
-    states = {w: " " + " ".join(w) + " " + B.MARKER for w in word_freqs}
+    """Reference trainer operating on token lists, rendered to the
+    operator's state encoding only at the very end for comparison."""
+    states = {w: list(w) + [B.MARKER] for w in word_freqs}
     merges = []
     for step in range(1, n_merges + 1):
         counts = {}
         for w, f in word_freqs.items():
-            syms = states[w].lstrip().split(" ")
+            syms = states[w]
             for i in range(len(syms) - 1):
                 k = (syms[i], syms[i + 1])
                 counts[k] = counts.get(k, 0) + f
@@ -26,10 +42,9 @@ def _py_bpe(word_freqs, n_merges):
             break
         (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
         merges.append((step, a, b, c))
-        states = {
-            w: s.replace(f" {a} {b}", f" {a}{b}") for w, s in states.items()
-        }
-    return merges, states
+        states = {w: _greedy_merge(s, a, b) for w, s in states.items()}
+    rendered = {w: "".join(f" {t}," for t in s) for w, s in states.items()}
+    return merges, rendered
 
 
 def _train_on_texts(spark, texts, n_merges):
@@ -57,7 +72,7 @@ words_strategy = st.lists(
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(docs_words=st.lists(words_strategy, min_size=1, max_size=5))
-def test_bpe_matches_reference_on_random_corpora(spark, docs_words):
+def test_bpe_matches_token_list_reference_on_random_corpora(spark, docs_words):
     texts = [" ".join(ws) for ws in docs_words]
     wf = {}
     for ws in docs_words:
@@ -71,27 +86,39 @@ def test_bpe_matches_reference_on_random_corpora(spark, docs_words):
 
 def test_consecutive_pairs_merge_in_one_pass(spark):
     # 'abab' with merge (a,b): BOTH occurrences must merge in the same
-    # iteration — the property naive space-delimited replace gets wrong
+    # iteration
     _, merges, states = _train_on_texts(spark, ["abab abab"], 1)
     assert merges[0][1:3] == ("a", "b")
-    assert states["abab"] == " ab ab _"
+    assert states["abab"] == " ab, ab, _,"
+
+
+def test_right_boundary_no_prefix_false_merge(spark):
+    """The review-caught defect of a space-only encoding: once (b,c) has
+    merged, applying (a,b) to tokens [a, bc, _] must NOT produce 'abc'
+    just because 'bc' starts with 'b'.  Corpus {bc:10, ab:6, abc:3}
+    learns (b,c), (bc,_), (a,b) in that order."""
+    texts = ["bc " * 10 + "ab " * 6 + "abc " * 3]
+    _, merges, states = _train_on_texts(spark, texts, 3)
+    assert [m[1:3] for m in merges] == [("b", "c"), ("bc", "_"), ("a", "b")]
+    # 'abc' segments as [a, bc_]: the (a,b) merge must leave 'bc_' intact
+    assert states["abc"] == " a, bc_,"
+    assert states["ab"] == " ab, _,"
 
 
 def test_no_false_boundary_merges(spark):
-    # merge (x,y) must not touch 'ya' even though 'y' occurs there — the
-    # replace pattern must anchor at a symbol's own leading space.
-    # counts: (x,y)=3 ties (y,_)=3, lhs tie-break picks (x,y)
+    # merge (x,y) must not touch 'ya' even though 'y' occurs there —
+    # the left boundary.  counts: (x,y)=3 ties (y,_)=3, lhs tie-break
+    # picks (x,y)
     _, merges, states = _train_on_texts(spark, ["xy xy xy ya"], 1)
     assert merges[0][1:3] == ("x", "y")
-    assert states["ya"] == " y a _"
-    assert states["xy"] == " xy _"
+    assert states["ya"] == " y, a, _,"
+    assert states["xy"] == " xy, _,"
 
 
 def test_single_char_words_and_marker(spark):
     _, merges, states = _train_on_texts(spark, ["a a a b"], 2)
-    # only pairs involving the marker exist: (a,_)=3 then (b,_)=1
     assert merges[0][1:3] == ("a", B.MARKER)
-    assert states["a"] == " a_"
+    assert states["a"] == " a_,"
 
 
 def test_encode_counts_and_unseen_word_fallback(spark):
@@ -111,4 +138,4 @@ def test_train_stops_when_fully_merged(spark):
     # fewer merges than asked instead of failing
     _, merges, states = _train_on_texts(spark, ["a a"], 5)
     assert [m[1:3] for m in merges] == [("a", B.MARKER)]
-    assert states["a"] == " a_"
+    assert states["a"] == " a_,"
