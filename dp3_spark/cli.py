@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import http.client
 import json
+import os
 import shutil
 import sys
 import time
@@ -32,8 +33,17 @@ def _request(url: str, body=None, *, token: str = "", method: str | None = None)
     headers = {}
     data = None
     if body is not None:
-        data = body if isinstance(body, bytes) else json.dumps(body).encode()
-        headers["Content-Type"] = "application/json"
+        if isinstance(body, bytes):
+            data = body
+        elif hasattr(body, "read"):
+            # open file object: urllib streams it chunk-by-chunk, so a
+            # large upload never lives in client memory whole; the server
+            # needs Content-Length since we don't send chunked requests
+            data = body
+            headers["Content-Length"] = str(os.fstat(body.fileno()).st_size)
+        else:
+            data = json.dumps(body).encode()
+            headers["Content-Type"] = "application/json"
     if token:
         headers["Authorization"] = f"Bearer {token}"
     req = urllib.request.Request(url, data=data, headers=headers, method=method)
@@ -112,10 +122,10 @@ def cmd_export(args) -> int:
 def cmd_import(args) -> int:
     url = f"{args.server}/databases/{args.database}"
     if args.stream:
-        with open(args.file, "rb") as f:
-            data = f.read()
-        with _request(
-            f"{url}/producers/{args.producer}/import", data, token=args.token
+        # hand the open file straight to urllib (streamed with a
+        # Content-Length from fstat) — the upload is never buffered whole
+        with open(args.file, "rb") as f, _request(
+            f"{url}/producers/{args.producer}/import", f, token=args.token
         ) as r:
             print(json.dumps(json.load(r)))
     else:

@@ -398,6 +398,20 @@ class SummaryStore:
         import os
         import shutil
 
+        # auto-recover from a compact that crashed between the two
+        # renames: the store path is gone but '<path>._old' holds the
+        # complete pre-compact data — rename it back before proceeding
+        # (otherwise this compact's own os.rename(self.path, old) would
+        # fail with an opaque OSError on the existing directory).
+        old = self.path.rstrip("/") + "._old"
+        if os.path.exists(old):
+            if os.path.exists(self.path):
+                # prior compact completed its second rename; the ._old
+                # dir is superseded garbage left by a crash before rmtree
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.rename(old, self.path)
+
         df = self._read()
         keys = [c for c in ("producer", "topic", "schema_hash") if c in df.columns]
         aggs = [

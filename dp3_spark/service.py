@@ -45,6 +45,19 @@ from dp3_spark.engine import DP3Engine
 # this set could change the parsed statement shape
 _QL_NAME = re.compile(r"[A-Za-z0-9_\-./]+")
 
+# charset-legal names that are nevertheless QL reserved words: a producer
+# or topic literally named 'between' would change the assembled statement
+# shape ('from dev1 between ...') even though every character passes
+# _QL_NAME, so reserved words are rejected too (QL has no quoting yet).
+# Mirror of every word ql/parser.py eat_word/at_word consumes.
+_QL_KEYWORDS = frozenset(
+    {
+        "from", "between", "and", "or", "where", "desc", "limit",
+        "offset", "precedes", "succeeds", "neighbors", "immediate",
+        "by", "as", "now", "explain", "truncate",
+    }
+)
+
 
 class DatabaseNotFound(Exception):
     """Unknown database name -> 404 (the reference's route semantics);
@@ -189,10 +202,16 @@ class DP3Service:
             # Unknown-but-well-formed names just export zero rows.
             producer = req["producer"]
             for name in [producer, *req["topics"]]:
-                if name != "*" and not _QL_NAME.fullmatch(name):
+                if name == "*":
+                    continue
+                if not _QL_NAME.fullmatch(name):
                     raise ValueError(
                         f"name {name!r} contains QL metacharacters "
                         "(allowed: letters, digits, '_', '-', '.', '/')"
+                    )
+                if name.lower() in _QL_KEYWORDS:
+                    raise ValueError(
+                        f"name {name!r} is a reserved QL keyword"
                     )
             topics = ", ".join(sorted(req["topics"]))
             ql = f"from {producer} {topics}"

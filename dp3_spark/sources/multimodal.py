@@ -1218,6 +1218,7 @@ def image_dhash(
     block: int = 4,
     grid_h: int = 8,
     grid_w: int = 8,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Perceptual difference-hash over REAL decoded image payloads (PNG or
     BMP auto-detected): average-pool an integer fixed-point luma plane ((2R+5G+B)//8 —
@@ -1231,9 +1232,18 @@ def image_dhash(
     bit-for-bit from the pixel values in any engine.
 
     One mapInPandas crossing (the codec); the downstream near-dup join
-    (dedup.hamming_pairs) runs on the packed int64 JVM-side."""
+    (dedup.hamming_pairs) runs on the packed int64 JVM-side.
+
+    ``on_error``: 'raise' (default, strict — the whole job fails on the
+    first undecodable or wrong-size payload) or 'skip' (quarantine: the
+    bad row is dropped from the signature output instead of aborting a
+    corpus-scale dedup for one malformed frame; at 100 TB a handful of
+    corrupt payloads is the norm, not the exception)."""
     import numpy as np
 
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+    strict = on_error == "raise"
     nbits_row = grid_w - 1
     H, W = grid_h * block, grid_w * block
 
@@ -1241,10 +1251,17 @@ def image_dhash(
         for pdf in batches:
             ids, hashes = [], []
             for did, p in zip(pdf[id_col], pdf[payload_col]):
-                data = _payload_bytes(p)
-                img = decode_png(data) if data[:4] == b"\x89PNG" else decode_bmp(data)
+                try:
+                    data = _payload_bytes(p)
+                    img = decode_png(data) if data[:4] == b"\x89PNG" else decode_bmp(data)
+                except Exception:
+                    if strict:
+                        raise
+                    continue
                 img = np.asarray(img)
-                if img.shape[0] != H or img.shape[1] != W:
+                if img.ndim < 2 or img.shape[0] != H or img.shape[1] != W:
+                    if not strict:
+                        continue
                     raise ValueError(
                         f"image_dhash expects {H}x{W} frames, got {img.shape}"
                     )
@@ -1271,6 +1288,7 @@ def image_dup_pairs(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     max_hamming: int = 2,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Near-duplicate image pairs: real decode -> dHash -> pigeonhole
     Hamming blocking (dedup.hamming_pairs — the text-SimHash machinery
@@ -1279,7 +1297,7 @@ def image_dup_pairs(
     blocking/verify; never a cartesian product."""
     from dp3_spark.operators.dedup import hamming_pairs
 
-    sig = image_dhash(df, id_col=id_col, payload_col=payload_col)
+    sig = image_dhash(df, id_col=id_col, payload_col=payload_col, on_error=on_error)
     return hamming_pairs(
         sig, bits=56, max_hamming=max_hamming, id_col="id", sig_col="dhash"
     )

@@ -142,6 +142,39 @@ def test_cli_import_tail_export_delete(env, tmp_path, capfd):
     assert times == ["0.000000010", "0.000000040"]
 
 
+def test_cli_import_stream_uploads_file_object(env, tmp_path, capfd, monkeypatch):
+    """--stream hands the OPEN FILE to urllib (Content-Length from fstat)
+    so the upload is streamed, never read() whole into client memory."""
+    from test_mcap_codec import fix_mcap_bytes
+
+    import dp3_spark.cli as cli_mod
+
+    p = tmp_path / "streamed.mcap"
+    p.write_bytes(fix_mcap_bytes(n=3))
+
+    seen = {}
+    real_request = cli_mod._request
+
+    def spy(url, body=None, **kw):
+        if "producers" in url:
+            seen["has_read"] = hasattr(body, "read")
+        return real_request(url, body, **kw)
+
+    monkeypatch.setattr(cli_mod, "_request", spy)
+    assert (
+        run(
+            env, "--database", "scratch", "--token", KEY, "import", str(p),
+            "--producer", "streambot", "--stream",
+        )
+        == 0
+    )
+    assert seen["has_read"] is True  # file object, not bytes
+    assert json.loads(capfd.readouterr().out)["version"] >= 1
+    # the rows actually landed
+    assert run(env, "--database", "scratch", "query", "from streambot /fix;") == 0
+    assert len(capfd.readouterr().out.strip().split("\n")) == 3
+
+
 def test_cli_error_paths(env, capfd):
     # unknown database -> exit 1, server error JSON on stderr
     assert run(env, "--database", "nope", "query", "from * click;") == 1

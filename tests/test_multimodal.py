@@ -66,3 +66,39 @@ def test_image_dup_pairs_blocks_never_cartesian(spark):
     pairs = {(p["id_a"], p["id_b"]): p["hamming"] for p in out.collect()}
     assert pairs[(1, 2)] == 0  # exact copy found
     assert all(4 not in k for k in pairs)  # distant frame excluded
+
+
+def test_image_dhash_on_error_skip_quarantines_bad_payloads(spark):
+    """on_error='skip' drops undecodable or wrong-geometry payloads from
+    the signature output instead of aborting the whole dedup job; the
+    default stays strict (raise).  At corpus scale a few corrupt frames
+    are the norm — one bad row must not kill a 100 TB pass."""
+    import numpy as np
+
+    from dp3_spark.sources import multimodal as MM
+
+    r = np.arange(32).reshape(-1, 1)
+    c = np.arange(32).reshape(1, -1)
+    gray = ((r * 3 + c * 7) % 256).astype(np.uint8)
+    img = np.repeat(gray[..., None], 3, axis=2)
+    good = bytearray(MM.encode_png(img))
+    wrong_size = bytearray(MM.encode_png(img[:16]))
+    garbage = bytearray(b"\x89PNGnot really a png at all")
+
+    df = spark.createDataFrame(
+        [(1, good), (2, wrong_size), (3, garbage), (4, good)],
+        "doc_id long, payload binary",
+    )
+    out = MM.image_dhash(df, on_error="skip").collect()
+    ids = sorted(r["id"] for r in out)
+    assert ids == [1, 4]  # bad rows quarantined, good rows hashed
+    assert out[0]["dhash"] == out[1]["dhash"]
+
+    with pytest.raises(Exception):  # strict default still aborts
+        MM.image_dhash(df).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        MM.image_dhash(df, on_error="quarantine")
+
+    # pairs path threads the option through
+    pairs = MM.image_dup_pairs(df, on_error="skip").collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 4)}

@@ -226,6 +226,11 @@ def test_export_streams_chunked_and_validates_names(svc):
     for body in (
         {"database": "scratch", "producer": "dev1; truncate x /y now", "topics": {"/a": 0}},
         {"database": "scratch", "producer": "dev1", "topics": {"/a between 0 and 1": 0}},
+        # charset-legal but QL-reserved names also change the statement
+        # shape ('from between ...') — rejected as 400, not a parse 500
+        {"database": "scratch", "producer": "between", "topics": {"/a": 0}},
+        {"database": "scratch", "producer": "dev1", "topics": {"desc": 0}},
+        {"database": "scratch", "producer": "TRUNCATE", "topics": {"/a": 0}},
     ):
         with pytest.raises(urllib.error.HTTPError) as e:
             _req(f"{svc}/export", body)

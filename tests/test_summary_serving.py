@@ -410,3 +410,34 @@ def test_compact_merges_partials_and_preserves_serving(spark, store, tmp_path):
     )
     assert _collect_sorted(s2.stat_range(**REQ)) == before_range
     assert _collect_sorted(s2.quantiles(**qreq, field="value")) == before_q
+
+
+def test_compact_auto_recovers_from_crashed_prior_compact(spark, store, tmp_path):
+    """A compact that crashed between its two renames leaves the store at
+    '<path>._old' with the store path missing; the next compact() must
+    rename it back and proceed, not die on an opaque OSError.  A crash
+    after the second rename (before rmtree) leaves a superseded '._old'
+    beside a valid store; that one is garbage-collected."""
+    import os
+
+    path = str(tmp_path / "store_r")
+    ST.write_summary_store(
+        store, path, granularity_ns=MIN_NS, numeric_fields=["value"],
+        text_fields=[], group_by_producer=True,
+    )
+    s = ST.SummaryStore(spark, path)
+    before = _collect_sorted(s.stat_range(**REQ))
+
+    # crash shape 1: first rename done, second never happened
+    os.rename(path, path + "._old")
+    assert not os.path.exists(path)
+    s.compact()  # auto-recovers, then compacts
+    assert os.path.exists(path) and not os.path.exists(path + "._old")
+    assert _collect_sorted(ST.SummaryStore(spark, path).stat_range(**REQ)) == before
+
+    # crash shape 2: both renames done, rmtree never ran -> stale ._old
+    os.makedirs(path + "._old/junk")
+    s2 = ST.SummaryStore(spark, path)
+    s2.compact()
+    assert os.path.exists(path) and not os.path.exists(path + "._old")
+    assert _collect_sorted(ST.SummaryStore(spark, path).stat_range(**REQ)) == before
