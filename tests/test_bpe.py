@@ -139,3 +139,53 @@ def test_train_stops_when_fully_merged(spark):
     _, merges, states = _train_on_texts(spark, ["a a"], 5)
     assert [m[1:3] for m in merges] == [("a", B.MARKER)]
     assert states["a"] == " a_,"
+
+
+def test_encoding_identity_20k_cases_pure_python():
+    """The load-bearing claim behind the ' sym,' state encoding (module
+    docstring of operators/bpe.py): left-to-right non-overlapping string
+    replace of ' a, b,' -> ' ab,' on the rendered state IS token-list
+    greedy BPE merging.  20,000 seeded random (corpus, merge-sequence)
+    cases, no Spark — the merge at each step is the argmax pair 70% of
+    the time (the trained path) and a uniformly random currently-present
+    pair 30% of the time (arbitrary merge orders a real tokenizer's
+    merges.txt could contain), so the identity is exercised far beyond
+    the sequences training itself would pick."""
+    import random
+
+    rng = random.Random(20260815)
+    alphabet = "ab0"
+    for case in range(20_000):
+        n_words = rng.randint(1, 6)
+        word_freqs = {}
+        for _ in range(n_words):
+            w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            word_freqs[w] = word_freqs.get(w, 0) + rng.randint(1, 5)
+        tok_states = {w: list(w) + [B.MARKER] for w in word_freqs}
+        str_states = {
+            w: "".join(f" {t}," for t in s) for w, s in tok_states.items()
+        }
+        for _ in range(rng.randint(1, 8)):
+            counts = {}
+            for w, f in word_freqs.items():
+                s = tok_states[w]
+                for i in range(len(s) - 1):
+                    k = (s[i], s[i + 1])
+                    counts[k] = counts.get(k, 0) + f
+            if not counts:
+                break
+            if rng.random() < 0.7:
+                (a, b), _c = min(
+                    counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+                )
+            else:
+                a, b = rng.choice(sorted(counts))
+            tok_states = {w: _greedy_merge(s, a, b) for w, s in tok_states.items()}
+            str_states = {
+                w: s.replace(f" {a}, {b},", f" {a}{b},")
+                for w, s in str_states.items()
+            }
+            rendered = {
+                w: "".join(f" {t}," for t in s) for w, s in tok_states.items()
+            }
+            assert str_states == rendered, (case, a, b, word_freqs)
