@@ -1,6 +1,7 @@
-"""dp3 command-line client — the reference's CLI surface
-(cli/cmd/{query,import,export,tail,statrange}.go plus the catalog verbs)
-as a thin stdlib HTTP client over the DP3Service routes.
+"""dp3 command line — the reference's CLI surface
+(cli/cmd/{query,import,export,tail,statrange,server}.go plus the catalog
+verbs): a thin stdlib HTTP client over the DP3Service routes, plus the
+`serve` verb that starts the service itself.
 
     python -m dp3_spark.cli --server http://host:port --database events \\
         query "from * click limit 10;"
@@ -9,6 +10,7 @@ as a thin stdlib HTTP client over the DP3Service routes.
         --granularity 3600000000000
     python -m dp3_spark.cli tail --follow --interval 2
     python -m dp3_spark.cli --token KEY import --producer robot file.mcap
+    python -m dp3_spark.cli serve --data events=/data/sf0.1 --port 8089
 
 Responses stream: query/tail/export bodies are copied to stdout (or the
 -o file) chunk-by-chunk, never buffered whole — the same discipline as
@@ -24,6 +26,7 @@ import json
 import os
 import shutil
 import sys
+import threading
 import time
 import urllib.error
 import urllib.request
@@ -180,6 +183,46 @@ def cmd_tables(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Start the DP3 HTTP service from the command line — the reference's
+    `dp3 server` verb (cli/cmd/server.go builds the service from flags
+    and blocks; this is its Spark-engine analog).  Each --data mapping is
+    name=PATH where PATH is either a read-only parquet fixture directory
+    (an `events.parquet` inside -> events_log_store) or a writable
+    VersionedLogTable root (anything else; created empty if missing).
+    Imports are local so the client verbs never pay Spark startup."""
+    from dp3_spark.catalog import events_log_store
+    from dp3_spark.engine import DP3Engine
+    from dp3_spark.service import DP3Service
+    from dp3_spark.session import get_spark
+    from dp3_spark.streaming.lifecycle import VersionedLogTable
+
+    spark = get_spark("dp3-serve")
+    engines = {}
+    for mapping in args.data:
+        name, sep, path = mapping.partition("=")
+        if not sep or not name or not path:
+            raise SystemExit(f"serve: --data expects name=PATH, got {mapping!r}")
+        if os.path.exists(os.path.join(path, "events.parquet")):
+            engines[name] = DP3Engine(
+                spark, store=events_log_store(spark, path, us_truncate=True)
+            )
+        else:
+            engines[name] = DP3Engine(spark, table=VersionedLogTable(spark, path))
+    svc = DP3Service(engines, shared_key=args.key)
+    host, port = svc.start(args.host, args.port)
+    # line-oriented ready signal so wrappers (and the socket test) can
+    # wait for the bound address instead of polling
+    print(f"dp3 serving {sorted(engines)} on http://{host}:{port}", flush=True)
+    try:
+        threading.Event().wait()  # serve until interrupted
+    except KeyboardInterrupt:
+        pass
+    finally:
+        svc.stop()
+    return 0
+
+
 def cmd_delete(args) -> int:
     body = {
         "database": args.database,
@@ -257,6 +300,16 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--start", type=int, required=True)
     d.add_argument("--end", type=int, required=True)
     d.set_defaults(fn=cmd_delete)
+
+    sv = sub.add_parser("serve", help="start the HTTP service (blocks)")
+    sv.add_argument(
+        "--data", action="append", required=True, metavar="NAME=PATH",
+        help="database mapping; parquet fixture dir or VersionedLogTable root",
+    )
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8089)
+    sv.add_argument("--key", default="", help="shared bearer token for authed routes")
+    sv.set_defaults(fn=cmd_serve)
     return p
 
 

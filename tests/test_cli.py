@@ -185,3 +185,66 @@ def test_cli_error_paths(env, capfd):
         == 1
     )
     assert "invalid token" in capfd.readouterr().err
+
+
+def test_cli_serve_verb_spawns_working_server(tmp_path, capfd):
+    """`dp3 serve` (the reference's cli/cmd/server.go verb) builds engines
+    from --data name=PATH mappings and serves them: spawn it as a real
+    subprocess, read the ready line for the bound port, then drive it
+    with the existing client verbs (import -> query -> authed delete)."""
+    import subprocess
+    import sys as _sys
+
+    from test_mcap_codec import fix_mcap_bytes
+
+    table_dir = tmp_path / "served_table"
+    mcap = tmp_path / "fix.mcap"
+    mcap.write_bytes(fix_mcap_bytes(n=4))
+
+    proc = subprocess.Popen(
+        [
+            _sys.executable, "-m", "dp3_spark.cli", "serve",
+            "--data", f"scratch={table_dir}",
+            "--port", "0", "--key", KEY,
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        cwd="/root/repo",
+    )
+    try:
+        ready = proc.stdout.readline()  # blocks until the server is bound
+        assert "dp3 serving ['scratch'] on http://" in ready
+        server = ready.strip().rsplit(" ", 1)[-1]
+
+        def srun(*argv):
+            return cli.main(["--server", server, *argv])
+
+        assert (
+            srun(
+                "--database", "scratch", "--token", KEY, "import", str(mcap),
+                "--producer", "robot",
+            )
+            == 0
+        )
+        assert json.loads(capfd.readouterr().out)["version"] >= 1
+
+        assert srun("--database", "scratch", "query", "from robot /fix;") == 0
+        lines = capfd.readouterr().out.strip().split("\n")
+        assert len(lines) == 4
+
+        # authed route works through the spawned server too
+        assert (
+            srun(
+                "--database", "scratch", "--token", KEY, "delete",
+                "--producer", "robot", "--topic", "/fix",
+                "--start", "0", "--end", "2000000000000000000",
+            )
+            == 0
+        )
+        capfd.readouterr()
+        assert srun("--database", "scratch", "query", "from robot /fix;") == 0
+        assert capfd.readouterr().out.strip() == ""  # all tombstoned
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
