@@ -274,10 +274,11 @@ class DP3Engine:
         return self.table.read(as_of_version=as_of_version)
 
     def version(self) -> int:
-        """Current table version (the poll-tail cursor)."""
+        """Current COMMITTED table version (the poll-tail cursor) — the
+        published watermark, never an in-flight writer's allocation."""
         if self.table is None:
             raise ValueError("version requires a writable VersionedLogTable")
-        return self.table.current_version()
+        return self.table.committed_version()
 
     def tail(self, from_version: int) -> DataFrame:
         """Poll-based tail: rows appended strictly after `from_version`."""

@@ -9,10 +9,14 @@ Spark-native equivalents:
 - micro-batches           <- WAL batching (size/staleness thresholds)
 - watermark + dropDuplicatesWithinWatermark <- filter-merge dedup, with the
   same bounded scope (the reference dedups only within leaf-merge scope)
-- partitioned parquet (producer, hour bucket) append  <- CoW tree write;
-  an atomic-commit table format (Delta/Iceberg) would add the rootmap-flip
-  transactionality — not available in this container, so the layout is
-  partition-dir parquet with task-commit atomicity
+- partitioned parquet (producer, hour bucket) append  <- CoW tree write.
+  For the TABLE path (VersionedLogTable) the rootmap-flip
+  transactionality is provided by the committed-version watermark
+  (lifecycle.py `_publish`/`committed_version`): writes land under an
+  allocated version and become visible atomically when the watermark
+  flips, so concurrent ingest+query get snapshot isolation without
+  Delta/Iceberg.  This raw streaming sink below has file-grain
+  visibility only (each file is complete; a batch appears file by file)
 - foreachBatch summary upsert <- ingest-time statistics
 
 All builders return unstarted queries/writers so tests can drive them with

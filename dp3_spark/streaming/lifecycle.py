@@ -21,6 +21,18 @@ table format's transaction log; this implementation keeps plain parquet
 (container has no Delta) but isolates every read behind `read()` so the
 storage backend can change without touching operators.
 
+Atomic publish (the rootmap-flip analog, treemgr/treemgr.go:866-876):
+every write allocates a version, lands its parquet files durably, and
+only then flips the `_meta/committed` watermark (tmp + fsync +
+os.replace — one small-object conditional put on a real object store).
+Every read path filters `version <= committed`, so a reader racing a
+writer NEVER observes a partially-committed file set: in-flight files
+carry an unpublished version and are invisible until the flip, which
+exposes the whole batch at once.  A crash between the data landing and
+the flip leaves a complete-but-unacknowledged batch that the next
+successful write's flip exposes — the same semantics as the reference
+replaying a durable unacked WAL batch on restart (wal/walmgr.go).
+
 A `compact()` pass physically drops tombstoned rows and rewrites — the
 reference's merge-time mask application.
 """
@@ -103,7 +115,10 @@ class VersionedLogTable:
         if os.path.exists(vf):
             with open(vf) as f:
                 return int(f.read().strip() or "0")
-        vs = [self._max_version(self._data()), self._max_version(self._tombstones())]
+        vs = [
+            self._max_version(self._data(committed_only=False)),
+            self._max_version(self._tombstones(committed_only=False)),
+        ]
         v = max((x for x in vs if x is not None), default=0)
         self._write_version(v)
         return v
@@ -115,8 +130,42 @@ class VersionedLogTable:
             f.write(str(v))
         os.replace(tmp, os.path.join(self.meta_path, "version"))
 
+    def committed_version(self) -> int:
+        """The atomic-publish watermark: the highest version whose write
+        (data files or tombstone) has been durably published.  Readers
+        filter `version <= committed`, so versions allocated by an
+        in-flight writer are invisible until its flip — the rootmap-flip
+        snapshot isolation (treemgr/treemgr.go:866-876).  Tables written
+        before the watermark existed have no file; there every allocated
+        version is complete by construction, so fall back to the
+        counter."""
+        cf = os.path.join(self.meta_path, "committed")
+        if os.path.exists(cf):
+            with open(cf) as f:
+                return int(f.read().strip() or "0")
+        return self.current_version()
+
+    def _publish(self, v: int) -> None:
+        """Atomically flip the committed watermark to v: tmp + fsync +
+        os.replace (one conditional small-object put on an object store).
+        Called only after the write's files are fully landed."""
+        os.makedirs(self.meta_path, exist_ok=True)
+        tmp = os.path.join(self.meta_path, "committed.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.meta_path, "committed"))
+
     def _next_version(self) -> int:
-        v = self.current_version() + 1
+        cur = self.current_version()
+        # initialize the watermark BEFORE allocating: on a legacy table
+        # the committed fallback is the counter, which the allocation
+        # below bumps — without this, the in-flight version would read
+        # as committed
+        if not os.path.exists(os.path.join(self.meta_path, "committed")):
+            self._publish(cur)
+        v = cur + 1
         self._write_version(v)
         return v
 
@@ -163,6 +212,9 @@ class VersionedLogTable:
         for k, v in self._bloom_opts().items():
             w = w.option(k, v)
         w.partitionBy("topic", "producer_bucket").parquet(self._resolve_data_path())
+        # files are fully landed: flip the watermark — only now does this
+        # version become visible to any reader (atomic publish)
+        self._publish(version)
         self.update_trigram_index()
         return version
 
@@ -201,6 +253,7 @@ class VersionedLogTable:
         self.spark.createDataFrame(
             [(producer, topic, start_ns, end_ns, version)], TOMBSTONE_SCHEMA
         ).write.mode("append").parquet(self.tombstones_path)
+        self._publish(version)
         return version
 
     def truncate(self, producer: str, topic: str, end_ns: int | None = None) -> int:
@@ -223,17 +276,29 @@ class VersionedLogTable:
                 return os.path.join(self.root, name)
         return self.data_path
 
-    def _data(self) -> DataFrame | None:
+    def _data(self, committed_only: bool = True) -> DataFrame | None:
+        """committed_only (the default for every query path) hides any
+        version above the published watermark: a reader racing an
+        in-flight append never sees its partial file set.  The predicate
+        is a constant on a data column — parquet row-group min/max skips
+        unpublished files without decoding them.  committed_only=False
+        exists solely for the version-counter bootstrap scan."""
         try:
-            return self.spark.read.parquet(self._resolve_data_path())
+            df = self.spark.read.parquet(self._resolve_data_path())
         except Exception:
             return None
+        if committed_only:
+            df = df.filter(F.col("version") <= F.lit(self.committed_version()))
+        return df
 
-    def _tombstones(self) -> DataFrame | None:
+    def _tombstones(self, committed_only: bool = True) -> DataFrame | None:
         try:
-            return self.spark.read.parquet(self.tombstones_path)
+            df = self.spark.read.parquet(self.tombstones_path)
         except Exception:
             return None
+        if committed_only:
+            df = df.filter(F.col("version") <= F.lit(self.committed_version()))
+        return df
 
     def _strip(self, df: DataFrame) -> DataFrame:
         """Drop the internal layout column from an outward-facing frame
@@ -305,7 +370,14 @@ class VersionedLogTable:
 
         At scale the file source checkpoints its processed-file log, so a
         restarted tail resumes where it left off without re-reading the
-        table — pass `.option("checkpointLocation", ...)` on the writer."""
+        table — pass `.option("checkpointLocation", ...)` on the writer.
+
+        Delivery granularity: the push stream surfaces files as they
+        land, AHEAD of the commit watermark — a batch may arrive split
+        across micro-batches, and a crashed writer's unacknowledged rows
+        can be delivered.  Each file is internally complete (task-commit
+        atomicity).  Consumers needing committed-only snapshot semantics
+        use the polling `tail()`, which reads through the watermark."""
         df = self._data()
         if df is None:
             raise FileNotFoundError(f"no data at {self.data_path}")
@@ -421,6 +493,10 @@ class VersionedLogTable:
             self.spark.read.option("basePath", self._resolve_data_path())
             .schema(full.schema)
             .parquet(*files)
+            # the explicit file list bypasses _data(): re-apply the
+            # committed watermark so an in-flight append stays invisible
+            # on this path too
+            .filter(F.col("version") <= F.lit(self.committed_version()))
         )
         return self._strip(self._apply_tombstones(df, as_of_version).filter(pred))
 

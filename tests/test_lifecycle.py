@@ -220,3 +220,85 @@ def test_old_layout_append_refused_compact_migrates(spark, table):
     )
     table.append(mkbatch(spark, "/a", [30]))
     assert sorted(r["log_time"] for r in table.read().collect()) == [10, 20, 30]
+
+
+def test_reader_never_sees_partial_append(spark, table, monkeypatch):
+    """Atomic publish (the rootmap-flip analog): an append's files are
+    INVISIBLE to every read path until the committed watermark flips —
+    simulated mid-write by holding the flip, so the data files are fully
+    on disk while the watermark still points at the previous version.
+    Then one _publish exposes the whole batch at once."""
+    table.append(mkbatch(spark, "/a", [10, 20, 30]))
+    base = table.committed_version()
+
+    held = []
+    monkeypatch.setattr(
+        type(table), "_publish", lambda self, v: held.append(v)
+    )
+    v2 = table.append(mkbatch(spark, "/a", [40, 50, 60, 70]))
+    monkeypatch.undo()
+    assert held == [v2]
+
+    # the new files ARE on disk...
+    import glob as _glob
+
+    files = _glob.glob(table.data_path + "/**/*.parquet", recursive=True)
+    assert len(files) >= 2
+    # ...but every query surface still serves the pre-append snapshot
+    assert table.committed_version() == base
+    assert sorted(r["log_time"] for r in table.read().collect()) == [10, 20, 30]
+    assert table.tail(0).count() == 3
+    assert table.log_store().df.count() == 3
+
+    # the flip exposes the whole batch atomically
+    table._publish(v2)
+    assert sorted(r["log_time"] for r in table.read().collect()) == [
+        10, 20, 30, 40, 50, 60, 70,
+    ]
+    assert table.tail(base).count() == 4
+
+
+def test_unpublished_tombstone_invisible(spark, table, monkeypatch):
+    table.append(mkbatch(spark, "/a", [10, 20, 30]))
+    held = []
+    monkeypatch.setattr(type(table), "_publish", lambda self, v: held.append(v))
+    v = table.delete_range("dev1", "/a", 0, 25)
+    monkeypatch.undo()
+    # tombstone parquet exists but is not committed: nothing masked yet
+    assert table.read().count() == 3
+    table._publish(v)
+    assert sorted(r["log_time"] for r in table.read().collect()) == [30]
+
+
+def test_concurrent_reader_during_live_appends(spark, table):
+    """Race test: a writer thread lands 4 batches of 50 rows while the
+    main thread reads in a loop; every observed count must be a multiple
+    of 50 (complete batches only, never a partial file set)."""
+    import threading
+
+    BATCH = 50
+    rows = lambda k: mkbatch(spark, "/a", list(range(k * 1000, k * 1000 + BATCH)))
+    table.append(rows(0))
+
+    stop = threading.Event()
+    err = []
+
+    def writer():
+        try:
+            for k in range(1, 4):
+                table.append(rows(k))
+        except Exception as e:  # pragma: no cover
+            err.append(e)
+        finally:
+            stop.set()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    observed = set()
+    while not stop.is_set():
+        observed.add(table.read().count())
+    t.join()
+    assert not err
+    observed.add(table.read().count())
+    assert observed <= {BATCH, 2 * BATCH, 3 * BATCH, 4 * BATCH}, observed
+    assert table.read().count() == 4 * BATCH

@@ -270,6 +270,7 @@ def test_probe_correct_with_stale_and_missing_index(spark, tmp_path):
     crash.write.mode("append").partitionBy("topic", "producer_bucket").parquet(
         vt._resolve_data_path()
     )
+    vt._publish(v2)  # committed but unindexed (crash hit the index step)
     # beta exists only in the unindexed file — must still be found
     assert [r["sequence"] for r in vt.read_string_probe("props", "beta").collect()] == [2]
     # missing sidecar entirely -> full-scan fallback, not a crash
