@@ -526,6 +526,38 @@ def stat_range_by_producer(spark, sf_dir):
     )
 
 
+@register(
+    "stat_range_by_producer_served",
+    f"""
+    select cast(user_id as varchar) as producer,
+           (epoch_ns(ts) - epoch_ns(ts) % {DAY_NS}) as bucket_start,
+           {_STAT_AGGS_SQL}
+    from events
+    where event_type = 'purchase'
+      and epoch_ns(ts) >= {BETWEEN_START} and epoch_ns(ts) < {BETWEEN_END}
+    group by 1, 2
+    """,
+)
+def stat_range_by_producer_served(spark, sf_dir):
+    """groupByProducer statistics served from the PERSISTED summary store
+    (the default store keeps the producer axis, so /statistics?producer=
+    and groupByProducer never touch raw rows — treemgr/treemgr.go:376-501
+    served the way tree/tree.go:214-258 serves StatRange).  The probe
+    reads the topic's summary slice only and merges 60 s partials to day
+    buckets per producer; the oracle aggregates RAW events, so the driver
+    hash-checks producer-axis summary-serving == raw end-to-end (the
+    stat_range_served construction on the second grouping axis)."""
+    path = _summary_store_fixture(spark, sf_dir)
+    return ST.SummaryStore(spark, path).stat_range(
+        topic="purchase",
+        start_ns=BETWEEN_START,
+        end_ns=BETWEEN_END,
+        granularity_ns=DAY_NS,
+        numeric_fields=["value"],
+        group_by_producer=True,
+    )
+
+
 def _sketch_oracle() -> str:
     """DuckDB re-derivation of the daily sketch quantile BINS.  ln()-based
     bin assignment is bit-identical across engines (verified on every
@@ -5512,6 +5544,7 @@ _PRIORITY_ORDER = [
     "mm_image_dedup",
     "mm_video_frames",
     "mm_png_decode",
+    # (mm_frame_sample slot moved below to the decode family block)
     # progressive (SOF2) JPEG — the last reachable-format stub closed in
     # round 5 (r4 verdict ask #7); same closed-form coefficient oracle as
     # the baseline gate since the progressive encoder reuses the baseline
@@ -5522,12 +5555,23 @@ _PRIORITY_ORDER = [
     # RIFF/AVI container walk AND the full JPEG chain, the format that
     # was a stub through r3.  mm_jpeg_decode / mm_gif_decode stay
     # oracle-pinned in the local suite at 51+.)
+    # (mm_frame_sample rotates to 51+ after green r01-r06 — the
+    # mapInPandas codec family keeps FOUR in-window rows: png, video,
+    # progressive JPEG, image_dedup.  Its slot: mm_gif_decode — the
+    # LZW-decode gate, never driver-gated before round 7.)
+    "mm_gif_decode",
     # statistics service (SURVEY §2.4)
-    "stat_range_hourly",
+    # (stat_range_hourly rotates to 51+ after SIX green rounds r01-r06 —
+    # the longest-green row in the window; raw StatRange stays in-window
+    # via stat_quantiles_hourly's raw path and the served rows' raw
+    # oracles.  Its slot: the producer-axis served row below.)
     # StatRange served from the PERSISTED summary store — the reference's
     # serve-from-stored-inner-nodes design (tree/tree.go:214-258), gated
     # summary-served == raw-derived (round-6 verdict ask #2)
     "stat_range_served",
+    # groupByProducer served from the same persisted store (round-7
+    # verdict ask #7): producer-axis summary-serving == raw, hash-gated
+    "stat_range_by_producer_served",
     # (stat_rollup_daily rotates to 51+ after four green rounds — its
     # hourly-summary path stays in-window via stat_range_hourly and the
     # associative-merge contract is now proven by TWO in-window rows:
@@ -5562,7 +5606,11 @@ _PRIORITY_ORDER = [
     # 51+ after green r03-r05 — signal analytics keeps stat_twa_daily +
     # stat_counter_daily in-window.  Their slots: stat_range_served and
     # stream_ingest_dedup, the round-6 verdict asks #2/#7.)
-    "stat_twa_daily",
+    # (stat_twa_daily rotates to 51+ after green r03-r06 — signal
+    # analytics keeps stat_resample_hourly in-window; TWA stays
+    # oracle-pinned locally and in the sf1 sweep.  Its slot:
+    # bpe_vocab_topk, the never-driver-gated third BPE row.)
+    "bpe_vocab_topk",
     # (stat_counter_daily rotates to 51+ after green r03-r05 — signal
     # analytics keeps stat_twa_daily in-window; the counter-reset window
     # chain stays oracle-pinned locally and in the sf1 sweep.  Its slot:
@@ -5584,7 +5632,12 @@ _PRIORITY_ORDER = [
     # interval-overlap join — first driver row of the interval-join
     # family, round 5.)
     "events_interval_overlap",
-    "stream_sessionize_gap",
+    # (stream_sessionize_gap rotates to 51+ after green r05-r06 — the
+    # streaming category keeps FOUR in-window rows: stats_rollup,
+    # corpus_dedup, interval_attrib, ingest_dedup.  Its slot:
+    # events_session_native — the same 30-min-gap contract in native
+    # window SQL, never driver-gated before round 7.)
+    "events_session_native",
     # streaming statistics maintenance (r4 verdict ask #3): ingest →
     # foreachBatch summary upsert → associative rollup, the reference's
     # write-time stats path (treemgr/writer.go:184-203) under the hash gate
@@ -5601,24 +5654,37 @@ _PRIORITY_ORDER = [
     # tokenizer applied corpus-wide — the corpus-pass + broadcast-vocab
     # join shape, complementing bpe_train_merges' iterative build.)
     "bpe_encode_counts",
-    "text_gopher_flags",
-    # BM25 ranked retrieval — first driver row of the keyword-search
-    # family (rotated in round 5; idf micro-quantized, int64 partial sums)
-    "search_bm25",
+    # (text_gopher_flags rotates to 51+ after green r01-r06 — the
+    # codegen text-metric family's slot goes to text_lm_score, the
+    # KenLM-style perplexity scorer, never driver-gated before round 7.)
+    "text_lm_score",
+    # (search_bm25 rotates to 51+ after green r05-r06 — the keyword-search
+    # family cycles its never-gated members through: the positional
+    # phrase probe and the BM25+cosine reciprocal-rank fusion.)
+    "search_phrase",
+    "search_hybrid_rrf",
     "dedup_paragraphs",
     # dedup family (dedup_ngram_jaccard — the quadratic oracle-baseline —
     # rotates to 51+ after three green rounds; dedup_exact rotates to 51+
     # after FOUR green rounds r01-r04 — the exact-dedup path stays
     # in-window inside curate_corpus's composition; MinHash is the scale
     # path)
-    "dedup_minhash_lsh",
+    # (dedup_minhash_lsh rotates to 51+ after green r01-r06 and its r6
+    # quiet-host A/B clearance — the minhash family keeps capped +
+    # incremental in-window.  Its slot: dedup_substring_flags, the
+    # suffix-array-style substring dedup, never driver-gated before r7.)
+    "dedup_substring_flags",
     "dedup_minhash_capped",
     "dedup_incremental",
     # (dedup_simhash rotates to 51+ after green r01/r03/r04 — the simhash
     # family stays in-window via dedup_simhash_pairs, which consumes the
     # same signatures.  Its slot: integer-exact PageRank, the
     # graph-analytics family beyond connected components.)
-    "graph_pagerank",
+    # (graph_pagerank rotates to 51+ after green r05-r06 — the
+    # components.py graph family keeps dedup_clusters in-window.  Its
+    # slot: dedup_keep_best, the per-cluster canonical-doc selection,
+    # never driver-gated before round 7.)
+    "dedup_keep_best",
     "dedup_simhash_pairs",
     "dedup_clusters",
     # streaming corpus-refresh dedup (r4 verdict ask #5): rotated IN so
@@ -5633,14 +5699,11 @@ _PRIORITY_ORDER = [
     "sim_knn_classify",
     "sim_dup_pairs_lsh",
     "sim_ivf_recall",
-    # PQ-ADC compressed-index ANN — recall gate in-window (rotated in
-    # round 5, the sim_ivf_recall convention: the recall contract itself
-    # is hash-checked; sim_pq_topk carries a full oracle at 51+)
-    "sim_pq_recall",
+    # (sim_pq_recall rotates to 51+ after green r05-r06 — the PQ family
+    # cycles in sim_pq_topk, its full-oracle top-k row, never
+    # driver-gated before round 7.)
+    "sim_pq_topk",
     "sem_dedup",
-    # multimodal + MCAP round-trip (mm_decode_meta rotates to 51+; the mm
-    # family keeps four real-decode rows in-window)
-    "mm_frame_sample",
     "mcap_roundtrip_agg",
     # packing / splits / curation / decontamination / mixing
     # (mix_domains rotated to 51+ after two green rounds, the sampling
@@ -5648,10 +5711,17 @@ _PRIORITY_ORDER = [
     # after its green r03 row so the FIRST driver-proven STREAMING row —
     # stream_sessionize_gap, upgrading the category from its rows-only
     # carve-out — fits in the window)
-    "pack_sequences",
-    "split_train_test",
+    # (pack_sequences rotates to 51+ after green r03-r06; the packing
+    # family cycles pack_greedy_bins back in — one green r03 round, never
+    # re-gated since.  split_train_test rotates to 51+ after green
+    # r03-r06; the sampling family cycles in sample_k_per_domain, never
+    # driver-gated before round 7.)
+    "pack_greedy_bins",
+    "sample_k_per_domain",
     "curate_corpus",
-    "decontam_check",
+    # (decontam_check rotates to 51+ after green r01-r06 — decontam
+    # keeps the fuzzy row in-window; its slot funds the search family's
+    # second never-gated member above.)
     # fuzzy (MinHash) decontamination — the near-dup complement of the
     # exact n-gram check (rotated in round 5)
     "decontam_fuzzy",
