@@ -14,6 +14,13 @@ Scale shape — why this survives 100 TB:
   map-combinable — symbol-pair cardinality is far below word cardinality)
   plus a 1-row argmax collect (bounded) and a projection applying the
   merge.  n_merges iterations = n_merges small jobs, zero corpus passes.
+- At tokenizer-realistic merge counts (32 k), one-job-per-merge is
+  scheduler-bound regardless of cluster size (measured 85-226 ms/merge
+  at sf0.1/sf1 — hours at 32 k).  `bpe_train_driver` is the scale path:
+  the corpus pass stays distributed, then the vocabulary-bounded
+  word-count table collects and the merge loop runs in-process with
+  incremental pair-count updates (4-13 ms/merge measured, amortized
+  O(symbol occurrences) total) — byte-identical output, pinned by test.
 - `encode_token_counts` re-touches the corpus exactly once more and joins
   the exploded words against the final vocab states — the vocab side is
   the broadcast side by construction.
@@ -208,3 +215,117 @@ def encode_token_counts(
     return joined.groupBy(F.col("id").alias(id_col)).agg(
         F.count("*").alias("n_words"), F.sum("n_sym").alias("n_tokens")
     )
+
+
+def _train_from_word_counts(
+    word_freqs: dict[str, int], n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], dict[str, list[str]]]:
+    """Exact greedy BPE over a word-frequency table with INCREMENTAL
+    pair-count maintenance (the classic single-node trainer, Sennrich et
+    al. §3: each merge touches only the words that contain the pair, and
+    the pair-count updates are the multiset diff of that word's adjacency
+    list before/after).  Identical semantics to the Spark iteration in
+    bpe_train — same counting (overlaps count separately), same greedy
+    left-to-right non-overlapping application, same
+    (count DESC, lhs ASC, rhs ASC) argmax tie-break — pinned by the
+    equality tests in tests/test_bpe.py.  Cost is amortized
+    O(total symbol occurrences), independent of n_merges' job count:
+    32 k merges run in seconds where one-Spark-job-per-merge would be
+    scheduler-bound at any cluster size."""
+    from collections import Counter, defaultdict
+
+    words = list(word_freqs)
+    freqs = [word_freqs[w] for w in words]
+    states: list[list[str]] = [list(w) + [MARKER] for w in words]
+    counts: dict[tuple[str, str], int] = defaultdict(int)
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, s in enumerate(states):
+        f = freqs[i]
+        for p in zip(s, s[1:]):
+            counts[p] += f
+            where[p].add(i)
+
+    def _merge_word(syms: list[str], a: str, b: str) -> list[str]:
+        out, i = [], 0
+        ab = a + b
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(ab)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((step, a, b, int(c)))
+        for i in sorted(where[(a, b)]):
+            f = freqs[i]
+            s = states[i]
+            ns = _merge_word(s, a, b)
+            old = Counter(zip(s, s[1:]))
+            new = Counter(zip(ns, ns[1:]))
+            for p in old.keys() | new.keys():
+                d = new[p] - old[p]
+                if d:
+                    counts[p] += d * f
+                    if counts[p] <= 0:
+                        del counts[p]
+                if new[p]:
+                    where[p].add(i)
+                elif old[p]:
+                    where[p].discard(i)
+            states[i] = ns
+        where.pop((a, b), None)
+    return merges, {w: states[i] for i, w in enumerate(words)}
+
+
+def bpe_train_driver(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 12,
+    min_freq: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """bpe_train at tokenizer-realistic merge counts: the corpus pass
+    stays distributed (word_counts — the ONLY operation whose cost scales
+    with corpus bytes), then the vocabulary-bounded word-frequency table
+    collects to the driver and the merge loop runs in-process with
+    incremental pair-count updates.  Same (merges, final_states) contract
+    and EXACT same output as bpe_train (equality pinned in tests); the
+    difference is the control plane — n_merges=32 k is 32 k dict updates
+    here versus 32 k sequential Spark jobs there, which is
+    scheduler-bound regardless of cluster size (each job is a
+    vocab-table aggregation plus a driver round-trip).
+
+    min_freq: drop words rarer than this before training — the standard
+    vocabulary cut (HF tokenizers' min_frequency) that bounds the
+    collect at web scale (Zipf: the tail is most of the DISTINCT words
+    and a sliver of the occurrences).  min_freq=1 is exact parity with
+    bpe_train; raising it changes the learned merges exactly as it would
+    in any BPE trainer, so it is an explicit knob, never a default.
+
+    Driver memory is the scale bound: the word-count table is
+    vocabulary-sized (10-100 M rows for web corpora), not corpus-sized —
+    at the top of that range use min_freq (freq>=2 typically cuts the
+    distinct-word count ~half) or keep the Spark-side bpe_train whose
+    state never leaves the cluster."""
+    spark = df.sparkSession
+    wc = word_counts(df, text_col)
+    if min_freq > 1:
+        wc = wc.filter(F.col("freq") >= min_freq)
+    word_freqs = {r["w"]: r["freq"] for r in wc.collect()}
+    merges, states = _train_from_word_counts(word_freqs, n_merges)
+    merges_df = spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, pair_count bigint"
+    )
+    rendered = [
+        (w, int(word_freqs[w]), "".join(f" {t}," for t in s))
+        for w, s in states.items()
+    ]
+    states_df = spark.createDataFrame(rendered, "w string, freq long, state string")
+    return merges_df, states_df

@@ -189,3 +189,54 @@ def test_encoding_identity_20k_cases_pure_python():
                 w: "".join(f" {t}," for t in s) for w, s in tok_states.items()
             }
             assert str_states == rendered, (case, a, b, word_freqs)
+
+
+def test_driver_trainer_matches_reference_pure_python():
+    """_train_from_word_counts (the incremental-pair-count driver-side
+    trainer) must equal the O(n_merges * corpus) textbook reference on
+    2,000 seeded random word-frequency tables, including the argmax
+    tie-break and the final segmentations."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(2_000):
+        wf = {}
+        for _w in range(rng.randint(1, 10)):
+            w = "".join(rng.choice("ab0") for _ in range(rng.randint(1, 7)))
+            wf[w] = wf.get(w, 0) + rng.randint(1, 9)
+        n = rng.randint(1, 10)
+        ref_merges, ref_rendered = _py_bpe(wf, n)
+        got_merges, got_states = B._train_from_word_counts(wf, n)
+        assert got_merges == ref_merges
+        assert {
+            w: "".join(f" {t}," for t in s) for w, s in got_states.items()
+        } == ref_rendered
+
+
+def test_bpe_train_driver_equals_spark_iteration(spark):
+    """bpe_train_driver's output (merges AND final states) must be
+    byte-identical to bpe_train's Spark-side iteration on the same
+    corpus — the control plane changes, the algorithm must not."""
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "a cat and a bat ate the rat",
+        "bats and rats and cats",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    m1, s1 = B.bpe_train(docs, n_merges=10)
+    m2, s2 = B.bpe_train_driver(docs, n_merges=10)
+    as_rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert as_rows(m1) == as_rows(m2)
+    assert as_rows(s1.select("w", "freq", "state")) == as_rows(
+        s2.select("w", "freq", "state")
+    )
+    # min_freq is an explicit vocabulary cut, applied before training
+    m3, s3 = B.bpe_train_driver(docs, n_merges=10, min_freq=2)
+    trained_words = {r["w"] for r in s3.collect()}
+    assert "ate" not in trained_words and "the" in trained_words
+    assert as_rows(m3) != as_rows(m1) or trained_words != {
+        r["w"] for r in s1.collect()
+    }
