@@ -223,6 +223,55 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def config_dir() -> str:
+    """~/.dp3 (cli/cmd/root.go configDir), overridable via DP3_CONFIG_DIR
+    so tests and multi-user hosts can relocate it."""
+    return os.environ.get("DP3_CONFIG_DIR") or os.path.expanduser("~/.dp3")
+
+
+def cmd_plugin_install(args) -> int:
+    """`dp3 plugin install <name> <filepath>` — copy a plugin file into
+    <configdir>/plugins/<name>/ (cli/cmd/install.go:12-24 verbatim
+    semantics: ensure the directory, copy by basename)."""
+    plugin_dir = os.path.join(config_dir(), "plugins", args.name)
+    os.makedirs(plugin_dir, exist_ok=True)
+    shutil.copy2(args.filepath, os.path.join(plugin_dir, os.path.basename(args.filepath)))
+    print(f"installed {args.name} from {args.filepath}")
+    return 0
+
+
+def load_plugins(sub) -> None:
+    """Add installed plugins' subcommands to the parser — the reference
+    loads Go .so plugins exporting a cobra command at startup
+    (cli/cmd/root.go:50-79 loadPlugins); the Python-idiomatic analog is a
+    .py file in <configdir>/plugins/*/ exporting
+    `register_plugin(subparsers)`.  Same trust model as the reference:
+    the plugins directory is user-writable config, so installing a
+    plugin is installing code.  A broken plugin aborts with its error
+    (checkErr semantics), it is never silently skipped."""
+    import importlib.util
+
+    plugin_root = os.path.join(config_dir(), "plugins")
+    if not os.path.isdir(plugin_root):
+        return
+    for dirpath, _, files in sorted(os.walk(plugin_root)):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            spec = importlib.util.spec_from_file_location(
+                f"dp3_plugin_{os.path.basename(dirpath)}_{fn[:-3]}", path
+            )
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            reg = getattr(mod, "register_plugin", None)
+            if not callable(reg):
+                raise SystemExit(
+                    f"plugin {path} does not export register_plugin(subparsers)"
+                )
+            reg(sub)
+
+
 def cmd_delete(args) -> int:
     body = {
         "database": args.database,
@@ -300,6 +349,15 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--start", type=int, required=True)
     d.add_argument("--end", type=int, required=True)
     d.set_defaults(fn=cmd_delete)
+
+    pl = sub.add_parser("plugin", help="manage CLI plugins")
+    plsub = pl.add_subparsers(dest="plugin_cmd", required=True)
+    pli = plsub.add_parser("install", help="install a plugin file from disk")
+    pli.add_argument("name")
+    pli.add_argument("filepath")
+    pli.set_defaults(fn=cmd_plugin_install)
+
+    load_plugins(sub)
 
     sv = sub.add_parser("serve", help="start the HTTP service (blocks)")
     sv.add_argument(

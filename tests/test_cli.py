@@ -248,3 +248,40 @@ def test_cli_serve_verb_spawns_working_server(tmp_path, capfd):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_cli_plugin_install_and_dispatch(tmp_path, capfd, monkeypatch):
+    """`dp3 plugin install <name> <file>` copies into
+    <configdir>/plugins/<name>/ (cli/cmd/install.go semantics) and the
+    next parser build loads the plugin's subcommand
+    (cli/cmd/root.go loadPlugins analog: register_plugin(subparsers))."""
+    monkeypatch.setenv("DP3_CONFIG_DIR", str(tmp_path / "conf"))
+
+    src = tmp_path / "hello_plugin.py"
+    src.write_text(
+        "def register_plugin(sub):\n"
+        "    p = sub.add_parser('hello', help='plugin-provided verb')\n"
+        "    p.add_argument('--who', default='world')\n"
+        "    p.set_defaults(fn=lambda a: print(f'hello {a.who}') or 0)\n"
+    )
+    assert cli.main(["plugin", "install", "greeter", str(src)]) == 0
+    import os as _os
+
+    assert _os.path.exists(
+        str(tmp_path / "conf" / "plugins" / "greeter" / "hello_plugin.py")
+    )
+    capfd.readouterr()
+
+    # the installed verb is now dispatchable
+    assert cli.main(["hello", "--who", "dp3"]) == 0
+    assert capfd.readouterr().out.strip().endswith("hello dp3")
+
+    # a plugin without the export aborts loudly, never silently skipped
+    bad = tmp_path / "bad.py"
+    bad.write_text("x = 1\n")
+    assert cli.main(["plugin", "install", "broken", str(bad)]) == 0
+    capfd.readouterr()
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="register_plugin"):
+        cli.main(["topics"])

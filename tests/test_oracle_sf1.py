@@ -114,6 +114,9 @@ SF1_QUERIES = [
     # summary-served == raw-derived must hold at 10x summary volume too
     "stat_quantiles_served",
     "stat_range_served",
+    # producer-axis serving (round 7): the grouped summary merge must
+    # stay hash-equal to raw at 10x producers
+    "stat_range_by_producer_served",
     # ingest dedup drain: overlapping re-delivered files == exact distinct
     "stream_ingest_dedup",
     # dedup rows whose oracles are linear-cost in DuckDB
