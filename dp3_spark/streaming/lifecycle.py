@@ -276,28 +276,39 @@ class VersionedLogTable:
                 return os.path.join(self.root, name)
         return self.data_path
 
-    def _data(self, committed_only: bool = True) -> DataFrame | None:
+    def _data(
+        self, committed_only: bool = True, watermark: int | None = None
+    ) -> DataFrame | None:
         """committed_only (the default for every query path) hides any
         version above the published watermark: a reader racing an
         in-flight append never sees its partial file set.  The predicate
         is a constant on a data column — parquet row-group min/max skips
         unpublished files without decoding them.  committed_only=False
-        exists solely for the version-counter bootstrap scan."""
+        exists solely for the version-counter bootstrap scan.
+
+        watermark: pass a pre-resolved committed version so a multi-part
+        read (data + tombstones) sees ONE snapshot — resolving twice
+        would let a concurrent publish land between the two reads and
+        apply a newer tombstone against older data."""
         try:
             df = self.spark.read.parquet(self._resolve_data_path())
         except Exception:
             return None
         if committed_only:
-            df = df.filter(F.col("version") <= F.lit(self.committed_version()))
+            w = self.committed_version() if watermark is None else watermark
+            df = df.filter(F.col("version") <= F.lit(w))
         return df
 
-    def _tombstones(self, committed_only: bool = True) -> DataFrame | None:
+    def _tombstones(
+        self, committed_only: bool = True, watermark: int | None = None
+    ) -> DataFrame | None:
         try:
             df = self.spark.read.parquet(self.tombstones_path)
         except Exception:
             return None
         if committed_only:
-            df = df.filter(F.col("version") <= F.lit(self.committed_version()))
+            w = self.committed_version() if watermark is None else watermark
+            df = df.filter(F.col("version") <= F.lit(w))
         return df
 
     def _strip(self, df: DataFrame) -> DataFrame:
@@ -315,15 +326,22 @@ class VersionedLogTable:
         The tombstone application is a broadcast anti-join on range overlap:
         tombstone counts are tiny relative to data (the reference stores
         them per-leaf), so the data side never shuffles."""
-        df = self._data()
+        # ONE watermark resolution for both the data and tombstone reads:
+        # a concurrent publish between the two must not apply a newer
+        # tombstone against an older data snapshot
+        w = self.committed_version()
+        df = self._data(watermark=w)
         if df is None:
             raise FileNotFoundError(f"no data at {self.data_path}")
-        return self._strip(self._apply_tombstones(df, as_of_version))
+        return self._strip(self._apply_tombstones(df, as_of_version, watermark=w))
 
     def _apply_tombstones(
-        self, df: DataFrame, as_of_version: int | None = None
+        self,
+        df: DataFrame,
+        as_of_version: int | None = None,
+        watermark: int | None = None,
     ) -> DataFrame:
-        ts = self._tombstones()
+        ts = self._tombstones(watermark=watermark)
         if as_of_version is not None:
             df = df.filter(F.col("version") <= as_of_version)
             if ts is not None:
@@ -460,7 +478,8 @@ class VersionedLogTable:
         file-list scan."""
         from dp3_spark.operators.trigram import probe_index
 
-        full = self._data()
+        w = self.committed_version()  # one snapshot for every sub-read
+        full = self._data(watermark=w)
         if full is None:
             raise FileNotFoundError(f"no data at {self.data_path}")
         pred = (
@@ -475,14 +494,18 @@ class VersionedLogTable:
                 F.col("producer_bucket") == self._bucket_expr(F.lit(needle))
             )
         if not self.trigram_cols or column not in self.trigram_cols:
-            return self._strip(self._apply_tombstones(full, as_of_version).filter(pred))
+            return self._strip(
+                self._apply_tombstones(full, as_of_version, watermark=w).filter(pred)
+            )
         try:
             survivors, covered = probe_index(
                 self.spark, self.trigram_index_path, column, needle, mode=mode
             )
         except Exception:
             # sidecar missing or unreadable: correctness first, no pruning
-            return self._strip(self._apply_tombstones(full, as_of_version).filter(pred))
+            return self._strip(
+                self._apply_tombstones(full, as_of_version, watermark=w).filter(pred)
+            )
         live = {f"file://{p}" for p in self._list_data_files()}
         # unindexed data files can never be skipped; index rows for files
         # a compact() crash already deleted must not be read
@@ -493,12 +516,14 @@ class VersionedLogTable:
             self.spark.read.option("basePath", self._resolve_data_path())
             .schema(full.schema)
             .parquet(*files)
-            # the explicit file list bypasses _data(): re-apply the
-            # committed watermark so an in-flight append stays invisible
+            # the explicit file list bypasses _data(): re-apply the same
+            # snapshot watermark so an in-flight append stays invisible
             # on this path too
-            .filter(F.col("version") <= F.lit(self.committed_version()))
+            .filter(F.col("version") <= F.lit(w))
         )
-        return self._strip(self._apply_tombstones(df, as_of_version).filter(pred))
+        return self._strip(
+            self._apply_tombstones(df, as_of_version, watermark=w).filter(pred)
+        )
 
     def log_store(self, *, payload_cols: tuple[str, ...] = ()):
         """This table as a queryable LogStore for the QL compiler, with
@@ -541,6 +566,14 @@ class VersionedLogTable:
         """Physically apply tombstones and rewrite (merge-time mask
         application, tree/merge.go:94-137).  Data-sized job; run it like
         OPTIMIZE, off the query path.
+
+        Interaction with the commit watermark: compact rewrites COMMITTED
+        rows only (read() filters version <= committed), so a crashed
+        writer's unacknowledged files — and any unpublished tombstone —
+        are physically dropped with the superseded generation instead of
+        being exposed by a later flip.  Compact is therefore also the GC
+        for torn writes, exactly like the reference dropping
+        unreferenced WAL/tree nodes at merge time.
 
         Write-new-then-swap-pointer: the resolved rows land in a fresh
         generation dir (`data_genN`), then `_meta/data_ptr` flips to it

@@ -302,3 +302,24 @@ def test_concurrent_reader_during_live_appends(spark, table):
     observed.add(table.read().count())
     assert observed <= {BATCH, 2 * BATCH, 3 * BATCH, 4 * BATCH}, observed
     assert table.read().count() == 4 * BATCH
+
+
+def test_read_resolves_watermark_exactly_once(spark, table, monkeypatch):
+    """read() must snapshot the committed watermark ONCE and use it for
+    both the data and the tombstone sub-reads — resolving twice would
+    let a concurrent publish apply a newer tombstone against older
+    data (a torn snapshot)."""
+    table.append(mkbatch(spark, "/a", [10, 20]))
+    table.delete_range("dev1", "/a", 0, 15)
+
+    calls = []
+    real = type(table).committed_version
+
+    def counting(self):
+        calls.append(1)
+        return real(self)
+
+    monkeypatch.setattr(type(table), "committed_version", counting)
+    df = table.read()
+    assert len(calls) == 1
+    assert sorted(r["log_time"] for r in df.collect()) == [20]
