@@ -41,6 +41,8 @@ HEADLINE = [
     "stat_range_hourly",      # multigranular stats (workload #3), raw-served
     "stat_range_served",      # same API served from the PERSISTED summary
                               # store (probe cost ∝ summary slice, not corpus)
+    "stat_range_by_producer_served",  # producer-axis serving (r7): grouped
+                              # summary merge, raw rows never touched
     "stat_quantiles_hourly",  # quantile stats (exact, raw-derived)
     "stat_quantiles_served",  # quantiles from the store's persisted
                               # DDSketch columns — raw rows never touched
