@@ -5544,7 +5544,6 @@ _PRIORITY_ORDER = [
     "mm_image_dedup",
     "mm_video_frames",
     "mm_png_decode",
-    # (mm_frame_sample slot moved below to the decode family block)
     # progressive (SOF2) JPEG — the last reachable-format stub closed in
     # round 5 (r4 verdict ask #7); same closed-form coefficient oracle as
     # the baseline gate since the progressive encoder reuses the baseline
