@@ -157,6 +157,34 @@ class VersionedLogTable:
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(self.meta_path, "committed"))
 
+    def _writer_lock(self):
+        """Exclusive advisory lock serializing WRITERS (append / delete /
+        compact) — readers never take it.  Without this, two concurrent
+        appends can both read counter N and allocate the same version
+        N+1 (colliding versions corrupt the history the watermark
+        protects), and a compact racing an append can drop the appended
+        files with the superseded generation.  The reference gets this
+        for free by funneling all writes through one treemgr process;
+        here any process can open the table, so the lock enforces the
+        same single-writer-at-a-time discipline.  flock is held for the
+        write's full duration (one open fd per call, so threads in one
+        process serialize too); on an object store this becomes a
+        conditional-put/lease on the version counter."""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def held():
+            os.makedirs(self.meta_path, exist_ok=True)
+            with open(os.path.join(self.meta_path, "writer.lock"), "w") as f:
+                fcntl.flock(f, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(f, fcntl.LOCK_UN)
+
+        return held()
+
     def _next_version(self) -> int:
         cur = self.current_version()
         # initialize the watermark BEFORE allocating: on a legacy table
@@ -194,29 +222,33 @@ class VersionedLogTable:
         append is bounded by topics x buckets, not by tasks x dirs),
         sorted by (producer, log_time) inside the file so row-group
         min/max stats prune both producer probes and time ranges."""
-        self._check_layout()
-        version = self._next_version()
-        out = (
-            df.dropDuplicates(["producer", "topic", "log_time", "sequence"])
-            .withColumn("version", F.lit(version))
-            .withColumn("producer_bucket", self._bucket_expr())
-            .repartition("topic", "producer_bucket")
-            # partition cols lead the sort so FileFormatWriter's required
-            # ordering is already satisfied — otherwise it re-sorts by the
-            # partition cols alone and destroys the fine-grained order
-            .sortWithinPartitions(
-                "topic", "producer_bucket", "producer", "log_time", "sequence"
+        with self._writer_lock():
+            self._check_layout()
+            version = self._next_version()
+            out = (
+                df.dropDuplicates(["producer", "topic", "log_time", "sequence"])
+                .withColumn("version", F.lit(version))
+                .withColumn("producer_bucket", self._bucket_expr())
+                .repartition("topic", "producer_bucket")
+                # partition cols lead the sort so FileFormatWriter's
+                # required ordering is already satisfied — otherwise it
+                # re-sorts by the partition cols alone and destroys the
+                # fine-grained order
+                .sortWithinPartitions(
+                    "topic", "producer_bucket", "producer", "log_time", "sequence"
+                )
             )
-        )
-        w = out.write.mode("append")
-        for k, v in self._bloom_opts().items():
-            w = w.option(k, v)
-        w.partitionBy("topic", "producer_bucket").parquet(self._resolve_data_path())
-        # files are fully landed: flip the watermark — only now does this
-        # version become visible to any reader (atomic publish)
-        self._publish(version)
-        self.update_trigram_index()
-        return version
+            w = out.write.mode("append")
+            for k, v in self._bloom_opts().items():
+                w = w.option(k, v)
+            w.partitionBy("topic", "producer_bucket").parquet(
+                self._resolve_data_path()
+            )
+            # files are fully landed: flip the watermark — only now does
+            # this version become visible to any reader (atomic publish)
+            self._publish(version)
+            self.update_trigram_index()
+            return version
 
     def _check_layout(self) -> None:
         """Refuse to append the bucketed layout into a pre-bucketing data
@@ -249,12 +281,13 @@ class VersionedLogTable:
         version <= the tombstone's version (the reference's rootmap pins a
         version at delete time, sqlrootmap.go:372-402) — data ingested
         AFTER a delete/truncate stays visible."""
-        version = self._next_version()
-        self.spark.createDataFrame(
-            [(producer, topic, start_ns, end_ns, version)], TOMBSTONE_SCHEMA
-        ).write.mode("append").parquet(self.tombstones_path)
-        self._publish(version)
-        return version
+        with self._writer_lock():
+            version = self._next_version()
+            self.spark.createDataFrame(
+                [(producer, topic, start_ns, end_ns, version)], TOMBSTONE_SCHEMA
+            ).write.mode("append").parquet(self.tombstones_path)
+            self._publish(version)
+            return version
 
     def truncate(self, producer: str, topic: str, end_ns: int | None = None) -> int:
         """`truncate producer topic (now|T);` (ql/grammar.go:45-50;
@@ -581,7 +614,15 @@ class VersionedLogTable:
         so this works on object stores (S3 has no atomic rename of a
         prefix); readers holding the old pointer keep a consistent view.
         The superseded generation is dropped best-effort afterwards (a
-        real deployment would GC it after a retention window)."""
+        real deployment would GC it after a retention window).
+
+        Runs under the writer lock: a compact racing an append would
+        otherwise snapshot before the append, then delete the appended
+        files with the superseded generation — a lost write."""
+        with self._writer_lock():
+            return self._compact_locked()
+
+    def _compact_locked(self) -> None:
         resolved = self.read()
         old = self._resolve_data_path()
         gen = 0

@@ -323,3 +323,32 @@ def test_read_resolves_watermark_exactly_once(spark, table, monkeypatch):
     df = table.read()
     assert len(calls) == 1
     assert sorted(r["log_time"] for r in df.collect()) == [20]
+
+
+def test_concurrent_writers_serialize_under_lock(spark, table):
+    """The writer lock must make concurrent appends safe: without it two
+    writers can allocate the SAME version (colliding histories).  Four
+    threads x 2 appends each -> all 8 versions unique and monotone, every
+    row present, watermark == max version."""
+    import threading
+
+    results, errors = [], []
+
+    def writer(k):
+        try:
+            for j in range(2):
+                base = (k * 10 + j) * 1000
+                v = table.append(mkbatch(spark, "/a", list(range(base, base + 20))))
+                results.append(v)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(k,)) for k in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len(results) == 8 and len(set(results)) == 8  # no version collisions
+    assert table.committed_version() == max(results)
+    assert table.read().count() == 8 * 20  # every batch fully present
