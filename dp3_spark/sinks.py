@@ -39,7 +39,7 @@ from dp3_spark.sources.mcap_codec import (
     McapChannel,
     McapMessage,
     McapSchema,
-    write_mcap,
+    McapStreamWriter,
 )
 from dp3_spark.sources.msgdef import MsgSchema
 from dp3_spark.sources.rosdecode import ros1_encode
@@ -95,9 +95,17 @@ def _row_stream_to_mcap(
     compression: str,
 ) -> int:
     """Write an iterator of canonical Rows as one MCAP stream.  Returns the
-    message count."""
+    message count.
+
+    TRUE streaming: each row goes straight into the McapStreamWriter (one
+    chunk batch of memory, default 1 MiB), with Schema/Channel records
+    emitted the moment the coordinator first sees them — an arbitrarily
+    large export never materializes in this process, matching the
+    service layer's collect-free chunked-response discipline end to end
+    (the reference pipes its merge coordinator the same way,
+    mcap/merge_coordinator.go)."""
     coord = _Coordinator()
-    messages: list[McapMessage] = []
+    writer = McapStreamWriter(out, chunked=chunked, compression=compression)
     if schema is not None:
         schema_args = (schema.name, "ros1msg", _msgdef_text(schema).encode())
         message_encoding = "ros1"
@@ -124,20 +132,18 @@ def _row_stream_to_mcap(
             data = json.dumps(
                 {c: d[c] for c in payload_cols}, default=_json_default
             ).encode()
+        n_sc, n_ch = len(coord.schemas), len(coord.channels)
         sid = coord.schema_id(*schema_args)
         cid = coord.channel_id(sid, r["topic"], message_encoding)
-        messages.append(
+        if len(coord.schemas) > n_sc:  # first sight: definition precedes use
+            writer.add_schema(coord.schemas[-1])
+        if len(coord.channels) > n_ch:
+            writer.add_channel(coord.channels[-1])
+        writer.write_message(
             McapMessage(cid, int(r["sequence"]) & 0xFFFFFFFF, r["log_time"], r["log_time"], data)
         )
         n += 1
-    write_mcap(
-        out,
-        coord.schemas,
-        coord.channels,
-        messages,
-        chunked=chunked,
-        compression=compression,
-    )
+    writer.close()
     return n
 
 

@@ -131,6 +131,67 @@ def _chunk_record(messages: list[McapMessage], compression: str) -> bytes:
     return _record(OP_CHUNK, payload)
 
 
+class McapStreamWriter:
+    """Incremental MCAP writer: records stream to `f` as they are added,
+    so peak memory is ONE chunk batch (chunk_size, default 1 MiB), never
+    the full message list.  Schema/Channel records are emitted into the
+    data section when first added — spec-legal anywhere in the data
+    section as long as they precede the first reference, which holds by
+    construction: a definition is written the moment it is first seen,
+    physically before the chunk (or message record) that first uses it.
+    The repo's own reader (iter_mcap) and standard MCAP tooling resolve
+    definitions as they appear.
+
+    Usage: add_schema/add_channel on first sight, write_message per row,
+    close() to write DataEnd + footer + closing magic."""
+
+    def __init__(
+        self,
+        f: BinaryIO,
+        *,
+        profile: str = "",
+        library: str = "dp3_spark",
+        chunked: bool = False,
+        compression: str = "zstd",
+        chunk_size: int = 1 << 20,
+    ) -> None:
+        self.f = f
+        self.chunked = chunked
+        self.compression = compression
+        self.chunk_size = chunk_size
+        self._batch: list[McapMessage] = []
+        self._size = 0
+        f.write(MAGIC)
+        f.write(_record(OP_HEADER, _s(profile) + _s(library)))
+
+    def add_schema(self, sc: McapSchema) -> None:
+        self.f.write(_schema_record(sc))
+
+    def add_channel(self, ch: McapChannel) -> None:
+        self.f.write(_channel_record(ch))
+
+    def write_message(self, m: McapMessage) -> None:
+        if not self.chunked:
+            self.f.write(_message_record(m))
+            return
+        self._batch.append(m)
+        self._size += len(m.data) + 31
+        if self._size >= self.chunk_size:
+            self._flush()
+
+    def _flush(self) -> None:
+        if self._batch:
+            self.f.write(_chunk_record(self._batch, self.compression))
+            self._batch, self._size = [], 0
+
+    def close(self) -> None:
+        self._flush()
+        self.f.write(_record(OP_DATA_END, struct.pack("<I", 0)))
+        # footer: no summary section (all zero offsets is spec-legal)
+        self.f.write(_record(OP_FOOTER, struct.pack("<QQI", 0, 0, 0)))
+        self.f.write(MAGIC)
+
+
 def write_mcap(
     f: BinaryIO,
     schemas: list[McapSchema],
@@ -143,34 +204,27 @@ def write_mcap(
     compression: str = "zstd",
     chunk_size: int = 1 << 20,
 ) -> None:
-    """chunked=False writes the plain unchunked profile; chunked=True
-    groups messages into Chunk records (compression: 'zstd' | 'lz4' | '').
+    """Whole-list convenience wrapper over McapStreamWriter (byte-identical
+    layout: header, all schemas, all channels, then messages/chunks).
+    chunked=False writes the plain unchunked profile; chunked=True groups
+    messages into Chunk records (compression: 'zstd' | 'lz4' | '').
     Schemas/channels are written outside chunks (spec-legal) so readers can
     resolve them without decompressing."""
-    f.write(MAGIC)
-    f.write(_record(OP_HEADER, _s(profile) + _s(library)))
+    w = McapStreamWriter(
+        f,
+        profile=profile,
+        library=library,
+        chunked=chunked,
+        compression=compression,
+        chunk_size=chunk_size,
+    )
     for sc in schemas:
-        f.write(_schema_record(sc))
+        w.add_schema(sc)
     for ch in channels:
-        f.write(_channel_record(ch))
-    if chunked and messages:
-        batch: list[McapMessage] = []
-        size = 0
-        for m in messages:
-            batch.append(m)
-            size += len(m.data) + 31
-            if size >= chunk_size:
-                f.write(_chunk_record(batch, compression))
-                batch, size = [], 0
-        if batch:
-            f.write(_chunk_record(batch, compression))
-    else:
-        for m in messages:
-            f.write(_message_record(m))
-    f.write(_record(OP_DATA_END, struct.pack("<I", 0)))
-    # footer: no summary section (all zero offsets is spec-legal)
-    f.write(_record(OP_FOOTER, struct.pack("<QQI", 0, 0, 0)))
-    f.write(MAGIC)
+        w.add_channel(ch)
+    for m in messages:
+        w.write_message(m)
+    w.close()
 
 
 class McapFormatError(ValueError):
