@@ -324,9 +324,18 @@ class DP3Service:
             if len(rest) == 3 and rest[0] == "producers" and rest[2] == "import":
                 if not self._authed(h):
                     return
-                data = _raw_body(h)
+                # stream the upload to disk in 64 KiB pieces — the body is
+                # an arbitrarily large MCAP file and must never be held in
+                # service memory whole (the response-side discipline,
+                # applied to the request side)
                 with tempfile.NamedTemporaryFile(suffix=".mcap") as f:
-                    f.write(data)
+                    remaining = int(h.headers.get("Content-Length") or 0)
+                    while remaining > 0:
+                        piece = h.rfile.read(min(65536, remaining))
+                        if not piece:
+                            raise ValueError("truncated import body")
+                        f.write(piece)
+                        remaining -= len(piece)
                     f.flush()
                     v = eng.import_mcap([(f.name, rest[1])])
                 _respond(h, 200, {"version": v})
