@@ -329,3 +329,49 @@ def bpe_train_driver(
     ]
     states_df = spark.createDataFrame(rendered, "w string, freq long, state string")
     return merges_df, states_df
+
+
+def encode_tokens(
+    docs: DataFrame,
+    final_states: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, detok): FULL tokenization — every document's subword
+    token sequence in word order (the actual tokenizer output, where
+    encode_token_counts stops at counts).  One corpus pass: posexplode
+    keeps word positions, the vocab states broadcast-join, and the
+    per-document sequence reassembles with an order-preserving
+    array_sort(collect_list(struct(pos, syms))) — no window, no second
+    shuffle beyond the final groupBy.  Out-of-vocab words fall back to
+    character-level (chars + end-of-word marker), matching
+    encode_token_counts' accounting.  `detok` is the space-joined token
+    stream (tokens are [a-z0-9_]+, so the join is lossless); n_tokens is
+    its length."""
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), WORD_SPLIT_RE)
+        ).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    vocab = F.broadcast(
+        final_states.select("w", F.expr(_SYMS_EXPR).alias("syms"))
+    )
+    joined = words.join(vocab, "w", "left").select(
+        "id",
+        "pos",
+        F.coalesce(
+            F.col("syms"),
+            F.expr(f"concat(split(w, ''), array('{MARKER}'))"),
+        ).alias("syms"),
+    )
+    return joined.groupBy(F.col("id").alias(id_col)).agg(
+        F.expr(
+            "array_join(flatten(transform("
+            "array_sort(collect_list(struct(pos, syms))), s -> s.syms)), ' ')"
+        ).alias("detok"),
+        F.expr(
+            "cast(aggregate(collect_list(size(syms)), 0L, (a, x) -> a + x) as bigint)"
+        ).alias("n_tokens"),
+    )

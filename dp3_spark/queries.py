@@ -2600,6 +2600,42 @@ def bpe_encode_counts(spark, sf_dir):
     return B.encode_token_counts(docs, states)
 
 
+_BPE_TOKENS_DUCK = (
+    _bpe_chain_ctes(_BPE_N_MERGES)
+    + f""",
+    vocab as (select w, list_filter(list_transform(string_split(state, ','), x -> ltrim(x)), x -> x <> '') as syms
+              from lvl{_BPE_N_MERGES}),
+    words as (
+      select doc_id, generate_subscripts(ws, 1) as pos, unnest(ws) as w
+      from (select doc_id, string_split_regex(lower(text), '[^a-z0-9]+') as ws
+            from documents) t)
+    select words.doc_id,
+           array_to_string(flatten(list(coalesce(vocab.syms,
+               list_append(string_split_regex(words.w, ''), '_'))
+               order by words.pos)), ' ') as detok,
+           cast(sum(len(coalesce(vocab.syms,
+               list_append(string_split_regex(words.w, ''), '_')))) as bigint)
+               as n_tokens
+    from words left join vocab on words.w = vocab.w
+    where words.w <> ''
+    group by words.doc_id"""
+)
+
+
+@register("bpe_encode_tokens", _BPE_TOKENS_DUCK)
+def bpe_encode_tokens(spark, sf_dir):
+    """FULL tokenization: every document's subword token sequence in word
+    order (space-joined — tokens are [a-z0-9_]+ so the join is lossless),
+    plus its length.  The actual tokenizer OUTPUT, where
+    bpe_encode_counts gates only the counts: the hash pins segmentation
+    boundaries and token order end to end against a raw re-derivation."""
+    from dp3_spark.operators import bpe as B
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, states = B.bpe_train(docs, n_merges=_BPE_N_MERGES)
+    return B.encode_tokens(docs, states)
+
+
 # PII scrubbing (functions/text.py redact_pii / pii_count): the fixture
 # text carries no PII, so each document is augmented with a synthetic
 # email + IPv4 derived from its id — IN SQL, identically in both engines —

@@ -240,3 +240,26 @@ def test_bpe_train_driver_equals_spark_iteration(spark):
     assert as_rows(m3) != as_rows(m1) or trained_words != {
         r["w"] for r in s1.collect()
     }
+
+
+def test_encode_tokens_order_and_fallback(spark):
+    """encode_tokens preserves word order in the token stream and falls
+    back to chars+marker for out-of-vocab words; its n_tokens agrees
+    with encode_token_counts."""
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "a cat ate"), (3, "zz unseen")],
+        "doc_id long, text string",
+    )
+    train = docs.filter("doc_id <= 2")
+    _, states = B.bpe_train(train, n_merges=4)
+    toks = {r["doc_id"]: r for r in B.encode_tokens(docs, states).collect()}
+    counts = {r["doc_id"]: r for r in B.encode_token_counts(docs, states).collect()}
+    for d in (1, 2, 3):
+        assert toks[d]["n_tokens"] == counts[d]["n_tokens"]
+    # word order: doc 1's stream starts with 'the''s segmentation and
+    # contains the trained 'cat' merge as a unit
+    assert "cat_" in toks[1]["detok"].split()  # word-final merge unit
+    # detok reconstructs the lowercased words when separators are removed
+    assert toks[1]["detok"].replace(" ", "").replace(B.MARKER, "") == "thecatsat"
+    # out-of-vocab 'zz'/'unseen' fell back to single chars + marker
+    assert toks[3]["detok"].split()[:3] == ["z", "z", B.MARKER]

@@ -106,6 +106,7 @@ SF1_QUERIES = [
     # distribution, so the learned merges must be IDENTICAL at 10x rows
     # (10x pair counts) — any argmax/tie divergence at scale fails the hash
     "bpe_train_merges", "bpe_vocab_topk", "bpe_encode_counts",
+    "bpe_encode_tokens",
     # image near-dup: the group count scales with the corpus (dup-group
     # size constant), so pair volume is LINEAR at 10x docs (11.7k ->
     # 117k measured); the oracle blocks candidates by the same pigeonhole
