@@ -53,8 +53,11 @@ def pack_split(
     d = (
         d.withColumn("end", F.sum("n_tok").over(w))
         .withColumn("start", F.col("end") - F.col("n_tok"))
-        .withColumn("first_bin", (F.col("start") / budget).cast("long"))
-        .withColumn("last_bin", ((F.col("end") - 1) / budget).cast("long"))
+        # integer `div`, not double `/`+cast: a cumulative token offset
+        # past 2^53 would round in double and misplace the bin (the same
+        # int64-exceeds-double-mantissa hazard output.nanos_decimal fixed)
+        .withColumn("first_bin", F.expr(f"start div {budget}"))
+        .withColumn("last_bin", F.expr(f"(end - 1) div {budget}"))
     )
     return (
         d.select(
