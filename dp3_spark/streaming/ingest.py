@@ -61,7 +61,8 @@ def deduped_stream(df: DataFrame, *, watermark_delay: str = "10 seconds") -> Dat
 
     Requires an event-time column; derives one from log_time ns."""
     with_ts = df.withColumn(
-        "event_time", F.timestamp_micros((F.col("log_time") / 1000).cast("long"))
+        # integer div: double division rounds ns values past 2^53*1000
+        "event_time", F.timestamp_micros(F.expr("log_time div 1000"))
     )
     return with_ts.withWatermark("event_time", watermark_delay).dropDuplicatesWithinWatermark(
         ["producer", "topic", "log_time", "sequence"]
