@@ -87,6 +87,13 @@ class VersionedLogTable:
     # producer bloom filter written on every append, then the trigram
     # sidecar at file granularity.
     producer_buckets: int = 64
+    # Parquet codec for appends/compactions.  zstd: ~25-35% smaller files
+    # than snappy on log-shaped data at comparable scan speed — at 100 TB
+    # that is tens of TB of storage and proportional scan I/O; the
+    # reference compresses its tree nodes with zstd too (nodestore).
+    # Existing tables mix codecs per file harmlessly (parquet is
+    # per-column-chunk codec'd; readers dispatch from metadata).
+    compression: str = "zstd"
 
     @property
     def data_path(self) -> str:
@@ -238,7 +245,7 @@ class VersionedLogTable:
                     "topic", "producer_bucket", "producer", "log_time", "sequence"
                 )
             )
-            w = out.write.mode("append")
+            w = out.write.mode("append").option("compression", self.compression)
             for k, v in self._bloom_opts().items():
                 w = w.option(k, v)
             w.partitionBy("topic", "producer_bucket").parquet(
@@ -645,6 +652,7 @@ class VersionedLogTable:
                 "topic", "producer_bucket", "producer", "log_time", "sequence"
             )
             .write.mode("overwrite")
+            .option("compression", self.compression)
         )
         for k, v in self._bloom_opts().items():
             w = w.option(k, v)

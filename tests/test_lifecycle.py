@@ -352,3 +352,30 @@ def test_concurrent_writers_serialize_under_lock(spark, table):
     assert len(results) == 8 and len(set(results)) == 8  # no version collisions
     assert table.committed_version() == max(results)
     assert table.read().count() == 8 * 20  # every batch fully present
+
+
+def test_appends_write_zstd_parquet(spark, table, tmp_path):
+    """The at-rest codec defaults to zstd (storage/scan-IO at 100 TB) and
+    is a per-table knob; mixed-codec tables stay readable."""
+    import pyarrow.parquet as pq
+
+    table.append(mkbatch(spark, "/a", [10, 20]))
+    files = []
+    for dirpath, _, fns in __import__("os").walk(table.data_path):
+        files += [f"{dirpath}/{f}" for f in fns if f.endswith(".parquet")]
+    assert files
+    codecs = {
+        pq.ParquetFile(p).metadata.row_group(0).column(0).compression
+        for p in files
+    }
+    assert codecs == {"ZSTD"}
+
+    snappy = VersionedLogTable(spark, str(tmp_path / "t2"), compression="snappy")
+    snappy.append(mkbatch(spark, "/a", [10]))
+    f2 = []
+    for dirpath, _, fns in __import__("os").walk(snappy.data_path):
+        f2 += [f"{dirpath}/{f}" for f in fns if f.endswith(".parquet")]
+    assert {
+        pq.ParquetFile(p).metadata.row_group(0).column(0).compression for p in f2
+    } == {"SNAPPY"}
+    assert snappy.read().count() == 1
