@@ -1,0 +1,167 @@
+"""DSIR-style data selection: importance resampling with hashed n-gram
+features (Xie et al., "Data Selection for Language Models via Importance
+Resampling", NeurIPS 2023, arXiv:2302.03169).
+
+The published pipeline: featurize every document as a bag of hashed word
+uni+bigrams, fit unigram bucket distributions for the TARGET corpus (the
+distribution you want more of — e.g. curated encyclopedic text) and the
+RAW corpus, score each raw document with the log importance ratio
+log p_target(doc)/p_raw(doc) = Σ_ngrams log(p̂_t[b]/p̂_r[b]), and keep the
+top-weighted (or Gumbel-resampled) documents.  At 100 TB this is one of
+the highest-leverage selection ops a training-data pipeline runs.
+
+Spark-first shape (everything map-combinable, corpus shuffles only
+n-gram-sized rows):
+
+- `hashed_ngram_profile`: ONE corpus pass — explode word uni+bigrams,
+  bucket by the repo's stable md5 idiom (identical hex in Spark and
+  DuckDB — operators/sampling.py), groupBy(bucket).  The profile has at
+  most `buckets` rows: tiny, broadcastable.
+- `dsir_log_weights`: per-BUCKET micro-quantized log ratio — int64
+  micro-units of ln((t_b+α)/(T+αB)) − ln((r_b+α)/(R+αB)) — joined
+  (broadcast) to the exploded n-grams and summed as int64.  The same
+  fixed-point discipline as BM25's per-term idf quantization
+  (operators/search.py): cross-engine float divergence is confined to a
+  1-ulp rounding boundary on a 1e-6 grid, and the per-document SUM is
+  integer-exact.
+- `dsir_topk`: deterministic selection — (weight DESC, doc_id ASC).
+  The paper's Gumbel-resampling variant adds an exp-noise key; a
+  deterministic pipeline wants the ranked form (and a seeded md5-uniform
+  could supply the noise if sampling is required).
+
+Smoothing α=1 (add-one over buckets) keeps every bucket's ratio finite
+and the expressions identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dp3_spark.operators.sampling import _bucket_exprs
+
+# words -> uni+bigram array, Spark SQL (lowercased, [a-z0-9]+ tokens —
+# the BPE/word_counts alphabet, collation-safe)
+_NGRAMS_SPARK = (
+    "filter(split(lower({text}), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+
+def _ngram_explode(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
+    """One row per (doc?, ngram): word unigrams + adjacent bigrams."""
+    ws = _NGRAMS_SPARK.format(text=text_col)
+    cols = [F.col(id_col).alias("id")] if id_col else []
+    return df.select(
+        *cols,
+        F.expr(
+            f"explode(concat({ws}, "
+            f"case when size({ws}) >= 2 then "
+            f"transform(sequence(1, size({ws}) - 1), "
+            f"i -> concat(element_at({ws}, i), ' ', element_at({ws}, i + 1))) "
+            "else array() end))"
+        ).alias("ngram"),
+    )
+
+
+def hashed_ngram_profile(
+    df: DataFrame, *, text_col: str = "text", buckets: int = 4096
+) -> DataFrame:
+    """(bucket, cnt): the corpus' hashed n-gram distribution.  One
+    map-combinable pass; at most `buckets` output rows."""
+    b_s, _ = _bucket_exprs("ngram", "dsir", buckets)
+    return (
+        _ngram_explode(df, text_col, None)
+        .select(F.expr(b_s).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _micro_ratio(
+    target: DataFrame, raw: DataFrame, *, buckets: int
+) -> DataFrame:
+    """(bucket, micro): int64 micro-units of the smoothed log importance
+    ratio.  Bucket-sized (tiny); both profile totals fold in as scalars
+    computed by one aggregation each."""
+    t_tot = target.agg(F.sum("cnt")).collect()[0][0] or 0
+    r_tot = raw.agg(F.sum("cnt")).collect()[0][0] or 0
+    t = target.select(F.col("bucket"), F.col("cnt").alias("t_cnt"))
+    r = raw.select(F.col("bucket"), F.col("cnt").alias("r_cnt"))
+    spark = target.sparkSession
+    allb = spark.range(buckets).select(F.col("id").cast("bigint").alias("bucket"))
+    joined = (
+        allb.join(t, "bucket", "left")
+        .join(r, "bucket", "left")
+        .fillna(0, ["t_cnt", "r_cnt"])
+    )
+    return joined.select(
+        "bucket",
+        F.expr(
+            f"cast(floor(1000000.0d * ("
+            f"ln((t_cnt + 1) / cast({t_tot} + {buckets} as double)) - "
+            f"ln((r_cnt + 1) / cast({r_tot} + {buckets} as double))"
+            f") + 0.5d) as bigint)"
+        ).alias("micro"),
+    )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """(doc_id, n_ngrams, weight_micro): per-document importance weight in
+    int64 micro-units.  `target` is the corpus whose distribution you
+    want more of; `docs` is the raw pool being scored (it supplies the
+    denominator profile).  Two profile passes + one scoring pass; the
+    bucket table broadcasts."""
+    t_prof = hashed_ngram_profile(target, text_col=text_col, buckets=buckets)
+    r_prof = hashed_ngram_profile(docs, text_col=text_col, buckets=buckets)
+    micro = F.broadcast(_micro_ratio(t_prof, r_prof, buckets=buckets))
+    b_s, _ = _bucket_exprs("ngram", "dsir", buckets)
+    grams = _ngram_explode(docs, text_col, id_col).select(
+        "id", F.expr(b_s).alias("bucket")
+    )
+    return (
+        grams.join(micro, "bucket")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum("micro").cast("bigint").alias("weight_micro"),
+        )
+    )
+
+
+def dsir_topk(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    length_normalize: bool = True,
+) -> DataFrame:
+    """The selection: top-k raw documents by importance weight
+    (deterministic: weight DESC, doc_id ASC).  length_normalize scores by
+    the PER-NGRAM average (micro-units again, integer div — long
+    documents accumulate more absolute log mass in both directions, so
+    the ratio-per-token is the comparable quantity)."""
+    w = dsir_log_weights(
+        docs, target, id_col=id_col, text_col=text_col, buckets=buckets
+    )
+    if length_normalize:
+        w = w.withColumn(
+            "score_micro",
+            F.expr("weight_micro * 1000 div n_ngrams").cast("bigint"),
+        )
+    else:
+        w = w.withColumn("score_micro", F.col("weight_micro"))
+    return (
+        w.orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "n_ngrams", "weight_micro", "score_micro")
+    )

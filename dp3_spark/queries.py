@@ -5258,6 +5258,81 @@ def sample_k_per_domain(spark, sf_dir):
     )
 
 
+_DSIR_B = 2048
+_DSIR_K = 100
+
+
+def _dsir_oracle() -> str:
+    """Full raw re-derivation of the DSIR selection in DuckDB: n-gram
+    explode, md5 buckets, both profiles with add-one smoothing, the
+    micro-quantized log ratio per bucket, per-doc int64 sums, truncated
+    per-ngram normalization, top-k.  Independent of the Spark path down
+    to the md5 hex parse (the shared constants are the ALGORITHM's
+    parameters, not an implementation encoding)."""
+    from dp3_spark.operators.sampling import _bucket_exprs
+
+    _, b_d = _bucket_exprs("ngram", "dsir", _DSIR_B)
+    return f"""
+    with toks as (
+      select doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') as ws
+      from documents),
+    grams as (
+      select doc_id, lang, unnest(ws) as ngram from toks
+      union all
+      select doc_id, lang,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i + 1])) as ngram
+      from toks),
+    bucketed as (select doc_id, lang, {b_d} as bucket from grams),
+    tprof as (select bucket, count(*) as cnt from bucketed
+              where lang = 'en' group by bucket),
+    rprof as (select bucket, count(*) as cnt from bucketed group by bucket),
+    totals as (select (select count(*) from bucketed where lang = 'en') as tt,
+                      (select count(*) from bucketed) as rt),
+    micro as (
+      select b.range as bucket,
+             cast(floor(1000000.0 * (
+               ln((coalesce(t.cnt, 0) + 1) / (tt + {_DSIR_B} * 1.0)) -
+               ln((coalesce(r.cnt, 0) + 1) / (rt + {_DSIR_B} * 1.0))
+             ) + 0.5) as bigint) as micro
+      from range({_DSIR_B}) b cross join totals
+      left join tprof t on t.bucket = b.range
+      left join rprof r on r.bucket = b.range),
+    scored as (
+      select bucketed.doc_id,
+             cast(count(*) as bigint) as n_ngrams,
+             cast(sum(micro.micro) as bigint) as weight_micro
+      from bucketed join micro on bucketed.bucket = micro.bucket
+      group by bucketed.doc_id)
+    select doc_id, n_ngrams, weight_micro,
+           cast(weight_micro * 1000 // n_ngrams as bigint) as score_micro
+    from scored
+    order by score_micro desc, doc_id asc
+    limit {_DSIR_K}"""
+
+
+@register("dsir_select", _dsir_oracle())
+def dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score
+    every document by the hashed-n-gram importance ratio toward the
+    English-language target slice and keep the top {k} — the
+    published-recipe selection stage of a pretraining pipeline
+    (operators/dsir.py: two map-combinable profile passes + one scoring
+    pass with a broadcast bucket table; weights are int64 micro-units so
+    the hash gate pins every score exactly)."""
+    from dp3_spark.operators import dsir as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.dsir_topk(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        k=_DSIR_K,
+        buckets=_DSIR_B,
+    )
+
+
 @register(
     "events_session_native",
     f"""

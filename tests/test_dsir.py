@@ -1,0 +1,48 @@
+"""DSIR importance resampling (operators/dsir.py): hashed-ngram profiles,
+micro-quantized log ratios, deterministic top-k selection."""
+
+from pyspark.sql import functions as F
+
+from dp3_spark.operators import dsir as D
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_profile_counts_uni_and_bigrams(spark):
+    docs = _docs(spark, [(1, "a b"), (2, "a")])
+    # ngrams: doc1 -> a, b, 'a b'; doc2 -> a  => 4 total
+    prof = D.hashed_ngram_profile(docs, buckets=64)
+    assert prof.agg(F.sum("cnt")).collect()[0][0] == 4
+
+
+def test_target_like_docs_outrank_disjoint(spark):
+    """Documents sharing the target's n-grams must score above documents
+    with none of them, and the selection is deterministic."""
+    target = _docs(spark, [(100, "solar panel array output"), (101, "solar panel kit")])
+    pool = _docs(
+        spark,
+        [
+            (1, "solar panel array"),          # strongly target-like
+            (2, "panel output report"),        # partially target-like
+            (3, "quarterly tax ledger notes"), # disjoint
+            (4, "zebra quail xylophone"),      # disjoint
+        ],
+    )
+    top = D.dsir_topk(pool, target, k=2, buckets=256)
+    picked = [r["doc_id"] for r in top.collect()]
+    assert picked[0] == 1 and set(picked) <= {1, 2}
+    again = [r["doc_id"] for r in D.dsir_topk(pool, target, k=2, buckets=256).collect()]
+    assert picked == again  # fully deterministic, no RNG anywhere
+
+
+def test_weights_are_integer_micro_units(spark):
+    target = _docs(spark, [(9, "alpha beta")])
+    pool = _docs(spark, [(1, "alpha beta"), (2, "gamma delta")])
+    w = D.dsir_log_weights(pool, target, buckets=128).collect()
+    by_id = {r["doc_id"]: r for r in w}
+    assert by_id[1]["weight_micro"] > by_id[2]["weight_micro"]
+    for r in w:
+        assert isinstance(r["weight_micro"], int)  # int64 micro-units
+        assert r["n_ngrams"] == 3  # 2 unigrams + 1 bigram

@@ -95,6 +95,10 @@ SF1_QUERIES = [
     "events_interval_overlap",
     # built-in session_window aggregation + exact k-per-group sample
     "events_session_native", "sample_k_per_domain",
+    # DSIR importance selection: profiles/scores are n-gram-linear in
+    # both engines; micro-quantized weights must stay integer-exact at
+    # 10x profile counts
+    "dsir_select",
     # native stream-stream join drain: sf1 is a DIRECTORY of part files,
     # so the file source really batches — the fixture-span watermark
     # determinism claim is live here
