@@ -5756,7 +5756,13 @@ _PRIORITY_ORDER = [
     # row 40 — the last local-only row with a natural oracle): overlapping
     # re-delivered files through deduped_stream == exact distinct
     "stream_ingest_dedup",
-    "events_props_json",
+    # (events_props_json rotates to 51+ after green r01-r06 — the JSON
+    # payload-access path stays oracle-pinned locally and the events
+    # family keeps session_native + interval_overlap in-window.  Its
+    # slot: dsir_select — DSIR importance resampling, the round-7
+    # published-recipe data-selection family, driver-gated immediately
+    # under the never-gated-rows-take-priority rule.)
+    "dsir_select",
     # text analysis (text_langid / text_fingerprint rotated to 51+ after
     # three green rounds; text_metrics rotates to 51+ after five green
     # rounds r01-r05 — the codegen text-metric family stays in-window via
