@@ -89,6 +89,8 @@ HEADLINE = [
     "decontam_check",         # benchmark decontamination (broadcast n-grams)
     "decontam_fuzzy",         # MinHash decontam (eval probes the sig index)
     "mix_domains",            # domain-mixture sampling (broadcast rates)
+    "dsir_select",            # DSIR importance selection (r7: hashed-ngram
+                              # profiles + broadcast micro-ratio table)
     "sim_cosine_topk",        # brute-force ANN baseline
     "sim_knn_classify",       # kNN label propagation (auto-labeling stage)
     "sim_dup_pairs_lsh",      # banded near-dup pairs (the at-scale ANN path)
