@@ -28,10 +28,16 @@ os.replace — one small-object conditional put on a real object store).
 Every read path filters `version <= committed`, so a reader racing a
 writer NEVER observes a partially-committed file set: in-flight files
 carry an unpublished version and are invisible until the flip, which
-exposes the whole batch at once.  A crash between the data landing and
-the flip leaves a complete-but-unacknowledged batch that the next
-successful write's flip exposes — the same semantics as the reference
-replaying a durable unacked WAL batch on restart (wal/walmgr.go).
+exposes the whole batch at once.  A writer that crashes mid-land (or
+between landing and the flip) leaves files with versions in
+`(committed, counter]`; the next write GCs them at start, under the
+writer lock, BEFORE allocating its own version (`_gc_uncommitted`) —
+so a later writer's flip can never expose an earlier writer's partial
+(or complete-but-unacknowledged) batch.  A write is durable iff its
+flip happened; anything else rolls back.  This is the all-or-nothing
+the reference gets from WAL replay (wal/walmgr.go) — with rollback
+instead of replay, since the inbound batch is re-submittable upstream
+(the ingest path dedups on (producer, topic, log_time, sequence)).
 
 A `compact()` pass physically drops tombstoned rows and rewrites — the
 reference's merge-time mask application.
@@ -192,6 +198,84 @@ class VersionedLogTable:
 
         return held()
 
+    def _gc_uncommitted(self) -> int:
+        """Roll back crashed writes: physically delete every data /
+        tombstone file whose version lies in `(committed, counter]` —
+        the leftovers of a writer that died mid-land or before its flip.
+        Called at the start of every write, under the already-held
+        writer lock, BEFORE the new version is allocated; without it a
+        writer that crashed after landing SOME of version N's files
+        would have those partials exposed by the NEXT writer's
+        `committed = N+1` flip (version N <= N+1 passes every reader's
+        watermark filter).
+
+        Cost discipline: the normal path is `counter == committed` —
+        one integer compare, zero IO.  Only when a crash left the
+        counter ahead does the repair listing+footer pass run (the same
+        diff-against-live repair idiom update_trigram_index uses).  Per
+        file one parquet-footer read resolves its version (each file is
+        written by exactly one append, so version is a per-file
+        constant); a file whose footer is unreadable is a torn write
+        from the crash itself — committed files landed through Spark's
+        task-commit rename, so a torn file can only belong to an
+        uncommitted version — and is deleted too.  On an object store
+        the file list would come from a per-version write manifest
+        instead of a listing.  The version counter stays at its
+        high-water mark (version numbers may skip; they only need to be
+        monotone).  Returns the number of files removed."""
+        committed = self.committed_version()
+        counter = self.current_version()
+        if counter <= committed:
+            return 0
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        removed = 0
+        for path in self._list_data_files() + self._list_tombstone_files():
+            drop = False
+            try:
+                md = pq.ParquetFile(path).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                v = None
+                if "version" in idx:
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx["version"]).statistics
+                        if st is None or st.max is None:
+                            v = None
+                            break
+                        v = st.max if v is None else max(v, st.max)
+                if v is None:  # stats missing: read the column itself
+                    col = pq.read_table(path, columns=["version"])["version"]
+                    v = max(col.to_pylist()) if len(col) else committed + 1
+                drop = v > committed
+            except Exception:
+                drop = True  # torn footer = mid-crash partial
+            if drop:
+                try:
+                    os.remove(path)
+                    removed += 1
+                except OSError:
+                    pass
+        # leftover task-attempt dirs from the crashed Spark job
+        for base in (self._resolve_data_path(), self.tombstones_path):
+            tmp = os.path.join(base, "_temporary")
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp, ignore_errors=True)
+        return removed
+
+    def _list_tombstone_files(self) -> list[str]:
+        out = []
+        if not os.path.isdir(self.tombstones_path):
+            return out
+        for dirpath, _, files in os.walk(self.tombstones_path):
+            out += [
+                os.path.join(dirpath, fn)
+                for fn in files
+                if fn.endswith(".parquet") and not fn.startswith(("_", "."))
+            ]
+        return out
+
     def _next_version(self) -> int:
         cur = self.current_version()
         # initialize the watermark BEFORE allocating: on a legacy table
@@ -231,6 +315,9 @@ class VersionedLogTable:
         min/max stats prune both producer probes and time ranges."""
         with self._writer_lock():
             self._check_layout()
+            # roll back any crashed predecessor FIRST: its partial files
+            # must be gone before our flip raises the watermark past them
+            self._gc_uncommitted()
             version = self._next_version()
             out = (
                 df.dropDuplicates(["producer", "topic", "log_time", "sequence"])
@@ -289,6 +376,7 @@ class VersionedLogTable:
         version at delete time, sqlrootmap.go:372-402) — data ingested
         AFTER a delete/truncate stays visible."""
         with self._writer_lock():
+            self._gc_uncommitted()  # see append(): crashed-writer rollback
             version = self._next_version()
             self.spark.createDataFrame(
                 [(producer, topic, start_ns, end_ns, version)], TOMBSTONE_SCHEMA
@@ -610,10 +698,10 @@ class VersionedLogTable:
         Interaction with the commit watermark: compact rewrites COMMITTED
         rows only (read() filters version <= committed), so a crashed
         writer's unacknowledged files — and any unpublished tombstone —
-        are physically dropped with the superseded generation instead of
-        being exposed by a later flip.  Compact is therefore also the GC
-        for torn writes, exactly like the reference dropping
-        unreferenced WAL/tree nodes at merge time.
+        are physically dropped with the superseded generation.  The
+        primary rollback path is `_gc_uncommitted` at the next write's
+        start; compact is the belt-and-braces second pass, like the
+        reference dropping unreferenced WAL/tree nodes at merge time.
 
         Write-new-then-swap-pointer: the resolved rows land in a fresh
         generation dir (`data_genN`), then `_meta/data_ptr` flips to it

@@ -379,3 +379,82 @@ def test_appends_write_zstd_parquet(spark, table, tmp_path):
         pq.ParquetFile(p).metadata.row_group(0).column(0).compression for p in f2
     } == {"SNAPPY"}
     assert snappy.read().count() == 1
+
+
+def test_crash_mid_append_rolled_back_by_next_writer(spark, table):
+    """The crash-durability hole closed in round 8: a writer that dies
+    MID-write (version allocated, only SOME of its files landed, no
+    flip) must not have its partial file set exposed by a LATER writer's
+    watermark flip.  The next write GCs versions in (committed, counter]
+    at start, under the writer lock (_gc_uncommitted)."""
+    table.append(mkbatch(spark, "/a", [10, 20, 30]))
+    committed = table.committed_version()
+
+    # crashed writer: allocates version N, lands PART of its batch (one
+    # of two topics), dies before the flip — flock auto-released
+    vN = table._next_version()
+    partial = (
+        mkbatch(spark, "/a", [100, 110], producer="dev2")
+        .withColumn("version", F.lit(vN))
+        .withColumn("producer_bucket", table._bucket_expr())
+    )
+    partial.write.mode("append").partitionBy("topic", "producer_bucket").parquet(
+        table._resolve_data_path()
+    )
+    assert table.current_version() == vN
+    assert table.committed_version() == committed
+
+    # a FRESH handle appends; its flip must expose ONLY its own batch
+    t2 = VersionedLogTable(spark, table.root)
+    v_next = t2.append(mkbatch(spark, "/a", [40, 50]))
+    assert v_next > vN
+    got = sorted(r["log_time"] for r in t2.read().collect())
+    assert got == [10, 20, 30, 40, 50]  # zero version-N rows
+
+    # the partial files are physically GONE, not merely filtered: even a
+    # raw unwatermarked scan sees no version-N rows
+    raw = spark.read.parquet(t2._resolve_data_path())
+    assert raw.filter(F.col("version") == vN).count() == 0
+
+
+def test_crash_torn_file_rolled_back(spark, table):
+    """A file torn mid-write (unreadable footer) can only belong to an
+    uncommitted version (committed files land via task-commit rename);
+    the next writer's GC deletes it so the table stays scannable."""
+    import os
+
+    table.append(mkbatch(spark, "/a", [10, 20]))
+    table._next_version()  # crashed writer allocated a version...
+    # ...and left a torn parquet in a live partition dir
+    part_dir = None
+    for dirpath, _, fns in os.walk(table._resolve_data_path()):
+        if any(f.endswith(".parquet") for f in fns):
+            part_dir = dirpath
+            break
+    torn = os.path.join(part_dir, "part-torn-crash.c000.zstd.parquet")
+    with open(torn, "wb") as f:
+        f.write(b"PAR1this-is-not-a-parquet-footer")
+
+    t2 = VersionedLogTable(spark, table.root)
+    t2.append(mkbatch(spark, "/a", [30]))
+    assert not os.path.exists(torn)
+    assert sorted(r["log_time"] for r in t2.read().collect()) == [10, 20, 30]
+
+
+def test_crash_mid_delete_tombstone_rolled_back(spark, table):
+    """Same rollback for the tombstone side: a delete_range that crashed
+    after landing its tombstone parquet but before the flip is GC'd by
+    the next write instead of being exposed by its flip."""
+    table.append(mkbatch(spark, "/a", [10, 20, 30]))
+
+    # crashed delete: version allocated, tombstone landed, no flip
+    vN = table._next_version()
+    spark.createDataFrame(
+        [("dev1", "/a", 0, 25, vN)],
+        "producer string, topic string, start_ns long, end_ns long, version long",
+    ).write.mode("append").parquet(table.tombstones_path)
+
+    t2 = VersionedLogTable(spark, table.root)
+    t2.append(mkbatch(spark, "/a", [40]))
+    # the unacked tombstone must NOT mask [10, 20] after the later flip
+    assert sorted(r["log_time"] for r in t2.read().collect()) == [10, 20, 30, 40]
