@@ -5654,7 +5654,13 @@ _PRIORITY_ORDER = [
     # stage tying the codec chain to the hamming-blocking machinery.)
     "mm_image_dedup",
     "mm_video_frames",
-    "mm_png_decode",
+    # (mm_png_decode rotates to 51+ after green r05-r07 — the codec
+    # family keeps video_frames + jpeg_progressive + gif + image_dedup
+    # in-window, and image_dedup decodes REAL PNGs through the same
+    # inflate path.  Its slot: mm_bmp_decode, cycling back per the r7
+    # verdict ask #8 — driver-green only in r03, the one never-regated
+    # codec row.)
+    "mm_bmp_decode",
     # progressive (SOF2) JPEG — the last reachable-format stub closed in
     # round 5 (r4 verdict ask #7); same closed-form coefficient oracle as
     # the baseline gate since the progressive encoder reuses the baseline
@@ -5686,7 +5692,13 @@ _PRIORITY_ORDER = [
     # hourly-summary path stays in-window via stat_range_hourly and the
     # associative-merge contract is now proven by TWO in-window rows:
     # stat_cms_weekly_rollup and the streaming stream_stats_rollup)
-    "stat_quantiles_hourly",
+    # (stat_quantiles_hourly rotates to 51+ after green r01-r07, the
+    # longest-green remaining row — the quantile contract stays in-window
+    # via stat_quantiles_served, whose oracle re-derives the same exact
+    # percentiles from raw rows.  Its slot starts the r8 relational
+    # re-gate plan: window_moving_avg — bounded 7-row frame + lag delta,
+    # the window-function surface not driver-gated since r02.)
+    "window_moving_avg",
     # (stat_sketch_daily rotates to 51+ after green r03-r04 — the
     # mergeable-sketch contract stays in-window via stat_cms_weekly_rollup
     # and stat_hll_daily; the DDSketch quantile column itself stays
@@ -5790,7 +5802,13 @@ _PRIORITY_ORDER = [
     # incremental in-window.  Its slot: dedup_substring_flags, the
     # suffix-array-style substring dedup, never driver-gated before r7.)
     "dedup_substring_flags",
-    "dedup_minhash_capped",
+    # (dedup_minhash_capped rotates to 51+ after green r05-r07 incl. its
+    # r7 A/B-validated −41% — the banded-minhash family keeps
+    # dedup_incremental + stream_corpus_dedup in-window, both of which
+    # probe the same persisted signature/banding index.  Its slot:
+    # rel_pivot_status — the pivot/cube relational surface, not
+    # driver-gated since r02.)
+    "rel_pivot_status",
     "dedup_incremental",
     # (dedup_simhash rotates to 51+ after green r01/r03/r04 — the simhash
     # family stays in-window via dedup_simhash_pairs, which consumes the
@@ -5812,7 +5830,13 @@ _PRIORITY_ORDER = [
     # a full-oracle recall gate; sim_cosine_topk rotates to 51+ after
     # FOUR green rounds — the exact brute operator remains in-window as
     # sim_ivf_recall's baseline side, which calls SIM.cosine_topk)
-    "sim_knn_classify",
+    # (sim_knn_classify rotates to 51+ after green r05-r07 — the
+    # brute-force cosine operator stays in-window as sim_ivf_recall's
+    # baseline side, which calls the same SIM.cosine_topk.  Its slot:
+    # tpch_q21_waiting_supplier — double correlated EXISTS/anti-join,
+    # the most load-bearing relational shape for the oracle harness,
+    # not driver-gated since r02.)
+    "tpch_q21_waiting_supplier",
     "sim_dup_pairs_lsh",
     "sim_ivf_recall",
     # (sim_pq_recall rotates to 51+ after green r05-r06 — the PQ family
