@@ -290,6 +290,7 @@ def bpe_train_driver(
     text_col: str = "text",
     n_merges: int = 12,
     min_freq: int = 1,
+    max_vocab_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """bpe_train at tokenizer-realistic merge counts: the corpus pass
     stays distributed (word_counts — the ONLY operation whose cost scales
@@ -309,15 +310,29 @@ def bpe_train_driver(
     bpe_train; raising it changes the learned merges exactly as it would
     in any BPE trainer, so it is an explicit knob, never a default.
 
-    Driver memory is the scale bound: the word-count table is
+    max_vocab_rows: hard cap on the collected table — the top-V words by
+    (freq desc, word asc), truncated DISTRIBUTEDLY before the collect
+    (TakeOrderedAndProject: per-partition top-V then a V-row merge, so
+    nothing vocabulary-sized ever sits in one task).  This makes the
+    driver-memory bound an explicit argument instead of a docstring
+    caveat: with the cap set, the collect is provably <= V rows at ANY
+    corpus size.  Like min_freq, a cap that actually cuts changes the
+    learned merges exactly as truncating the vocabulary would in any BPE
+    trainer (the dropped Zipf tail contributes almost no pair mass);
+    when the vocabulary fits under the cap the output is identical to
+    the uncapped run (pinned in tests).
+
+    Driver memory is otherwise the scale bound: the word-count table is
     vocabulary-sized (10-100 M rows for web corpora), not corpus-sized —
-    at the top of that range use min_freq (freq>=2 typically cuts the
-    distinct-word count ~half) or keep the Spark-side bpe_train whose
-    state never leaves the cluster."""
+    at the top of that range set max_vocab_rows / min_freq (freq>=2
+    typically cuts the distinct-word count ~half) or keep the Spark-side
+    bpe_train whose state never leaves the cluster."""
     spark = df.sparkSession
     wc = word_counts(df, text_col)
     if min_freq > 1:
         wc = wc.filter(F.col("freq") >= min_freq)
+    if max_vocab_rows is not None:
+        wc = wc.orderBy(F.col("freq").desc(), F.col("w")).limit(max_vocab_rows)
     word_freqs = {r["w"]: r["freq"] for r in wc.collect()}
     merges, states = _train_from_word_counts(word_freqs, n_merges)
     merges_df = spark.createDataFrame(

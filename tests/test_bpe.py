@@ -242,6 +242,37 @@ def test_bpe_train_driver_equals_spark_iteration(spark):
     }
 
 
+def test_bpe_train_driver_max_vocab_rows_bound(spark):
+    """max_vocab_rows makes the driver collect provably bounded: when the
+    vocabulary fits under the cap the output is IDENTICAL to the
+    uncapped run; when the cap cuts, only the top-V (freq desc, word)
+    rows are trained on."""
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "a cat and a bat ate the rat",
+        "bats and rats and cats",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n_vocab = B.word_counts(docs).count()
+    m_full, s_full = B.bpe_train_driver(docs, n_merges=10)
+    # cap >= vocab: equality with the uncapped trainer
+    m_cap, s_cap = B.bpe_train_driver(docs, n_merges=10, max_vocab_rows=n_vocab)
+    as_rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert as_rows(m_cap) == as_rows(m_full)
+    assert as_rows(s_cap.select("w", "freq", "state")) == as_rows(
+        s_full.select("w", "freq", "state")
+    )
+    # cap that cuts: exactly V words survive, and they are the top-V by
+    # (freq desc, w) — the deterministic truncation order
+    wc = {r["w"]: r["freq"] for r in B.word_counts(docs).collect()}
+    top5 = set(sorted(wc, key=lambda w: (-wc[w], w))[:5])
+    _, s5 = B.bpe_train_driver(docs, n_merges=10, max_vocab_rows=5)
+    assert {r["w"] for r in s5.collect()} == top5
+
+
 def test_encode_tokens_order_and_fallback(spark):
     """encode_tokens preserves word order in the token stream and falls
     back to chars+marker for out-of-vocab words; its n_tokens agrees
