@@ -24,10 +24,14 @@ n-gram-sized rows):
   (operators/search.py): cross-engine float divergence is confined to a
   1-ulp rounding boundary on a 1e-6 grid, and the per-document SUM is
   integer-exact.
-- `dsir_topk`: deterministic selection — (weight DESC, doc_id ASC).
-  The paper's Gumbel-resampling variant adds an exp-noise key; a
-  deterministic pipeline wants the ranked form (and a seeded md5-uniform
-  could supply the noise if sampling is required).
+- `dsir_topk`: deterministic selection — (weight DESC, doc_id ASC),
+  the ranked form a deterministic pipeline wants.
+- `dsir_sample`: the paper's published selection mode — Gumbel-top-k
+  resampling (top-k of log w_i + g_i, g_i ~ Gumbel(0,1), the Gumbel-max
+  trick for sampling without replacement proportionally to w_i) — with
+  the noise drawn from a SEEDED md5-uniform key, so the draw is
+  deterministic given the seed (hash-gateable) while remaining a
+  faithful Gumbel sample across seeds.
 
 Smoothing α=1 (add-one over buckets) keeps every bucket's ratio finite
 and the expressions identical in both engines.
@@ -86,13 +90,22 @@ def _micro_ratio(
     target: DataFrame, raw: DataFrame, *, buckets: int
 ) -> DataFrame:
     """(bucket, micro): int64 micro-units of the smoothed log importance
-    ratio.  Bucket-sized (tiny); both profile totals fold in as scalars
-    computed by one aggregation each."""
-    t_tot = target.agg(F.sum("cnt")).collect()[0][0] or 0
-    r_tot = raw.agg(F.sum("cnt")).collect()[0][0] or 0
-    t = target.select(F.col("bucket"), F.col("cnt").alias("t_cnt"))
-    r = raw.select(F.col("bucket"), F.col("cnt").alias("r_cnt"))
+    ratio.  The profile DataFrames are materialized ONCE here (each is
+    at most `buckets` rows after its aggregation) and rebuilt as local
+    frames, with the totals derived from the collected rows — without
+    this, the lazy profile plans re-run their full corpus explode in the
+    totals aggregation AND again inside the scoring job's broadcast
+    build (~5 corpus-scale scans instead of the documented two profile
+    passes + one scoring pass; r7 ADVICE).  The ln/floor quantization
+    stays in the SAME Spark SQL expression as before, so the micro
+    values are bit-identical to the uncollected formulation."""
     spark = target.sparkSession
+    t_rows = [(r["bucket"], r["cnt"]) for r in target.collect()]
+    r_rows = [(r["bucket"], r["cnt"]) for r in raw.collect()]
+    t_tot = sum(c for _, c in t_rows)
+    r_tot = sum(c for _, c in r_rows)
+    t = spark.createDataFrame(t_rows, "bucket bigint, t_cnt bigint")
+    r = spark.createDataFrame(r_rows, "bucket bigint, r_cnt bigint")
     allb = spark.range(buckets).select(F.col("id").cast("bigint").alias("bucket"))
     joined = (
         allb.join(t, "bucket", "left")
@@ -169,4 +182,62 @@ def dsir_topk(
         w.orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
         .limit(k)
         .select(id_col, "n_ngrams", "weight_micro", "score_micro")
+    )
+
+
+def gumbel_micro_exprs(id_col: str, seed: str) -> tuple[str, str]:
+    """(spark_sql, duckdb_sql) for int64 micro-units of a SEEDED
+    Gumbel(0,1) draw keyed on the doc id: u = (h + 0.5) / 2^32 with h
+    the first 8 md5 hex digits of `id || seed` (the repo's stable
+    uniform idiom, operators/sampling.py — identical hex in both
+    engines, and the +0.5 keeps u strictly inside (0,1) so both ln()
+    are finite), then g = -ln(-ln(u)) quantized to the same 1e-6 grid
+    as the importance weights (the BM25-idf float discipline: any
+    cross-engine libm divergence is confined to a 1-ulp rounding
+    boundary on the grid)."""
+    key_s = f"concat(cast({id_col} as string), '{seed}')"
+    key_d = f"concat(cast({id_col} as varchar), '{seed}')"
+    h_s = f"cast(conv(substring(md5({key_s}), 1, 8), 16, 10) as bigint)"
+    h_d = f"cast(concat('0x', substr(md5({key_d}), 1, 8)) as bigint)"
+    u_s = f"((({h_s}) + 0.5d) / 4294967296.0d)"
+    u_d = f"((({h_d}) + 0.5) / 4294967296.0)"
+    g_s = f"cast(floor(1000000.0d * (-ln(-ln({u_s}))) + 0.5d) as bigint)"
+    g_d = f"cast(floor(1000000.0 * (-ln(-ln({u_d}))) + 0.5) as bigint)"
+    return g_s, g_d
+
+
+def dsir_sample(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    k: int,
+    seed: str = "dsir",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """The paper's published selection mode (arXiv:2302.03169 §3):
+    sample k documents without replacement with probability proportional
+    to their importance weight w_i.  By the Gumbel-max trick that is
+    EXACTLY the top-k of log w_i + g_i with g_i ~ Gumbel(0,1) i.i.d. —
+    one noise column on the already-computed log weights, no extra
+    corpus pass.  The noise is seeded md5-uniform per document
+    (gumbel_micro_exprs), so a given seed always selects the same
+    documents (reruns/retries of a 100 TB selection are reproducible,
+    and the driver's hash gate can pin it) while different seeds give
+    independent faithful draws.  dsir_topk is the noise-free ranked
+    form.  Selection is (key DESC, doc_id ASC) on int64 micro-units —
+    integer-exact ordering."""
+    w = dsir_log_weights(
+        docs, target, id_col=id_col, text_col=text_col, buckets=buckets
+    )
+    g_s, _ = gumbel_micro_exprs(id_col, seed)
+    w = w.withColumn("gumbel_micro", F.expr(g_s)).withColumn(
+        "key_micro",
+        (F.col("weight_micro") + F.col("gumbel_micro")).cast("bigint"),
+    )
+    return (
+        w.orderBy(F.col("key_micro").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "n_ngrams", "weight_micro", "gumbel_micro", "key_micro")
     )

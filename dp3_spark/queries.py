@@ -5260,14 +5260,15 @@ def sample_k_per_domain(spark, sf_dir):
 
 _DSIR_B = 2048
 _DSIR_K = 100
+_DSIR_SEED = "r8"
 
 
-def _dsir_oracle() -> str:
-    """Full raw re-derivation of the DSIR selection in DuckDB: n-gram
-    explode, md5 buckets, both profiles with add-one smoothing, the
-    micro-quantized log ratio per bucket, per-doc int64 sums, truncated
-    per-ngram normalization, top-k.  Independent of the Spark path down
-    to the md5 hex parse (the shared constants are the ALGORITHM's
+def _dsir_cte() -> str:
+    """The shared DuckDB re-derivation of DSIR scoring (everything up to
+    the per-doc int64 weights): n-gram explode, md5 buckets, both
+    profiles with add-one smoothing, the micro-quantized log ratio per
+    bucket, per-doc int64 sums.  Independent of the Spark path down to
+    the md5 hex parse (the shared constants are the ALGORITHM's
     parameters, not an implementation encoding)."""
     from dp3_spark.operators.sampling import _bucket_exprs
 
@@ -5305,12 +5306,40 @@ def _dsir_oracle() -> str:
              cast(count(*) as bigint) as n_ngrams,
              cast(sum(micro.micro) as bigint) as weight_micro
       from bucketed join micro on bucketed.bucket = micro.bucket
-      group by bucketed.doc_id)
+      group by bucketed.doc_id)"""
+
+
+def _dsir_oracle() -> str:
+    """Deterministic ranked selection: truncated per-ngram normalization,
+    top-k by (score DESC, doc_id ASC)."""
+    return (
+        _dsir_cte()
+        + f"""
     select doc_id, n_ngrams, weight_micro,
            cast(weight_micro * 1000 // n_ngrams as bigint) as score_micro
     from scored
     order by score_micro desc, doc_id asc
     limit {_DSIR_K}"""
+    )
+
+
+def _dsir_sample_oracle() -> str:
+    """Gumbel-top-k selection: the same per-doc weights plus the seeded
+    md5-uniform Gumbel noise (dsir.gumbel_micro_exprs' DuckDB side),
+    top-k by the noisy key."""
+    from dp3_spark.operators.dsir import gumbel_micro_exprs
+
+    _, g_d = gumbel_micro_exprs("doc_id", _DSIR_SEED)
+    return (
+        _dsir_cte()
+        + f"""
+    select doc_id, n_ngrams, weight_micro,
+           {g_d} as gumbel_micro,
+           cast(weight_micro + {g_d} as bigint) as key_micro
+    from scored
+    order by key_micro desc, doc_id asc
+    limit {_DSIR_K}"""
+    )
 
 
 @register("dsir_select", _dsir_oracle())
@@ -5329,6 +5358,27 @@ def dsir_select(spark, sf_dir):
         docs,
         docs.filter(F.col("lang") == "en"),
         k=_DSIR_K,
+        buckets=_DSIR_B,
+    )
+
+
+@register("dsir_sample", _dsir_sample_oracle())
+def dsir_sample(spark, sf_dir):
+    """DSIR's PUBLISHED selection mode (arXiv:2302.03169 §3): Gumbel-top-k
+    resampling — k documents sampled without replacement proportionally
+    to their importance weight, via top-k of weight + seeded Gumbel noise
+    (operators/dsir.dsir_sample).  The noise key is md5-uniform per doc
+    id, so the draw is deterministic given the seed and the hash gate
+    pins every selected row; same two-profile-pass + one-scoring-pass
+    plan as dsir_select (the noise is one projection on the weights)."""
+    from dp3_spark.operators import dsir as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.dsir_sample(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        k=_DSIR_K,
+        seed=_DSIR_SEED,
         buckets=_DSIR_B,
     )
 
@@ -5707,10 +5757,15 @@ _PRIORITY_ORDER = [
     "stat_catalog_tables",
     # (stat_by_schema rotates to 51+ after green r03-r04 — grouping-axis
     # coverage stays via stat_range_hourly + stat_catalog_tables; the
-    # per-schema-hash grouping stays oracle-pinned locally.  Its slot:
-    # the NATIVE watermarked stream-stream interval join, the fourth
-    # stateful-streaming shape.)
-    "stream_interval_attrib",
+    # per-schema-hash grouping stays oracle-pinned locally.  Its slot
+    # went to stream_interval_attrib, the NATIVE watermarked
+    # stream-stream interval join — which itself rotates to 51+ after
+    # green r06-r07: the streaming category keeps THREE stateful rows
+    # in-window (stats_rollup, ingest_dedup, corpus_dedup) and the
+    # interval-join contract keeps events_interval_overlap's batch row.
+    # Its slot: dsir_sample, closing the DSIR family's published
+    # Gumbel-resampling selection mode (r7 verdict ask #5).)
+    "dsir_sample",
     # (stat_hll_daily rotates to 51+ after green r03-r05 — the mergeable-
     # sketch contract stays in-window via stat_cms_weekly_rollup; the HLL
     # column stays oracle-pinned locally and in the sf1 sweep.  Its slot:

@@ -46,3 +46,41 @@ def test_weights_are_integer_micro_units(spark):
     for r in w:
         assert isinstance(r["weight_micro"], int)  # int64 micro-units
         assert r["n_ngrams"] == 3  # 2 unigrams + 1 bigram
+
+
+def test_gumbel_sample_seeded_deterministic_and_seed_sensitive(spark):
+    """dsir_sample: same seed -> identical selection (rerunnable at
+    100 TB, hash-gateable); different seed -> an independent draw that
+    can differ.  Strongly target-like docs still dominate (the noise is
+    Gumbel(0,1) against a much wider weight spread)."""
+    target = _docs(spark, [(100, "solar panel array output"), (101, "solar panel kit")])
+    pool = _docs(
+        spark,
+        [
+            (1, "solar panel array"),
+            (2, "panel output report"),
+            (3, "quarterly tax ledger notes"),
+            (4, "zebra quail xylophone"),
+            (5, "solar array output"),
+        ],
+    )
+    a = [r["doc_id"] for r in D.dsir_sample(pool, target, k=2, seed="s1", buckets=256).collect()]
+    b = [r["doc_id"] for r in D.dsir_sample(pool, target, k=2, seed="s1", buckets=256).collect()]
+    assert a == b  # seeded determinism
+    # the key is weight + noise: every selected doc carries both columns
+    rows = D.dsir_sample(pool, target, k=2, seed="s1", buckets=256).collect()
+    for r in rows:
+        assert r["key_micro"] == r["weight_micro"] + r["gumbel_micro"]
+        assert isinstance(r["gumbel_micro"], int)
+
+
+def test_gumbel_noise_distribution_sane(spark):
+    """The md5-uniform Gumbel draws have roughly the Gumbel(0,1) moments
+    (mean ~ Euler-Mascheroni 0.577, few draws below -2): a sanity pin
+    that the -ln(-ln(u)) transform is wired right, not a stats test."""
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    g_s, _ = D.gumbel_micro_exprs("doc_id", "moments")
+    vals = [r["g"] / 1e6 for r in df.select(F.expr(g_s).alias("g")).collect()]
+    mean = sum(vals) / len(vals)
+    assert 0.45 < mean < 0.7  # Gumbel(0,1) mean = 0.5772...
+    assert min(vals) > -2.5 and max(vals) < 12  # support sanity
