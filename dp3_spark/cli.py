@@ -285,7 +285,7 @@ def cmd_delete(args) -> int:
     return 0
 
 
-def build_parser() -> argparse.ArgumentParser:
+def build_parser(plugins: bool = True) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dp3", description=__doc__.splitlines()[0])
     p.add_argument("--server", default="http://127.0.0.1:8089")
     p.add_argument("--database", default="default")
@@ -357,8 +357,6 @@ def build_parser() -> argparse.ArgumentParser:
     pli.add_argument("filepath")
     pli.set_defaults(fn=cmd_plugin_install)
 
-    load_plugins(sub)
-
     sv = sub.add_parser("serve", help="start the HTTP service (blocks)")
     sv.add_argument(
         "--data", action="append", required=True, metavar="NAME=PATH",
@@ -368,11 +366,40 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--port", type=int, default=8089)
     sv.add_argument("--key", default="", help="shared bearer token for authed routes")
     sv.set_defaults(fn=cmd_serve)
+
+    # Plugins load LAST so every built-in verb is already registered — a
+    # plugin that tries to re-register a built-in fails with argparse's
+    # conflict error instead of silently preempting it.
+    if plugins:
+        load_plugins(sub)
     return p
 
 
+_GLOBAL_VALUE_FLAGS = ("--server", "--database", "--token")
+
+
+def _invoked_verb(argv: list[str]) -> str | None:
+    """First positional token of argv — the subcommand about to run.
+
+    Only the three global value-taking flags can precede the verb; both
+    `--flag value` and `--flag=value` spellings are skipped.  Used to keep
+    the `plugin` verb loadable even when an installed plugin is broken
+    (import-time error or missing register_plugin): the CLI must always be
+    able to repair its own plugin directory, so plugin code never runs on
+    the path to `plugin install`/`plugin uninstall`."""
+    it = iter(argv)
+    for tok in it:
+        if tok.startswith("--"):
+            if "=" not in tok and tok in _GLOBAL_VALUE_FLAGS:
+                next(it, None)  # consume the flag's value
+            continue
+        return tok
+    return None
+
+
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    argv = sys.argv[1:] if argv is None else list(argv)
+    args = build_parser(plugins=_invoked_verb(argv) != "plugin").parse_args(argv)
     try:
         return args.fn(args)
     except urllib.error.HTTPError as e:

@@ -285,3 +285,36 @@ def test_cli_plugin_install_and_dispatch(tmp_path, capfd, monkeypatch):
 
     with _pytest.raises(SystemExit, match="register_plugin"):
         cli.main(["topics"])
+
+    # ... but the `plugin` verb itself never runs plugin code, so the CLI
+    # can always repair its own plugins directory: re-installing over the
+    # broken plugin works, and afterwards every verb loads again
+    fixed = tmp_path / "bad.py"
+    fixed.write_text(
+        "def register_plugin(sub):\n"
+        "    p = sub.add_parser('fixedverb')\n"
+        "    p.set_defaults(fn=lambda a: 0)\n"
+    )
+    assert cli.main(["plugin", "install", "broken", str(fixed)]) == 0
+    capfd.readouterr()
+    assert cli.main(["fixedverb"]) == 0
+    # global flags before the verb don't confuse the verb sniff
+    assert cli.main(["--database", "x", "plugin", "install", "broken", str(fixed)]) == 0
+
+
+def test_cli_plugin_cannot_preempt_builtin(tmp_path, monkeypatch):
+    """Plugins load after every built-in subparser, so a plugin that
+    registers `serve` collides with argparse's conflict check instead of
+    silently shadowing the built-in."""
+    monkeypatch.setenv("DP3_CONFIG_DIR", str(tmp_path / "conf"))
+    src = tmp_path / "shadow.py"
+    src.write_text(
+        "def register_plugin(sub):\n"
+        "    sub.add_parser('serve')\n"
+    )
+    assert cli.main(["plugin", "install", "shadow", str(src)]) == 0
+    import argparse as _argparse
+    import pytest as _pytest
+
+    with _pytest.raises(_argparse.ArgumentError, match="conflicting"):
+        cli.build_parser()
