@@ -39,6 +39,16 @@ PROBE_BROADCAST_MAX_ROWS = 50_000
 # below this index size the broadcast verify's full (id, shingles) collect
 # is already bounded — the endpoint slice's extra eager job isn't worth it
 ENDPOINT_SLICE_MIN_INDEX_ROWS = 32_768
+# verify transport budget: total signature rows a broadcast verify may
+# collect driver-side (~2.4 KB of shingles per doc → ~500 MB at the cap)
+VERIFY_BROADCAST_MAX_ROWS = 200_000
+# probe-regime endpoint slice: broadcast the candidate-endpoint id set
+# (8 B/long → ~16 MB at the cap) to semi-join the signature table down to
+# candidate endpoints BEFORE the verify transport, so verify cost is
+# O(candidates) however large the index.  Above the cap (a pathological
+# fan-out where the endpoint set is no longer a small fraction of the
+# index), fall back to the full-table shuffle verify.
+ENDPOINT_SLICE_MAX_BROADCAST_IDS = 2_000_000
 
 
 def minhash_coeffs(num: int) -> list[tuple[int, int]]:
@@ -463,7 +473,7 @@ def minhash_lsh_pairs(
     n_docs = sigs.count()
     if verify == "auto":
         # ~300 shingles/doc × 8 B ≈ 2.4 KB/doc: 200k docs ≈ 500 MB broadcast
-        verify = "broadcast" if n_docs <= 200_000 else "shuffle"
+        verify = "broadcast" if n_docs <= VERIFY_BROADCAST_MAX_ROWS else "shuffle"
     # one banded row per (doc, band) via a single explode — not a
     # bands-way union, which would re-read the cache `bands` times;
     # null-text docs have null signatures — dropped inside _banded_frame
@@ -638,10 +648,14 @@ def minhash_lsh_pairs_incremental(
     Scale shape: banding the index is a map-only pass over the signature
     table (no text re-shingling); the candidate join hash-partitions on
     (band, band_key) where only buckets containing a batch doc produce
-    candidates.  Verify transport follows minhash_lsh_pairs: 'auto' picks
-    broadcast while index+batch fit the broadcast budget and falls back
-    to _verify_shuffle (shingle arrays via two hash joins on id) beyond —
-    the at-scale path, since a 100 TB corpus index never broadcasts."""
+    candidates.  Verify transport ('auto'): while index+batch fit the
+    broadcast budget, plain broadcast verify; past it, a probe-sized
+    batch slices the signature table to candidate ENDPOINTS (broadcast
+    semi-join on the candidate-id set) and picks broadcast-vs-shuffle on
+    the endpoint count — verify cost is O(candidates) however large the
+    index (measured flat-ish at 100x index rows, probe_dedup_100x.py).
+    Forcing verify='shuffle' keeps the full-table two-hash-join
+    transport, the right shape for backfill-scale candidate sets."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must divide into equal bands")
     if verify not in ("auto", "broadcast", "shuffle"):
@@ -664,13 +678,21 @@ def minhash_lsh_pairs_incremental(
     ).unionByName(sigs_new.withColumn("is_new", F.lit(True)))
     n_new = sigs_new.count()
     n_idx = None
+    probe = n_new <= PROBE_BROADCAST_MAX_ROWS
     if verify == "auto":
         # same budget as minhash_lsh_pairs (~2.4 KB of shingles per doc);
         # counted per side — a parquet-backed index answers count() from
         # footer stats without materializing anything
         n_idx = index_sigs.count()
-        verify = "broadcast" if n_idx + n_new <= 200_000 else "shuffle"
-    if n_new <= PROBE_BROADCAST_MAX_ROWS:
+        if n_idx + n_new <= VERIFY_BROADCAST_MAX_ROWS:
+            verify = "broadcast"
+        elif not probe:
+            verify = "shuffle"
+        # else: stays "auto" — a probe batch against a big index picks
+        # the transport below on CANDIDATE volume, independent of index
+        # size (the corpus-refresh contract: index growth must not
+        # degrade the probe's verify plan)
+    if probe:
         cand = _probe_candidates(sigs_new, index_sigs, index_bands, bands, rows)
     else:
         # huge batch: fall back to the symmetric self-join (both sides
@@ -689,12 +711,40 @@ def minhash_lsh_pairs_incremental(
     # when dup pairs would re-fetch shingle arrays through the shuffle
     # transport; on broadcast, dedup the verified output instead
     if verify == "shuffle":
+        # forced full-table transport (backfill-scale candidate sets):
+        # the two hash joins move the whole signature table — the right
+        # shape when candidates are a large fraction of the corpus
         return _verify_shuffle(cand.distinct().repartition(2 * par), all_sigs, threshold)
-    if n_new <= PROBE_BROADCAST_MAX_ROWS and n_idx is None:
+    if verify == "auto":
+        # probe batch vs big index: materialize candidates ONCE (they
+        # feed the endpoint slice and the verify), slice the signature
+        # table to candidate endpoints (broadcast semi-join — map-only on
+        # the index side), then pick the transport on the ENDPOINT count:
+        # within the broadcast budget the driver collect is O(candidates);
+        # beyond it, the shuffle verify still only moves sliced rows.
+        # Measured at 100x index rows (tools/probe_dedup_100x.py): this
+        # path holds ~7 s where index-size-gated auto chose a 14 s full
+        # shuffle — the residue is the two map-only index column scans.
+        cand = cand.distinct().localCheckpoint(eager=True)
+        cand_ids = (
+            cand.select(F.col("id_a").alias("id"))
+            .unionByName(cand.select(F.col("id_b").alias("id")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        m = cand_ids.count()
+        if m <= ENDPOINT_SLICE_MAX_BROADCAST_IDS:
+            all_sigs = all_sigs.join(F.broadcast(cand_ids), "id", "left_semi")
+        if m > VERIFY_BROADCAST_MAX_ROWS:
+            return _verify_shuffle(cand.repartition(2 * par), all_sigs, threshold)
+        return _verify_broadcast(cand.repartition(2 * par), all_sigs, threshold).dropDuplicates(
+            ["id_a", "id_b"]
+        )
+    if probe and n_idx is None:
         # only pay the (footer-answered) count when the slice is even
         # possible — a huge batch skips it regardless of index size
         n_idx = index_sigs.count()
-    if n_new <= PROBE_BROADCAST_MAX_ROWS and n_idx > ENDPOINT_SLICE_MIN_INDEX_ROWS:
+    if probe and n_idx > ENDPOINT_SLICE_MIN_INDEX_ROWS:
         # probe refinement: the broadcast transport collects (id, shingles)
         # driver-side — restrict it to candidate ENDPOINTS, so the collect
         # is O(candidates), not O(index) (every candidate id exists in

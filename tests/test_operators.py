@@ -592,6 +592,57 @@ def test_minhash_incremental_matches_full_run(spark, tmp_path):
     )
     assert got == want and len(got) > 0
 
+    # the forced full-table shuffle transport must produce the identical
+    # pair set (the backfill shape: no endpoint slice)
+    inc_sh = DD.minhash_lsh_pairs_incremental(
+        new_docs, index_sigs, "doc_id", "text", verify="shuffle", **kw
+    )
+    got_sh = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in inc_sh.collect()
+    )
+    assert got_sh == want
+
+
+def test_minhash_incremental_big_index_auto_slices(spark, tmp_path, monkeypatch):
+    """Probe batch vs BIG index (simulated by shrinking the broadcast
+    budget): auto must resolve the verify transport on CANDIDATE volume,
+    endpoint-slicing the signature table (broadcast LeftSemi on the
+    candidate-id set) so verify cost is O(candidates) however large the
+    index — both the sliced-shuffle and sliced-broadcast arms must be
+    hash-identical to the plain run (probe_dedup_100x.py measures the
+    same paths at real 100x index rows)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kw = dict(n=3, num_hashes=64, bands=8, threshold=0.6)
+    index_docs = docs.filter(F.col("doc_id") % 4 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 4 == 0)
+    index_sigs = DD.minhash_signatures(
+        index_docs, "doc_id", "text", n=3, num_hashes=64
+    ).localCheckpoint(eager=True)
+
+    want = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in DD.minhash_lsh_pairs_incremental(
+            new_docs, index_sigs, "doc_id", "text", **kw
+        ).collect()
+    )
+    assert len(want) > 0
+
+    for budget in (0, 1000):  # 0 → sliced shuffle; 1000 → sliced broadcast
+        monkeypatch.setattr(DD, "VERIFY_BROADCAST_MAX_ROWS", budget)
+        inc = DD.minhash_lsh_pairs_incremental(
+            new_docs, index_sigs, "doc_id", "text", **kw
+        )
+        if budget == 0:
+            # sliced-shuffle arm: the endpoint slice is part of the
+            # returned plan (the broadcast arm's slice runs inside the
+            # driver-side collect job instead, invisible here)
+            plan = inc._jdf.queryExecution().executedPlan().toString()
+            assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+        got = sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in inc.collect()
+        )
+        assert got == want, budget
+
 
 def _wav_bytes(rate=44100, channels=2, bits=16, n_frames=1000):
     import struct

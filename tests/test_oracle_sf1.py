@@ -99,6 +99,10 @@ SF1_QUERIES = [
     # both engines; micro-quantized weights must stay integer-exact at
     # 10x profile counts
     "dsir_select",
+    # ... and the Gumbel-top-k sampling variant: the md5-uniform noise
+    # key is value-deterministic, so the drawn set must be identical in
+    # both engines at 10x candidate volume
+    "dsir_sample",
     # native stream-stream join drain: sf1 is a DIRECTORY of part files,
     # so the file source really batches — the fixture-span watermark
     # determinism claim is live here

@@ -55,12 +55,13 @@ def child(name, sf_dir, warmups):
         raise RuntimeError(f"{name} @ {sf_dir} failed")
     return json.loads(r.stdout.strip().splitlines()[-1])["sec"]
 
-gen_partial()
-out = {}
-for name in ["stat_range_served", "stat_quantiles_served", "search_bm25_indexed"]:
-    out[name] = {}
-    for label, d, w in [("sf0.1", SRC, 2), ("sf1", SF1, 1), ("sf10", SF10, 1)]:
-        out[name][label] = child(name, d, w)
-        print(f"{name} {label}: {out[name][label]:.3f}s", flush=True)
-json.dump(out, open("/tmp/sf10_results.json", "w"), indent=1)
-print(json.dumps(out))
+if __name__ == "__main__":
+    gen_partial()
+    out = {}
+    for name in ["stat_range_served", "stat_quantiles_served", "search_bm25_indexed"]:
+        out[name] = {}
+        for label, d, w in [("sf0.1", SRC, 2), ("sf1", SF1, 1), ("sf10", SF10, 1)]:
+            out[name][label] = child(name, d, w)
+            print(f"{name} {label}: {out[name][label]:.3f}s", flush=True)
+    json.dump(out, open("/tmp/sf10_results.json", "w"), indent=1)
+    print(json.dumps(out))
