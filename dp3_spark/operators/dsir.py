@@ -51,15 +51,20 @@ _NGRAMS_SPARK = (
 )
 
 
-def _ngram_explode(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
+def _ngram_explode(
+    df: DataFrame, text_col: str, id_col: str | None, extra: tuple[str, ...] = ()
+) -> DataFrame:
     """One row per (doc?, ngram): word unigrams + adjacent bigrams.
     The token array materializes ONCE per row before the transform — an
     inlined split() re-evaluates per element (the O(len^2) lesson from
-    lm._trigrams; inlining measured 30 s vs ~3 s at sf0.1 here)."""
+    lm._trigrams; inlining measured 30 s vs ~3 s at sf0.1 here).
+    `extra` columns pass through unchanged (the single-pass profile's
+    target flag)."""
     ws = _NGRAMS_SPARK.format(text=text_col)
     cols = [F.col(id_col).alias("id")] if id_col else []
+    cols += [F.col(c) for c in extra]
     staged = df.select(*cols, F.expr(ws).alias("__ws"))
-    keep = ["id"] if id_col else []
+    keep = (["id"] if id_col else []) + list(extra)
     return staged.select(
         *keep,
         F.expr(
@@ -99,9 +104,16 @@ def _micro_ratio(
     passes + one scoring pass; r7 ADVICE).  The ln/floor quantization
     stays in the SAME Spark SQL expression as before, so the micro
     values are bit-identical to the uncollected formulation."""
-    spark = target.sparkSession
     t_rows = [(r["bucket"], r["cnt"]) for r in target.collect()]
     r_rows = [(r["bucket"], r["cnt"]) for r in raw.collect()]
+    return _micro_ratio_from_rows(
+        target.sparkSession, t_rows, r_rows, buckets=buckets
+    )
+
+
+def _micro_ratio_from_rows(
+    spark, t_rows, r_rows, *, buckets: int
+) -> DataFrame:
     t_tot = sum(c for _, c in t_rows)
     r_tot = sum(c for _, c in r_rows)
     t = spark.createDataFrame(t_rows, "bucket bigint, t_cnt bigint")
@@ -125,8 +137,9 @@ def _micro_ratio(
 
 def dsir_log_weights(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     *,
+    target_pred=None,
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = 4096,
@@ -134,11 +147,45 @@ def dsir_log_weights(
     """(doc_id, n_ngrams, weight_micro): per-document importance weight in
     int64 micro-units.  `target` is the corpus whose distribution you
     want more of; `docs` is the raw pool being scored (it supplies the
-    denominator profile).  Two profile passes + one scoring pass; the
-    bucket table broadcasts."""
-    t_prof = hashed_ngram_profile(target, text_col=text_col, buckets=buckets)
-    r_prof = hashed_ngram_profile(docs, text_col=text_col, buckets=buckets)
-    micro = F.broadcast(_micro_ratio(t_prof, r_prof, buckets=buckets))
+    denominator profile).
+
+    When the target IS a slice of the raw pool — the common in-pipeline
+    shape (e.g. "more like the en-tagged docs") — pass `target_pred` (a
+    boolean Column over docs) instead of a separate frame: BOTH profiles
+    then come from ONE corpus n-gram pass via conditional aggregation
+    (t_cnt = count where pred, r_cnt = count), dropping the op from
+    three corpus-scale explodes to the paper's floor of two (profile +
+    score).  Counts, and therefore every micro weight, are identical to
+    the two-frame form with target = docs.filter(target_pred).
+
+    The bucket table broadcasts either way."""
+    if (target is None) == (target_pred is None):
+        raise ValueError("pass exactly one of target / target_pred")
+    if target_pred is not None:
+        b_s1, _ = _bucket_exprs("ngram", "dsir", buckets)
+        prof = (
+            _ngram_explode(
+                docs.withColumn("__is_t", target_pred.cast("boolean")),
+                text_col, None, extra=("__is_t",),
+            )
+            .select("__is_t", F.expr(b_s1).alias("bucket"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.when(F.col("__is_t"), F.lit(1))).alias("t_cnt"),
+                F.count("*").alias("r_cnt"),
+            )
+            .collect()
+        )
+        micro = F.broadcast(_micro_ratio_from_rows(
+            docs.sparkSession,
+            [(r["bucket"], r["t_cnt"]) for r in prof],
+            [(r["bucket"], r["r_cnt"]) for r in prof],
+            buckets=buckets,
+        ))
+    else:
+        t_prof = hashed_ngram_profile(target, text_col=text_col, buckets=buckets)
+        r_prof = hashed_ngram_profile(docs, text_col=text_col, buckets=buckets)
+        micro = F.broadcast(_micro_ratio(t_prof, r_prof, buckets=buckets))
     b_s, _ = _bucket_exprs("ngram", "dsir", buckets)
     grams = _ngram_explode(docs, text_col, id_col).select(
         "id", F.expr(b_s).alias("bucket")
@@ -155,8 +202,9 @@ def dsir_log_weights(
 
 def dsir_topk(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     *,
+    target_pred=None,
     k: int,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -169,7 +217,8 @@ def dsir_topk(
     documents accumulate more absolute log mass in both directions, so
     the ratio-per-token is the comparable quantity)."""
     w = dsir_log_weights(
-        docs, target, id_col=id_col, text_col=text_col, buckets=buckets
+        docs, target, target_pred=target_pred,
+        id_col=id_col, text_col=text_col, buckets=buckets,
     )
     if length_normalize:
         w = w.withColumn(
@@ -208,8 +257,9 @@ def gumbel_micro_exprs(id_col: str, seed: str) -> tuple[str, str]:
 
 def dsir_sample(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     *,
+    target_pred=None,
     k: int,
     seed: str = "dsir",
     id_col: str = "doc_id",
@@ -229,7 +279,8 @@ def dsir_sample(
     form.  Selection is (key DESC, doc_id ASC) on int64 micro-units —
     integer-exact ordering."""
     w = dsir_log_weights(
-        docs, target, id_col=id_col, text_col=text_col, buckets=buckets
+        docs, target, target_pred=target_pred,
+        id_col=id_col, text_col=text_col, buckets=buckets,
     )
     g_s, _ = gumbel_micro_exprs(id_col, seed)
     w = w.withColumn("gumbel_micro", F.expr(g_s)).withColumn(

@@ -5348,7 +5348,8 @@ def dsir_select(spark, sf_dir):
     every document by the hashed-n-gram importance ratio toward the
     English-language target slice and keep the top {k} — the
     published-recipe selection stage of a pretraining pipeline
-    (operators/dsir.py: two map-combinable profile passes + one scoring
+    (operators/dsir.py: the target is a SLICE of the pool, so both
+    profiles come from ONE conditional-agg corpus pass + one scoring
     pass with a broadcast bucket table; weights are int64 micro-units so
     the hash gate pins every score exactly)."""
     from dp3_spark.operators import dsir as D
@@ -5356,7 +5357,7 @@ def dsir_select(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return D.dsir_topk(
         docs,
-        docs.filter(F.col("lang") == "en"),
+        target_pred=F.col("lang") == "en",
         k=_DSIR_K,
         buckets=_DSIR_B,
     )
@@ -5369,14 +5370,14 @@ def dsir_sample(spark, sf_dir):
     to their importance weight, via top-k of weight + seeded Gumbel noise
     (operators/dsir.dsir_sample).  The noise key is md5-uniform per doc
     id, so the draw is deterministic given the seed and the hash gate
-    pins every selected row; same two-profile-pass + one-scoring-pass
+    pins every selected row; same single-profile-pass + one-scoring-pass
     plan as dsir_select (the noise is one projection on the weights)."""
     from dp3_spark.operators import dsir as D
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return D.dsir_sample(
         docs,
-        docs.filter(F.col("lang") == "en"),
+        target_pred=F.col("lang") == "en",
         k=_DSIR_K,
         seed=_DSIR_SEED,
         buckets=_DSIR_B,

@@ -84,3 +84,35 @@ def test_gumbel_noise_distribution_sane(spark):
     mean = sum(vals) / len(vals)
     assert 0.45 < mean < 0.7  # Gumbel(0,1) mean = 0.5772...
     assert min(vals) > -2.5 and max(vals) < 12  # support sanity
+
+
+def test_target_pred_single_pass_equals_two_frame_form(spark):
+    """The in-pipeline shape: target = a slice of the scored pool.  The
+    single-pass conditional-aggregation profile (target_pred) must give
+    IDENTICAL weights, ranked selection, and Gumbel draw to the two-frame
+    form with target = docs.filter(pred) — the optimization changes pass
+    count, never a count or a micro unit."""
+    import pytest
+
+    rows = [
+        (i, ("alpha beta gamma " * (i % 3 + 1)) if i % 2 else ("delta eps " * (i % 4 + 1)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pred = F.col("doc_id") % 2 == 1
+
+    def key(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    two = D.dsir_topk(docs, docs.filter(pred), k=10, buckets=128)
+    one = D.dsir_topk(docs, target_pred=pred, k=10, buckets=128)
+    assert key(one) == key(two)
+
+    two_s = D.dsir_sample(docs, docs.filter(pred), k=10, seed="s", buckets=128)
+    one_s = D.dsir_sample(docs, target_pred=pred, k=10, seed="s", buckets=128)
+    assert key(one_s) == key(two_s)
+
+    with pytest.raises(ValueError, match="exactly one"):
+        D.dsir_log_weights(docs)
+    with pytest.raises(ValueError, match="exactly one"):
+        D.dsir_log_weights(docs, docs.filter(pred), target_pred=pred)
