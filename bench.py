@@ -91,6 +91,8 @@ HEADLINE = [
     "mix_domains",            # domain-mixture sampling (broadcast rates)
     "dsir_select",            # DSIR importance selection (r7: hashed-ngram
                               # profiles + broadcast micro-ratio table)
+    "dsir_sample",            # DSIR Gumbel-top-k resampling (r8: the
+                              # paper's published selection mode)
     "sim_cosine_topk",        # brute-force ANN baseline
     "sim_knn_classify",       # kNN label propagation (auto-labeling stage)
     "sim_dup_pairs_lsh",      # banded near-dup pairs (the at-scale ANN path)
