@@ -1430,3 +1430,41 @@ def test_detect_gaps_and_counter_delta(spark):
     # (PromQL `increase` / counter_agg semantics)
     r = counter_delta(data, bucket_ns=1_000_000, value_expr="v").collect()[0]
     assert (r["increase"], r["n_resets"], r["n_intervals"]) == (120, 1, 3)
+
+
+def test_minhash_incremental_symmetric_fallback_matches(spark, monkeypatch):
+    """Backfill-scale batches (n_new past the probe cap) drop to the
+    symmetric band self-join; both its verify transports must equal the
+    probe-path answer.  The cap is monkeypatched to 0 so the fixture
+    exercises the real fallback code."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kw = dict(n=3, num_hashes=64, bands=8, threshold=0.6)
+    index_docs = docs.filter(F.col("doc_id") % 4 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 4 == 0)
+    index_sigs = DD.minhash_signatures(
+        index_docs, "doc_id", "text", n=3, num_hashes=64
+    ).localCheckpoint(eager=True)
+
+    def key(df):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in df.collect()
+        )
+
+    want = key(DD.minhash_lsh_pairs_incremental(
+        new_docs, index_sigs, "doc_id", "text", **kw
+    ))
+    assert len(want) > 0
+
+    monkeypatch.setattr(DD, "PROBE_BROADCAST_MAX_ROWS", 0)
+    for verify in ("broadcast", "shuffle"):
+        got = key(DD.minhash_lsh_pairs_incremental(
+            new_docs, index_sigs, "doc_id", "text", verify=verify, **kw
+        ))
+        assert got == want, verify
+    # auto past the broadcast budget on the fallback path resolves to
+    # the full-table shuffle (candidate-sliced auto is probe-only)
+    monkeypatch.setattr(DD, "VERIFY_BROADCAST_MAX_ROWS", 0)
+    got = key(DD.minhash_lsh_pairs_incremental(
+        new_docs, index_sigs, "doc_id", "text", **kw
+    ))
+    assert got == want
