@@ -223,6 +223,21 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_inspect(args) -> int:
+    """`dp3 inspect <table-root>` — offline state report for a
+    VersionedLogTable directory: watermark vs counter, per-version
+    file/row/byte distribution, pending (crashed-writer) versions, torn
+    files, tombstones, metadata objects.  The architecture-appropriate
+    analog of the reference's treeinspect/walinspect local debugging
+    verbs (cli/cmd/treeinspect.go, walinspect.go) — Spark-free, footer
+    reads only."""
+    from dp3_spark.inspect_tool import format_report, inspect_table
+
+    rep = inspect_table(args.root)
+    print(json.dumps(rep) if args.json else format_report(rep))
+    return 0
+
+
 def config_dir() -> str:
     """~/.dp3 (cli/cmd/root.go configDir), overridable via DP3_CONFIG_DIR
     so tests and multi-user hosts can relocate it."""
@@ -366,6 +381,13 @@ def build_parser(plugins: bool = True) -> argparse.ArgumentParser:
     sv.add_argument("--port", type=int, default=8089)
     sv.add_argument("--key", default="", help="shared bearer token for authed routes")
     sv.set_defaults(fn=cmd_serve)
+
+    ins = sub.add_parser(
+        "inspect", help="offline state report for a VersionedLogTable root"
+    )
+    ins.add_argument("root")
+    ins.add_argument("--json", action="store_true")
+    ins.set_defaults(fn=cmd_inspect)
 
     # Plugins load LAST so every built-in verb is already registered — a
     # plugin that tries to re-register a built-in fails with argparse's

@@ -458,3 +458,67 @@ def test_crash_mid_delete_tombstone_rolled_back(spark, table):
     t2.append(mkbatch(spark, "/a", [40]))
     # the unacked tombstone must NOT mask [10, 20] after the later flip
     assert sorted(r["log_time"] for r in t2.read().collect()) == [10, 20, 30, 40]
+
+
+def test_inspect_tool_reports_table_state(spark, table, capfd):
+    """`dp3 inspect` analog of treeinspect/walinspect: the offline
+    (Spark-free) report must show the watermark vs counter, per-version
+    distribution, the tombstone, and a crashed writer's pending version
+    + torn file — without touching or repairing anything."""
+    import json as _json
+    import os
+
+    from dp3_spark import cli
+    from dp3_spark.inspect_tool import format_report, inspect_table
+
+    table.append(mkbatch(spark, "/a", [10, 20, 30]))
+    table.append(mkbatch(spark, "/b", [40, 50]))
+    table.delete_range("dev1", "/a", 0, 15)
+
+    # crashed writer: allocated v4, landed one partial + one torn file,
+    # never flipped
+    v4 = table._next_version()
+    partial = (
+        mkbatch(spark, "/a", [100], producer="dev2")
+        .withColumn("version", F.lit(v4))
+        .withColumn("producer_bucket", table._bucket_expr())
+    )
+    partial.write.mode("append").partitionBy("topic", "producer_bucket").parquet(
+        table._resolve_data_path()
+    )
+    part_dir = next(
+        dirpath
+        for dirpath, _, fns in os.walk(table._resolve_data_path())
+        if any(f.endswith(".parquet") for f in fns)
+    )
+    with open(os.path.join(part_dir, "part-torn.c000.parquet"), "wb") as f:
+        f.write(b"PAR1not-a-footer")
+
+    rep = inspect_table(table.root)
+    assert rep["committed"] == 3 and rep["version_counter"] == 4
+    assert rep["published_versions"] == [1, 2]  # v3 is the tombstone
+    assert v4 in rep["pending_versions"]
+    assert rep["versions"]["1"]["rows"] == 3
+    assert rep["versions"]["2"]["rows"] == 2
+    assert len(rep["torn_files"]) == 1
+    assert rep["tombstones"] == [
+        {"producer": "dev1", "topic": "/a", "start_ns": 0, "end_ns": 15, "version": 3}
+    ]
+    assert "committed" in rep["meta_objects"] and "version" in rep["meta_objects"]
+
+    # inspection is read-only and stable: a second pass sees the same
+    # state (pending files untouched, nothing repaired)
+    assert rep == inspect_table(table.root)
+
+    # text + json renderings through the real CLI verb
+    assert cli.main(["inspect", table.root]) == 0
+    out = capfd.readouterr().out
+    assert "PENDING" in out and "torn" in out and "tombstones   1" in out
+    assert cli.main(["inspect", "--json", table.root]) == 0
+    assert _json.loads(capfd.readouterr().out)["committed"] == 3
+
+    # ... and the next writer still repairs exactly as before
+    t2 = VersionedLogTable(spark, table.root)
+    t2.append(mkbatch(spark, "/a", [60]))
+    rep2 = inspect_table(table.root)
+    assert rep2["pending_versions"] == [] and rep2["torn_files"] == []
