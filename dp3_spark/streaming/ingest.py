@@ -69,7 +69,7 @@ def deduped_stream(df: DataFrame, *, watermark_delay: str = "10 seconds") -> Dat
     )
 
 
-def bloom_options(cols, *, ndv: int = 1_000_000) -> dict[str, str]:
+def bloom_options(cols, *, ndv: int = 65_536, max_bytes: int = 131_072) -> dict[str, str]:
     """Parquet bloom-filter writer options for high-cardinality string
     columns — the storage-level analog of the reference's trigram
     signature pruning (server/executor/statfilter.go:112,
@@ -78,11 +78,24 @@ def bloom_options(cols, *, ndv: int = 1_000_000) -> dict[str, str]:
     the row group entirely (measured: an in-min/max-range miss reads 0
     rows instead of the full group; pinned in tests/test_plan_quality.py).
     Parquet min/max stats already subsume the trigram RANGE part; blooms
-    restore the membership part the reference gets from signatures."""
+    restore the membership part the reference gets from signatures.
+
+    Sizing: through Spark's partitioned writer the bloom is allocated at
+    the FULL expected-ndv size per column chunk regardless of actual NDV
+    (adaptive sizing never engages — measured: every file of a
+    partitionBy append carried a 1.05 MB bloom at the old 1M-ndv
+    default, including 1-row files, i.e. pure overhead dominating small
+    appends).  ndv=65k caps the filter at 128 KiB (~10 bits/value at 1%
+    fpp — more distinct values per row group than the bucketed layout
+    produces per (topic, producer_bucket) file), and max_bytes backstops
+    callers passing a larger ndv.  Underestimating NDV only raises the
+    false-positive rate (less pruning), never wrongness."""
     out: dict[str, str] = {}
     for c in cols:
         out[f"parquet.bloom.filter.enabled#{c}"] = "true"
         out[f"parquet.bloom.filter.expected.ndv#{c}"] = str(ndv)
+    if cols:
+        out["parquet.bloom.filter.max.bytes"] = str(max_bytes)
     return out
 
 

@@ -522,3 +522,23 @@ def test_inspect_tool_reports_table_state(spark, table, capfd):
     t2.append(mkbatch(spark, "/a", [60]))
     rep2 = inspect_table(table.root)
     assert rep2["pending_versions"] == [] and rep2["torn_files"] == []
+
+
+def test_append_files_not_dominated_by_bloom_overhead(spark, table):
+    """The producer bloom through Spark's partitioned writer allocates
+    the FULL expected-ndv size per column chunk (adaptive sizing never
+    engages), so the old 1M-ndv default put a 1.05 MB bloom in EVERY
+    appended file — including 1-row ones.  bloom_options now caps the
+    filter (65k ndv / 128 KiB backstop): a tiny append's files must not
+    carry megabyte-scale constant overhead."""
+    import os
+
+    table.append(mkbatch(spark, "/a", [10, 20, 30]))
+    table.append(mkbatch(spark, "/b", [40], producer="dev9"))
+    sizes = {
+        os.path.join(d, f): os.path.getsize(os.path.join(d, f))
+        for d, _, fs in os.walk(table._resolve_data_path())
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert sizes and max(sizes.values()) < 200_000, sizes
