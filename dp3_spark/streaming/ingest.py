@@ -82,14 +82,23 @@ def bloom_options(cols, *, ndv: int = 65_536, max_bytes: int = 131_072) -> dict[
 
     Sizing: through Spark's partitioned writer the bloom is allocated at
     the FULL expected-ndv size per column chunk regardless of actual NDV
-    (adaptive sizing never engages — measured: every file of a
-    partitionBy append carried a 1.05 MB bloom at the old 1M-ndv
+    (adaptive sizing never engages — measured: every PLAIN-encoded file
+    of a partitionBy append carried a 1.05 MB bloom at the old 1M-ndv
     default, including 1-row files, i.e. pure overhead dominating small
     appends).  ndv=65k caps the filter at 128 KiB (~10 bits/value at 1%
     fpp — more distinct values per row group than the bucketed layout
     produces per (topic, producer_bucket) file), and max_bytes backstops
     callers passing a larger ndv.  Underestimating NDV only raises the
-    false-positive rate (less pruning), never wrongness."""
+    false-positive rate (less pruning), never wrongness.
+
+    Interplay with dictionary encoding (verified on-disk): parquet-mr
+    DROPS the bloom for a chunk whose pages are all dictionary-encoded
+    — correct, since the dictionary page is already an exact membership
+    structure and the reader's dictionary filter skips the row group
+    without it.  So the membership-pruning story per chunk is:
+    dict-encoded (low NDV) -> dictionary filter, PLAIN fallback (high
+    NDV — exactly where a bloom earns its bytes) -> this bounded
+    bloom."""
     out: dict[str, str] = {}
     for c in cols:
         out[f"parquet.bloom.filter.enabled#{c}"] = "true"
