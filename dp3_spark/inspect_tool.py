@@ -9,12 +9,15 @@ pending (crashed-writer leftovers the next write will GC), how the
 files/rows/bytes distribute across versions and partitions, what the
 tombstones mask, and which metadata/sidecar objects are present.
 
-Deliberately Spark-free: one parquet-FOOTER read per data file (the
-same per-file-version resolution _gc_uncommitted uses — each file is
-written by exactly one append, so `version` is a per-file constant) and
-full reads only of the tiny tombstone files.  An inspector that needs a
-cluster session to answer "what state is this table in?" is useless in
-the situation that makes you reach for it.
+Deliberately Spark-free.  On a manifest-bearing table (every table
+written since per-version manifests landed) committed files resolve
+file -> version/rows straight from `_meta/manifest/<gen>/*.list` with
+ZERO parquet-footer reads — the manifest is the WAL-batch record
+(wal/walmgr.go) re-expressed; only crash leftovers (on-disk files no
+manifest records) pay one footer open each.  Legacy tables fall back
+to one footer open per data file.  An inspector that needs a cluster
+session to answer "what state is this table in?" is useless in the
+situation that makes you reach for it.
 """
 
 from __future__ import annotations
@@ -23,30 +26,43 @@ import os
 from typing import Any
 
 
-def _footer_version(path: str) -> int | None:
-    """The file's (constant) `version` from parquet row-group stats,
-    falling back to reading just that column; None = torn footer (can
-    only be a crashed writer's partial — committed files land via
-    task-commit rename)."""
+def _file_info(path: str) -> tuple[int | None, int, str]:
+    """(version, num_rows, status) from ONE ParquetFile open.
+
+    status: 'ok'         — version resolved (row-group stats, column
+                           read fallback)
+            'no-version' — footer readable but the file has no
+                           `version` column or zero rows (a foreign
+                           parquet dropped into the tree, NOT a torn
+                           write)
+            'torn'       — footer unreadable: a crashed writer's
+                           partial (committed files land via Spark's
+                           task-commit rename, so only an uncommitted
+                           write can tear)."""
     import pyarrow.parquet as pq
 
     try:
-        md = pq.ParquetFile(path).metadata
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
+        rows = md.num_rows
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if "version" not in idx or rows == 0:
+            return None, rows, "no-version"
         v = None
-        if "version" in idx:
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx["version"]).statistics
-                if st is None or st.max is None:
-                    v = None
-                    break
-                v = st.max if v is None else max(v, st.max)
-        if v is None:
-            col = pq.read_table(path, columns=["version"])["version"]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx["version"]).statistics
+            if st is None or st.max is None:
+                v = None
+                break
+            v = st.max if v is None else max(v, st.max)
+        if v is None:  # stats missing: read just that column, same handle
+            col = pf.read(columns=["version"])["version"]
             v = max(col.to_pylist()) if len(col) else None
-        return v
+        if v is None:
+            return None, rows, "no-version"
+        return int(v), rows, "ok"
     except Exception:
-        return None
+        return None, 0, "torn"
 
 
 def _walk_parquet(base: str) -> list[str]:
@@ -71,6 +87,30 @@ def _read_meta_int(meta: str, name: str) -> int | None:
     return int(txt) if txt else None
 
 
+def _read_manifests(meta: str, gen: str) -> dict[str, dict[str, int]] | None:
+    """{manifest_name -> {root-relative path -> rows}} for the current
+    generation; None = legacy table (footer resolution applies).  Same
+    format VersionedLogTable._manifests reads — kept dependency-free
+    here so the inspector never imports Spark-touching modules."""
+    mdir = os.path.join(meta, "manifest", gen)
+    if not os.path.isdir(mdir):
+        return None
+    out: dict[str, dict[str, int]] = {}
+    for name in sorted(os.listdir(mdir)):
+        if name.endswith(".tmp") or not name.endswith(".list"):
+            continue
+        entries: dict[str, int] = {}
+        with open(os.path.join(mdir, name)) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                rel, _, r = line.partition("\t")
+                entries[rel] = int(r or -1)
+        out[name] = entries
+    return out or None
+
+
 def inspect_table(root: str) -> dict[str, Any]:
     """Structured state report for a VersionedLogTable directory."""
     import pyarrow.parquet as pq
@@ -86,43 +126,80 @@ def inspect_table(root: str) -> dict[str, Any]:
             gen = f.read().strip() or "data"
     data_dir = os.path.join(root, gen)
 
+    manifests = _read_manifests(meta, gen)
+    # file -> (version | None for base, rows) from the manifest record
+    manifested: dict[str, tuple[int | None, int]] = {}
+    base = {"files": 0, "rows": 0, "bytes": 0, "watermarks": []}
+    if manifests:
+        for name, entries in manifests.items():
+            v: int | None = None
+            if name.startswith("v"):
+                v = int(name[1:].split(".")[0])
+            else:  # base_{W}.list: committed at <= W, versions unresolved
+                base["watermarks"].append(int(name.split("_")[1].split(".")[0]))
+            for rel, rows in entries.items():
+                manifested[rel] = (v, rows)
+
     versions: dict[int, dict[str, int]] = {}
     partitions: dict[str, dict[str, int]] = {}
     torn: list[str] = []
+    unversioned: list[str] = []
     for path in _walk_parquet(data_dir):
-        v = _footer_version(path)
+        rel = os.path.relpath(path, root)
         size = os.path.getsize(path)
-        try:
-            rows = pq.ParquetFile(path).metadata.num_rows
-        except Exception:
-            rows = 0
-        if v is None:
-            torn.append(os.path.relpath(path, root))
+        if manifests and rel in manifested:
+            v, rows = manifested[rel]
+            rows = max(rows, 0)
+            status = "ok" if v is not None else "base"
+        else:
+            # unmanifested = crash leftover (manifest tables) or any file
+            # (legacy tables): one footer open resolves version + rows
+            v, rows, status = _file_info(path)
+        if status == "torn":
+            torn.append(rel)
             continue
-        agg = versions.setdefault(int(v), {"files": 0, "rows": 0, "bytes": 0})
-        agg["files"] += 1
-        agg["rows"] += rows
-        agg["bytes"] += size
+        if status == "no-version":
+            unversioned.append(rel)
+            continue
+        if status == "base":
+            base["files"] += 1
+            base["rows"] += rows
+            base["bytes"] += size
+        else:
+            agg = versions.setdefault(int(v), {"files": 0, "rows": 0, "bytes": 0})
+            agg["files"] += 1
+            agg["rows"] += rows
+            agg["bytes"] += size
         part = os.path.relpath(os.path.dirname(path), data_dir)
         p = partitions.setdefault(part, {"files": 0, "rows": 0, "bytes": 0})
         p["files"] += 1
         p["rows"] += rows
         p["bytes"] += size
 
+    wm = committed if committed is not None else (counter or 0)
     tombstones: list[dict[str, Any]] = []
+    tomb_versions: set[int] = set()
     for path in _walk_parquet(os.path.join(root, "tombstones")):
         try:
             for row in pq.read_table(path).to_pylist():
+                v = row.get("version")
+                # published: readers apply this tombstone; pending: a
+                # crashed delete's unacked tombstone — readers do NOT
+                # apply it and the next write GCs it
+                row["published"] = v is not None and v <= wm
                 tombstones.append(row)
+                if v is not None:
+                    tomb_versions.add(int(v))
         except Exception:
             torn.append(os.path.relpath(path, root))
     tombstones.sort(key=lambda r: (r.get("version", 0), r.get("producer", "")))
 
     # pending = allocated above the watermark: complete-but-unacked or a
     # crashed writer's partials; either way the next write GCs them and
-    # no reader can see them (version <= committed filter)
-    known = sorted(versions)
-    wm = committed if committed is not None else (counter or 0)
+    # no reader can see them (version <= committed filter).  Tombstone
+    # versions count: a committed tombstone-only version is as published
+    # as a data version.
+    known = sorted(set(versions) | tomb_versions)
     pending = [v for v in known if v > wm]
     if counter is not None and committed is not None and counter > committed:
         pending = sorted(set(pending) | set(range(committed + 1, counter + 1)))
@@ -136,16 +213,18 @@ def inspect_table(root: str) -> dict[str, Any]:
         if os.path.isdir(os.path.join(root, n)) and n.startswith("data")
     )
 
-    return {
+    rep: dict[str, Any] = {
         "root": os.path.abspath(root),
         "committed": committed,
         "version_counter": counter,
         "generation": gen,
         "generations": generations,
-        "versions": {str(v): versions[v] for v in known},
+        "manifested": manifests is not None,
+        "versions": {str(v): versions[v] for v in sorted(versions)},
         "published_versions": [v for v in known if v <= wm],
         "pending_versions": pending,
         "torn_files": torn,
+        "unversioned_files": unversioned,
         "partitions": {
             "count": len(partitions),
             "files": sum(p["files"] for p in partitions.values()),
@@ -155,6 +234,14 @@ def inspect_table(root: str) -> dict[str, Any]:
         "tombstones": tombstones,
         "meta_objects": sidecars,
     }
+    if base["files"] or base["watermarks"]:
+        rep["base"] = {
+            "files": base["files"],
+            "rows": base["rows"],
+            "bytes": base["bytes"],
+            "committed_at": max(base["watermarks"], default=wm),
+        }
+    return rep
 
 
 def format_report(rep: dict[str, Any]) -> str:
@@ -172,11 +259,19 @@ def format_report(rep: dict[str, Any]) -> str:
         f"{rep['partitions']['rows']} rows, "
         f"{rep['partitions']['bytes']} bytes",
     ]
-    for v in rep["published_versions"]:
-        a = rep["versions"][str(v)]
+    if rep.get("base"):
+        b = rep["base"]
         lines.append(
-            f"  v{v:<6} {a['files']} files  {a['rows']} rows  {a['bytes']} bytes"
+            f"  base     {b['files']} files  {b['rows']} rows  "
+            f"{b['bytes']} bytes  [committed <= v{b['committed_at']}]"
         )
+    for v in rep["published_versions"]:
+        a = rep["versions"].get(str(v))
+        detail = (
+            f"{a['files']} files  {a['rows']} rows  {a['bytes']} bytes"
+            if a else "tombstone only"
+        )
+        lines.append(f"  v{v:<6} {detail}")
     for v in rep["pending_versions"]:
         a = rep["versions"].get(str(v))
         detail = (
@@ -186,12 +281,18 @@ def format_report(rep: dict[str, Any]) -> str:
         lines.append(f"  v{v:<6} {detail}  [PENDING: above watermark, next write GCs]")
     for path in rep["torn_files"]:
         lines.append(f"  torn     {path}  [unreadable footer: crashed-writer partial]")
+    for path in rep.get("unversioned_files", []):
+        lines.append(
+            f"  noversion {path}  [readable but no version column — foreign file]"
+        )
     if rep["tombstones"]:
         lines.append(f"tombstones   {len(rep['tombstones'])}")
         for t in rep["tombstones"]:
+            state = "published" if t.get("published") else "PENDING, not applied"
             lines.append(
                 f"  v{t.get('version')} {t.get('producer')}/{t.get('topic')} "
-                f"[{t.get('start_ns', t.get('start'))}, {t.get('end_ns', t.get('end'))})"
+                f"[{t.get('start_ns', t.get('start'))}, "
+                f"{t.get('end_ns', t.get('end'))})  [{state}]"
             )
     else:
         lines.append("tombstones   none")

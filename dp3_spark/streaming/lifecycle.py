@@ -39,6 +39,40 @@ the reference gets from WAL replay (wal/walmgr.go) — with rollback
 instead of replay, since the inbound batch is re-submittable upstream
 (the ingest path dedups on (producer, topic, log_time, sequence)).
 
+Per-version write manifests (round 9): every append/delete records the
+file set it landed — `_meta/manifest/<generation>/v{N}.list`, one
+"relpath\\trows" line per file, written tmp+fsync+replace BEFORE the
+watermark flip — the WAL-batch record the reference gets from
+wal/walmgr.go's replay log, re-expressed as a commit manifest.
+Rollback (`_gc_uncommitted`) and the offline inspector resolve
+file -> version from the manifests with ZERO parquet-footer reads: a
+live file absent from every committed manifest is uncommitted by
+construction (its writer died before recording it, or recorded it
+under a version above the watermark).  Manifests are per-generation so
+compact's pointer flip atomically switches the authoritative manifest
+set with the data: the new generation's `base_*.list` manifest is
+written before the flip, and the old generation's manifest dir is
+retired with the old data files.  Legacy tables (no manifests) fall
+back to the original footer-resolution path; the first write on one
+grandfathers the existing committed files into a `base_*.list`.
+
+Reader-vs-GC race (round 9): physical deletion is decoupled from
+logical rollback.  `_gc_uncommitted` QUARANTINE-renames uncommitted
+files out of the data tree (so no later reader lists them, and the
+next flip cannot expose them) and the quarantined bytes are unlinked
+only after `gc_grace_sec` by the deferred sweep (`_gc_sweep`, ledger
+`_meta/gc_pending.json`).  compact() likewise defers the superseded
+generation + pre-compact tombstone files for the same grace window
+instead of deleting them under a running reader.  Readers set
+`ignoreMissingFiles` on the scan: a file that vanishes between a
+reader's listing and its open can only be a quarantined uncommitted
+file — above the reader's watermark, so skipping it is exactly what
+the version filter would have done — or a superseded generation past
+the grace window (out of the read contract, like reading a Delta
+table across a VACUUM horizon).  Within the grace window the module
+invariant is strict: a reader never observes a partially-committed
+file set AND never fails on a listed-then-rolled-back file.
+
 A `compact()` pass physically drops tombstoned rows and rewrites — the
 reference's merge-time mask application.
 """
@@ -100,6 +134,14 @@ class VersionedLogTable:
     # Existing tables mix codecs per file harmlessly (parquet is
     # per-column-chunk codec'd; readers dispatch from metadata).
     compression: str = "zstd"
+    # Grace window (seconds) between LOGICAL removal of a file (quarantine
+    # out of the data tree / generation supersession) and its PHYSICAL
+    # unlink by the deferred sweep.  Sized to outlive any in-flight
+    # query's listing-to-open gap so a reader never fails on a file it
+    # already listed; 0 = delete immediately (tests; single-process use
+    # where no concurrent reader exists).  The Delta-VACUUM-retention
+    # analog, hours-scale in a real deployment.
+    gc_grace_sec: float = 900.0
 
     @property
     def data_path(self) -> str:
@@ -198,10 +240,201 @@ class VersionedLogTable:
 
         return held()
 
+    # ------------------------------------------------ manifests / GC
+    @property
+    def manifest_path(self) -> str:
+        """Manifest dir for the CURRENT generation.  Per-generation so
+        compact's data_ptr flip atomically switches the authoritative
+        manifest set together with the data it describes — a shared dir
+        would leave a window where the pointer and the manifests
+        disagree about which paths are committed."""
+        return os.path.join(
+            self.meta_path, "manifest", os.path.basename(self._resolve_data_path())
+        )
+
+    def _write_manifest(
+        self, name: str, files: list[str], rows: dict[str, int] | None = None
+    ) -> None:
+        """One "relpath\\trows" line per file; tmp + fsync + replace (the
+        same small-object durability discipline as the watermark).  rows
+        may be unknown (-1) for base manifests — GC never needs it, only
+        the inspector's report does."""
+        os.makedirs(self.manifest_path, exist_ok=True)
+        tmp = os.path.join(self.manifest_path, name + ".tmp")
+        with open(tmp, "w") as f:
+            for p in sorted(files):
+                rel = os.path.relpath(p, self.root)
+                f.write(f"{rel}\t{(rows or {}).get(p, -1)}\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.manifest_path, name))
+
+    def _manifests(self) -> dict[str, dict[str, int]] | None:
+        """{manifest_name -> {root-relative path -> rows}} for the current
+        generation, or None when the table predates manifests (legacy
+        footer-resolution path applies)."""
+        mp = self.manifest_path
+        if not os.path.isdir(mp):
+            return None
+        out: dict[str, dict[str, int]] = {}
+        for name in sorted(os.listdir(mp)):
+            if name.endswith(".tmp") or not name.endswith(".list"):
+                continue
+            entries: dict[str, int] = {}
+            with open(os.path.join(mp, name)) as f:
+                for line in f:
+                    line = line.rstrip("\n")
+                    if not line:
+                        continue
+                    rel, _, r = line.partition("\t")
+                    entries[rel] = int(r or -1)
+            out[name] = entries
+        return out or None
+
+    @staticmethod
+    def _manifest_version(name: str) -> int | None:
+        """v{N}.list -> N; base_{W}.list -> None (committed at <= W by
+        construction, per-file versions unresolved)."""
+        if name.startswith("v"):
+            return int(name[1:].split(".")[0])
+        return None
+
+    def _committed_paths(self, committed: int) -> set[str] | None:
+        """Union of root-relative paths in committed manifests, or None
+        on a legacy (manifest-less) table."""
+        mans = self._manifests()
+        if mans is None:
+            return None
+        out: set[str] = set()
+        for name, entries in mans.items():
+            v = self._manifest_version(name)
+            if v is None or v <= committed:
+                out.update(entries)
+        return out
+
+    def _ensure_manifest_baseline(self) -> None:
+        """First manifest-bearing write on a legacy table: grandfather
+        every existing file into a base manifest so the manifest-driven
+        GC never mistakes pre-manifest committed data for a crashed
+        write.  Called under the writer lock AFTER _gc_uncommitted, so
+        everything still on disk is committed by construction."""
+        if self._manifests() is not None:
+            return
+        existing = self._list_data_files() + self._list_tombstone_files()
+        if existing:
+            self._write_manifest(
+                f"base_{self.committed_version():012d}.list",
+                existing,
+                self._file_rows(existing),  # one-time footer pass at adoption
+            )
+
+    def _file_rows(self, paths: list[str]) -> dict[str, int]:
+        """num_rows per freshly-landed file — ONE footer read each, paid
+        once at write time so that GC and the inspector never pay it
+        again (the manifest carries the counts from then on)."""
+        import pyarrow.parquet as pq
+
+        out = {}
+        for p in paths:
+            try:
+                out[p] = pq.ParquetFile(p).metadata.num_rows
+            except Exception:
+                out[p] = -1
+        return out
+
+    @property
+    def _gc_ledger_path(self) -> str:
+        return os.path.join(self.meta_path, "gc_pending.json")
+
+    def _gc_defer(self, paths: list[str]) -> None:
+        """Schedule physical deletion of paths (files or whole dirs) at
+        now + gc_grace_sec.  Ledger updates happen under the writer
+        lock, so read-modify-write is safe."""
+        import json
+        import time
+
+        if self.gc_grace_sec <= 0:
+            import shutil
+
+            for p in paths:
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+            return
+        ledger = {}
+        if os.path.exists(self._gc_ledger_path):
+            with open(self._gc_ledger_path) as f:
+                ledger = json.load(f)
+        deadline = time.time() + self.gc_grace_sec
+        for p in paths:
+            ledger[os.path.relpath(p, self.root)] = deadline
+        tmp = self._gc_ledger_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ledger, f)
+        os.replace(tmp, self._gc_ledger_path)
+
+    def _gc_sweep(self) -> int:
+        """Physically remove ledger entries whose grace window has
+        passed.  Runs at every write/compact start under the writer
+        lock; cheap no-op when the ledger is empty or young."""
+        import json
+        import shutil
+        import time
+
+        if not os.path.exists(self._gc_ledger_path):
+            return 0
+        with open(self._gc_ledger_path) as f:
+            ledger = json.load(f)
+        now = time.time()
+        removed = 0
+        for rel, deadline in list(ledger.items()):
+            if deadline > now:
+                continue
+            p = os.path.join(self.root, rel)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            del ledger[rel]
+            removed += 1
+        if removed:
+            tmp = self._gc_ledger_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(ledger, f)
+            os.replace(tmp, self._gc_ledger_path)
+        return removed
+
+    def _quarantine(self, path: str) -> None:
+        """Logical removal NOW (rename out of the data tree — no later
+        reader lists it, and the next watermark flip cannot expose it),
+        physical unlink after the grace window.  A reader that already
+        listed the old path skips it via ignoreMissingFiles — correct,
+        because a quarantined file's rows are above every reader's
+        watermark (that is WHY it was quarantined)."""
+        rel = os.path.relpath(path, self.root)
+        dest = os.path.join(self.meta_path, "quarantine", rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        try:
+            os.replace(path, dest)
+        except OSError:
+            try:
+                os.remove(path)  # cross-device fallback: plain unlink
+            except OSError:
+                pass
+            return
+        self._gc_defer([dest])
+
     def _gc_uncommitted(self) -> int:
-        """Roll back crashed writes: physically delete every data /
-        tombstone file whose version lies in `(committed, counter]` —
-        the leftovers of a writer that died mid-land or before its flip.
+        """Roll back crashed writes: quarantine every data / tombstone
+        file whose version lies in `(committed, counter]` — the
+        leftovers of a writer that died mid-land or before its flip.
         Called at the start of every write, under the already-held
         writer lock, BEFORE the new version is allocated; without it a
         writer that crashed after landing SOME of version N's files
@@ -211,58 +444,77 @@ class VersionedLogTable:
 
         Cost discipline: the normal path is `counter == committed` —
         one integer compare, zero IO.  Only when a crash left the
-        counter ahead does the repair listing+footer pass run (the same
-        diff-against-live repair idiom update_trigram_index uses).  Per
-        file one parquet-footer read resolves its version (each file is
-        written by exactly one append, so version is a per-file
-        constant); a file whose footer is unreadable is a torn write
-        from the crash itself — committed files landed through Spark's
-        task-commit rename, so a torn file can only belong to an
-        uncommitted version — and is deleted too.  On an object store
-        the file list would come from a per-version write manifest
-        instead of a listing.  The version counter stays at its
-        high-water mark (version numbers may skip; they only need to be
-        monotone).  Returns the number of files removed."""
+        counter ahead does the repair pass run.  On a manifest-bearing
+        table the committed file set comes straight from the committed
+        manifests — ZERO footer reads, object-store-shaped: a live file
+        absent from every committed manifest is uncommitted by
+        construction (its writer died before recording it or recorded
+        it above the watermark).  Legacy tables resolve per-file
+        versions from parquet footers as before (each file is written
+        by exactly one append, so version is a per-file constant; an
+        unreadable footer is a torn write, which can only belong to an
+        uncommitted version since committed files land through Spark's
+        task-commit rename).  The version counter stays at its
+        high-water mark (version numbers may skip; they only need to
+        be monotone).  Returns the number of files quarantined."""
         committed = self.committed_version()
         counter = self.current_version()
         if counter <= committed:
             return 0
         import shutil
 
-        import pyarrow.parquet as pq
-
+        known = self._committed_paths(committed)
         removed = 0
         for path in self._list_data_files() + self._list_tombstone_files():
-            drop = False
-            try:
-                md = pq.ParquetFile(path).metadata
-                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-                v = None
-                if "version" in idx:
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(idx["version"]).statistics
-                        if st is None or st.max is None:
-                            v = None
-                            break
-                        v = st.max if v is None else max(v, st.max)
-                if v is None:  # stats missing: read the column itself
-                    col = pq.read_table(path, columns=["version"])["version"]
-                    v = max(col.to_pylist()) if len(col) else committed + 1
-                drop = v > committed
-            except Exception:
-                drop = True  # torn footer = mid-crash partial
+            if known is not None:
+                drop = os.path.relpath(path, self.root) not in known
+            else:
+                drop = self._footer_uncommitted(path, committed)
             if drop:
-                try:
-                    os.remove(path)
-                    removed += 1
-                except OSError:
-                    pass
+                self._quarantine(path)
+                removed += 1
+        # retire manifests recorded above the watermark (writer crashed
+        # between its manifest write and its flip)
+        mp = self.manifest_path
+        if os.path.isdir(mp):
+            for name in os.listdir(mp):
+                v = (
+                    self._manifest_version(name)
+                    if name.endswith(".list")
+                    else None
+                )
+                if v is not None and v > committed:
+                    os.remove(os.path.join(mp, name))
         # leftover task-attempt dirs from the crashed Spark job
         for base in (self._resolve_data_path(), self.tombstones_path):
             tmp = os.path.join(base, "_temporary")
             if os.path.isdir(tmp):
                 shutil.rmtree(tmp, ignore_errors=True)
         return removed
+
+    @staticmethod
+    def _footer_uncommitted(path: str, committed: int) -> bool:
+        """Legacy per-file resolution (pre-manifest tables): version from
+        row-group stats, column read fallback, torn footer = uncommitted."""
+        import pyarrow.parquet as pq
+
+        try:
+            md = pq.ParquetFile(path).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            v = None
+            if "version" in idx:
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx["version"]).statistics
+                    if st is None or st.max is None:
+                        v = None
+                        break
+                    v = st.max if v is None else max(v, st.max)
+            if v is None:  # stats missing: read the column itself
+                col = pq.read_table(path, columns=["version"])["version"]
+                v = max(col.to_pylist()) if len(col) else committed + 1
+            return v > committed
+        except Exception:
+            return True  # torn footer = mid-crash partial
 
     def _list_tombstone_files(self) -> list[str]:
         out = []
@@ -315,9 +567,13 @@ class VersionedLogTable:
         min/max stats prune both producer probes and time ranges."""
         with self._writer_lock():
             self._check_layout()
+            self._gc_sweep()  # physically drop entries past their grace
             # roll back any crashed predecessor FIRST: its partial files
-            # must be gone before our flip raises the watermark past them
+            # must be out of the data tree before our flip raises the
+            # watermark past them
             self._gc_uncommitted()
+            self._ensure_manifest_baseline()
+            before = set(self._list_data_files())
             version = self._next_version()
             out = (
                 df.dropDuplicates(["producer", "topic", "log_time", "sequence"])
@@ -337,6 +593,16 @@ class VersionedLogTable:
                 w = w.option(k, v)
             w.partitionBy("topic", "producer_bucket").parquet(
                 self._resolve_data_path()
+            )
+            # record the landed file set BEFORE the flip: rollback and
+            # inspect resolve file -> version from this manifest with no
+            # footer reads (the diff against `before` is exact — the
+            # writer lock excludes concurrent writers)
+            new_files = [
+                p for p in self._list_data_files() if p not in before
+            ]
+            self._write_manifest(
+                f"v{version:012d}.list", new_files, self._file_rows(new_files)
             )
             # files are fully landed: flip the watermark — only now does
             # this version become visible to any reader (atomic publish)
@@ -376,11 +642,20 @@ class VersionedLogTable:
         version at delete time, sqlrootmap.go:372-402) — data ingested
         AFTER a delete/truncate stays visible."""
         with self._writer_lock():
+            self._gc_sweep()
             self._gc_uncommitted()  # see append(): crashed-writer rollback
+            self._ensure_manifest_baseline()
+            before = set(self._list_tombstone_files())
             version = self._next_version()
             self.spark.createDataFrame(
                 [(producer, topic, start_ns, end_ns, version)], TOMBSTONE_SCHEMA
             ).write.mode("append").parquet(self.tombstones_path)
+            new_files = [
+                p for p in self._list_tombstone_files() if p not in before
+            ]
+            self._write_manifest(
+                f"v{version:012d}.list", new_files, self._file_rows(new_files)
+            )
             self._publish(version)
             return version
 
@@ -417,9 +692,18 @@ class VersionedLogTable:
         watermark: pass a pre-resolved committed version so a multi-part
         read (data + tombstones) sees ONE snapshot — resolving twice
         would let a concurrent publish land between the two reads and
-        apply a newer tombstone against older data."""
+        apply a newer tombstone against older data.
+
+        ignoreMissingFiles: a file that vanishes between this read's
+        listing and its open can only be one the GC quarantined — rows
+        above this read's watermark, so skipping it equals what the
+        version filter would have done — or a superseded generation
+        past the grace window (out of contract; see module header)."""
         try:
-            df = self.spark.read.parquet(self._resolve_data_path())
+            df = (
+                self.spark.read.option("ignoreMissingFiles", "true")
+                .parquet(self._resolve_data_path())
+            )
         except Exception:
             return None
         if committed_only:
@@ -431,7 +715,13 @@ class VersionedLogTable:
         self, committed_only: bool = True, watermark: int | None = None
     ) -> DataFrame | None:
         try:
-            df = self.spark.read.parquet(self.tombstones_path)
+            # ignoreMissingFiles: same contract as _data() — only a
+            # quarantined (above-watermark) tombstone file or a
+            # post-grace compact sweep can vanish mid-read
+            df = (
+                self.spark.read.option("ignoreMissingFiles", "true")
+                .parquet(self.tombstones_path)
+            )
         except Exception:
             return None
         if committed_only:
@@ -553,9 +843,11 @@ class VersionedLogTable:
         against the index's own file set, so it doubles as repair after a
         crashed append).  Called from append(); each call re-reads only
         the new files — one map-combinable aggregation over the batch
-        just written.  On an object store the new-file list would come
-        from the write's commit manifest instead of a listing.  Returns
-        the number of files indexed."""
+        just written.  The full-listing diff is kept (rather than the
+        append's manifest slice) because it is also the REPAIR path: a
+        crash between a publish and its index update leaves files the
+        next append's own manifest would never cover.  Returns the
+        number of files indexed."""
         if not self.trigram_cols:
             return 0
         from dp3_spark.operators.trigram import build_trigram_index, indexed_files
@@ -642,6 +934,7 @@ class VersionedLogTable:
             return self._strip(full.limit(0).filter(F.lit(False)))
         df = (
             self.spark.read.option("basePath", self._resolve_data_path())
+            .option("ignoreMissingFiles", "true")  # same contract as _data()
             .schema(full.schema)
             .parquet(*files)
             # the explicit file list bypasses _data(): re-apply the same
@@ -708,8 +1001,15 @@ class VersionedLogTable:
         atomically.  The live prefix is never renamed or deleted in place,
         so this works on object stores (S3 has no atomic rename of a
         prefix); readers holding the old pointer keep a consistent view.
-        The superseded generation is dropped best-effort afterwards (a
-        real deployment would GC it after a retention window).
+        The superseded generation (and the pre-compact tombstone files
+        it already absorbed — leaving them during the window is
+        harmless because tombstone application is idempotent: the rows
+        they mask are gone from the new generation) is deleted only
+        after `gc_grace_sec`, so a reader that resolved the old pointer
+        finishes its scan before the files vanish; only a straggler
+        running longer than the grace window can observe skipped files
+        (the documented out-of-contract case, like reading Delta across
+        a VACUUM horizon).
 
         Runs under the writer lock: a compact racing an append would
         otherwise snapshot before the append, then delete the appended
@@ -718,6 +1018,8 @@ class VersionedLogTable:
             return self._compact_locked()
 
     def _compact_locked(self) -> None:
+        self._gc_sweep()
+        self._gc_uncommitted()  # crashed leftovers out of the tree first
         resolved = self.read()
         old = self._resolve_data_path()
         gen = 0
@@ -745,15 +1047,30 @@ class VersionedLogTable:
         for k, v in self._bloom_opts().items():
             w = w.option(k, v)
         w.partitionBy("topic", "producer_bucket").parquet(new_path)
+        old_tombstones = self._list_tombstone_files()
         os.makedirs(self.meta_path, exist_ok=True)
         tmp = os.path.join(self.meta_path, "data_ptr.tmp")
         with open(tmp, "w") as f:
             f.write(new_name)
         os.replace(tmp, os.path.join(self.meta_path, "data_ptr"))
+        # New generation's manifest set: one base manifest covering its
+        # files plus the (idempotent, soon-swept) pre-compact tombstones.
+        # Written AFTER the flip so manifest_path resolves the new
+        # generation; a crash in between leaves the new generation
+        # manifest-less, which degrades gracefully to the legacy footer
+        # path until the next write grandfathers it.
+        new_gen_files = self._list_data_files() + old_tombstones
+        self._write_manifest(
+            f"base_{self.committed_version():012d}.list",
+            new_gen_files,
+            self._file_rows(new_gen_files),
+        )
         import shutil
 
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(self.tombstones_path, ignore_errors=True)
+        old_mandir = os.path.join(
+            self.meta_path, "manifest", os.path.basename(old)
+        )
+        self._gc_defer([old, old_mandir] + old_tombstones)
         # the sidecar keyed old-generation files; rebuild over the new one
         shutil.rmtree(self.trigram_index_path, ignore_errors=True)
         self.update_trigram_index()

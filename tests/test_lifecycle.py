@@ -14,8 +14,11 @@ from dp3_spark.streaming.lifecycle import VersionedLogTable
 
 @pytest.fixture()
 def table(spark):
+    # gc_grace_sec=0: immediate physical deletes — the single-process
+    # semantics every pre-grace test was written against; the grace
+    # window itself is exercised by the dedicated tests below
     d = tempfile.mkdtemp(prefix="dp3_table_")
-    yield VersionedLogTable(spark, d)
+    yield VersionedLogTable(spark, d, gc_grace_sec=0.0)
     shutil.rmtree(d, ignore_errors=True)
 
 
@@ -496,13 +499,18 @@ def test_inspect_tool_reports_table_state(spark, table, capfd):
 
     rep = inspect_table(table.root)
     assert rep["committed"] == 3 and rep["version_counter"] == 4
-    assert rep["published_versions"] == [1, 2]  # v3 is the tombstone
+    # v3 (the tombstone-only version) is folded into the version list:
+    # a committed tombstone is as published as a data version
+    assert rep["published_versions"] == [1, 2, 3]
     assert v4 in rep["pending_versions"]
     assert rep["versions"]["1"]["rows"] == 3
     assert rep["versions"]["2"]["rows"] == 2
     assert len(rep["torn_files"]) == 1
     assert rep["tombstones"] == [
-        {"producer": "dev1", "topic": "/a", "start_ns": 0, "end_ns": 15, "version": 3}
+        {
+            "producer": "dev1", "topic": "/a", "start_ns": 0, "end_ns": 15,
+            "version": 3, "published": True,
+        }
     ]
     assert "committed" in rep["meta_objects"] and "version" in rep["meta_objects"]
 
