@@ -255,6 +255,29 @@ def cmd_plugin_install(args) -> int:
     return 0
 
 
+class _GuardedSubparsers:
+    """Passed to register_plugin instead of the raw subparsers action:
+    rejects a verb name that already exists (built-in or earlier
+    plugin) EXPLICITLY.  argparse only started raising on conflicting
+    subparser names in Python 3.11; on older runtimes add_parser
+    silently REPLACES the existing parser, which would let a plugin
+    shadow a built-in — inverting the load-last guarantee."""
+
+    def __init__(self, sub, origin: str):
+        self._sub, self._origin = sub, origin
+
+    def add_parser(self, name: str, **kwargs):
+        if name in self._sub.choices:
+            raise SystemExit(
+                f"plugin {self._origin} tries to register verb {name!r}, "
+                "which already exists (built-in or earlier plugin)"
+            )
+        return self._sub.add_parser(name, **kwargs)
+
+    def __getattr__(self, attr):
+        return getattr(self._sub, attr)
+
+
 def load_plugins(sub) -> None:
     """Add installed plugins' subcommands to the parser — the reference
     loads Go .so plugins exporting a cobra command at startup
@@ -284,7 +307,7 @@ def load_plugins(sub) -> None:
                 raise SystemExit(
                     f"plugin {path} does not export register_plugin(subparsers)"
                 )
-            reg(sub)
+            reg(_GuardedSubparsers(sub, path))
 
 
 def cmd_delete(args) -> int:
@@ -301,7 +324,13 @@ def cmd_delete(args) -> int:
 
 
 def build_parser(plugins: bool = True) -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(prog="dp3", description=__doc__.splitlines()[0])
+    # allow_abbrev=False: prefix spellings like `--serv` would otherwise
+    # be accepted by argparse but invisible to _invoked_verb's literal
+    # flag match, letting an abbreviated global flag shift which token
+    # looks like the verb — and with it the plugin-load decision
+    p = argparse.ArgumentParser(
+        prog="dp3", description=__doc__.splitlines()[0], allow_abbrev=False
+    )
     p.add_argument("--server", default="http://127.0.0.1:8089")
     p.add_argument("--database", default="default")
     p.add_argument("--token", default="", help="bearer token for authed routes")
@@ -389,15 +418,22 @@ def build_parser(plugins: bool = True) -> argparse.ArgumentParser:
     ins.add_argument("--json", action="store_true")
     ins.set_defaults(fn=cmd_inspect)
 
-    # Plugins load LAST so every built-in verb is already registered — a
-    # plugin that tries to re-register a built-in fails with argparse's
-    # conflict error instead of silently preempting it.
+    # Plugins load LAST so every built-in verb is already registered —
+    # load_plugins wraps the subparsers in an explicit shadow guard (the
+    # pre-3.11 argparse silently REPLACES a conflicting subparser, so
+    # relying on its conflict error would invert the guarantee there).
     if plugins:
         load_plugins(sub)
     return p
 
 
 _GLOBAL_VALUE_FLAGS = ("--server", "--database", "--token")
+
+# _invoked_verb sentinel: an unknown pre-verb flag makes the verb
+# position ambiguous — treat like `plugin` (skip plugin loading) so a
+# broken installed plugin can never hijack what is already an invalid
+# command line; argparse then reports the flag error itself.
+_AMBIGUOUS_VERB = "?ambiguous"
 
 
 def _invoked_verb(argv: list[str]) -> str | None:
@@ -408,20 +444,34 @@ def _invoked_verb(argv: list[str]) -> str | None:
     the `plugin` verb loadable even when an installed plugin is broken
     (import-time error or missing register_plugin): the CLI must always be
     able to repair its own plugin directory, so plugin code never runs on
-    the path to `plugin install`/`plugin uninstall`."""
+    the path to `plugin install`/`plugin uninstall`.
+
+    Any OTHER pre-verb flag returns _AMBIGUOUS_VERB: with
+    allow_abbrev=False the command line is already invalid, and guessing
+    a verb out of it could route through plugin code on the repair
+    path.  `--help`/`-h` pass through so bare help still lists plugin
+    verbs."""
     it = iter(argv)
     for tok in it:
-        if tok.startswith("--"):
-            if "=" not in tok and tok in _GLOBAL_VALUE_FLAGS:
-                next(it, None)  # consume the flag's value
+        if tok in ("-h", "--help"):
             continue
+        if tok.startswith("-") and len(tok) > 1:
+            if "=" in tok:
+                continue  # --flag=value spelling, self-contained
+            if tok in _GLOBAL_VALUE_FLAGS:
+                next(it, None)  # consume the flag's value
+                continue
+            return _AMBIGUOUS_VERB
         return tok
     return None
 
 
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else list(argv)
-    args = build_parser(plugins=_invoked_verb(argv) != "plugin").parse_args(argv)
+    verb = _invoked_verb(argv)
+    args = build_parser(
+        plugins=verb not in ("plugin", _AMBIGUOUS_VERB)
+    ).parse_args(argv)
     try:
         return args.fn(args)
     except urllib.error.HTTPError as e:

@@ -303,9 +303,9 @@ def test_cli_plugin_install_and_dispatch(tmp_path, capfd, monkeypatch):
 
 
 def test_cli_plugin_cannot_preempt_builtin(tmp_path, monkeypatch):
-    """Plugins load after every built-in subparser, so a plugin that
-    registers `serve` collides with argparse's conflict check instead of
-    silently shadowing the built-in."""
+    """A plugin that registers `serve` is rejected by the CLI's OWN
+    shadow guard (not argparse's conflict check, which only exists on
+    Python >= 3.11 — older runtimes silently REPLACE the built-in)."""
     monkeypatch.setenv("DP3_CONFIG_DIR", str(tmp_path / "conf"))
     src = tmp_path / "shadow.py"
     src.write_text(
@@ -313,8 +313,32 @@ def test_cli_plugin_cannot_preempt_builtin(tmp_path, monkeypatch):
         "    sub.add_parser('serve')\n"
     )
     assert cli.main(["plugin", "install", "shadow", str(src)]) == 0
-    import argparse as _argparse
     import pytest as _pytest
 
-    with _pytest.raises(_argparse.ArgumentError, match="conflicting"):
+    with _pytest.raises(SystemExit, match="already exists"):
         cli.build_parser()
+
+
+def test_cli_unknown_preverb_flag_never_loads_plugins(tmp_path, monkeypatch):
+    """ADVICE r8: `dp3 --serv x plugin install ...` used to misdetect the
+    verb and run (possibly broken) plugin code on the repair path.  Now
+    an unknown pre-verb flag makes the verb ambiguous: plugins are
+    skipped and argparse reports the flag error (allow_abbrev=False, so
+    prefix spellings are flag errors, not silent matches)."""
+    monkeypatch.setenv("DP3_CONFIG_DIR", str(tmp_path / "conf"))
+    broken = tmp_path / "broken.py"
+    broken.write_text("raise RuntimeError('must never import')\n")
+    assert cli.main(["plugin", "install", "broken", str(broken)]) == 0
+
+    import pytest as _pytest
+
+    # abbreviated global flag before `plugin`: the broken plugin must
+    # not execute; argparse exits with its own usage error instead
+    with _pytest.raises(SystemExit) as exc:
+        cli.main(["--serv", "x", "plugin", "install", "broken", str(broken)])
+    assert exc.value.code == 2  # argparse usage error, not the plugin's
+
+    assert cli._invoked_verb(["--serv", "x", "plugin"]) == cli._AMBIGUOUS_VERB
+    assert cli._invoked_verb(["--server", "x", "query", "s;"]) == "query"
+    assert cli._invoked_verb(["--database=d", "tables"]) == "tables"
+    assert cli._invoked_verb(["--help"]) is None
