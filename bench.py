@@ -195,7 +195,17 @@ def main() -> None:
 
     import subprocess
 
+    def cpu_jiffies() -> list[int] | None:
+        try:
+            with open("/proc/stat") as f:
+                return [int(v) for v in f.readline().split()[1:9]]
+        except Exception:
+            return None
+
+    steals: dict[str, float] = {}
+
     def child(name: str, child_sf: str, warmups: int = 2) -> float:
+        j0 = cpu_jiffies()
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", name,
              child_sf, str(warmups)],
@@ -206,12 +216,40 @@ def main() -> None:
         if r.returncode != 0:
             print(r.stderr[-2000:], file=sys.stderr)
             raise RuntimeError(f"bench child failed for {name}")
+        j1 = cpu_jiffies()
+        if j0 and j1:
+            # hypervisor steal% across this child's lifetime: the r9
+            # investigation found slow runs coincide with elevated steal
+            # (host-level contention), while quiet-steal runs sit on the
+            # floor — this stamp separates the two mechanically
+            tot = sum(b - a for a, b in zip(j0, j1))
+            if tot > 0:
+                steals[name] = round((j1[7] - j0[7]) / tot * 100, 2)
         return json.loads(r.stdout.strip().splitlines()[-1])["sec"]
+
+    # Host-load stamping (r8 verdict ask #1): the r8 driver bench ran in a
+    # degraded-host window (+55% total) and attribution took a day of
+    # forensic A/Bs.  Recording the 1-min load alongside every timing makes
+    # that attribution mechanical: a future wrong-way number whose load
+    # stamp is high is host, whose stamp is quiet is code.
+    loads: dict[str, float] = {}
+    load_start = os.getloadavg()[0]
+    if load_start > 4.0:
+        print(
+            f"WARNING: 1-min load {load_start:.1f} at bench start — timings "
+            "will be host-inflated; re-run on a quiet host for a comparable "
+            "record",
+            file=sys.stderr,
+        )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        loads[name] = round(os.getloadavg()[0], 2)
         timings[name] = child(name, sf_dir)
-        print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
+        print(
+            f"  {name}: {timings[name]:.2f}s (load {loads[name]:.1f})",
+            file=sys.stderr,
+        )
 
     # ---- scaling section: same queries, 10x the rows (fresh sessions) ----
     scaling = None
@@ -256,6 +294,15 @@ def main() -> None:
         # runs 3-4 as BENCH_r03 (methodology unchanged since r3)
         "methodology": "unchanged since r03: fresh session per query, "
         "2 untimed warmups, min of 2 timed runs",
+        # 1-min load sampled immediately before each child launch — the
+        # per-query host-contention context for round-over-round deltas
+        "load_1min": {
+            "start": round(load_start, 2),
+            "end": round(os.getloadavg()[0], 2),
+            "per_query": loads,
+        },
+        # hypervisor steal% across each child's lifetime (see child())
+        "steal_pct": steals,
     }
     if scaling is not None:
         full["scaling"] = scaling
@@ -266,7 +313,16 @@ def main() -> None:
         json.dump(full, f, indent=1)
     print(f"full result (scaling + methodology): {full_path}", file=sys.stderr)
     print(json.dumps(full))  # preceding line: full detail for human runs
-    line = final_line(timings, float(sf))
+    line = final_line(
+        timings,
+        float(sf),
+        load={
+            "start": round(load_start, 2),
+            "max": round(max([load_start, *loads.values()]), 2),
+            "end": round(os.getloadavg()[0], 2),
+            "steal_max": round(max(steals.values(), default=0.0), 2),
+        },
+    )
     assert len(line) <= FINAL_LINE_MAX_BYTES, (
         f"final bench line {len(line)} B exceeds driver tail budget"
     )
@@ -281,24 +337,28 @@ def main() -> None:
 FINAL_LINE_MAX_BYTES = 1800
 
 
-def final_line(timings: dict[str, float], sf: float) -> str:
+def final_line(
+    timings: dict[str, float], sf: float, load: dict[str, float] | None = None
+) -> str:
     """Compact driver-facing summary: every headline at 2-decimal
     precision, plus the measured session-noise band (quiet-host A/Bs on
     the multi-second dedup headlines land within ~±30% of the driver's
-    in-batch numbers — PLANS.md round-5/6 attribution tables), so the
-    artifact itself carries the variance context for round-over-round
-    deltas."""
-    return json.dumps(
-        {
-            "metric": "headline steady-state sec",
-            "value": round(sum(timings.values()), 2),
-            "unit": "sec",
-            "queries": {n: round(t, 2) for n, t in timings.items()},
-            "sf": sf,
-            "noise_band_pct": 30,
-        },
-        separators=(",", ":"),
-    )
+    in-batch numbers — PLANS.md round-5/6 attribution tables) and the
+    1-min host-load stamps (r8 verdict ask #1: the r8 artifact inherited a
+    +55% degraded-host total that took forensic A/Bs to attribute; the
+    stamp makes that attribution mechanical), so the artifact itself
+    carries the variance context for round-over-round deltas."""
+    out = {
+        "metric": "headline steady-state sec",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "sf": sf,
+        "noise_band_pct": 30,
+    }
+    if load is not None:
+        out["load1m"] = load
+    return json.dumps(out, separators=(",", ":"))
 
 
 if __name__ == "__main__":

@@ -23,7 +23,9 @@ def test_final_line_fits_driver_tail_worst_case():
     # worst-case: every headline at a 4-digit-seconds timing — the guard
     # must not depend on queries staying fast
     timings = {n: 9999.999 for n in bench.HEADLINE}
-    line = bench.final_line(timings, 0.1)
+    line = bench.final_line(
+        timings, 0.1, load={"start": 99.99, "max": 99.99, "end": 99.99}
+    )
     assert len(line) <= bench.FINAL_LINE_MAX_BYTES, (
         f"{len(line)} B final line exceeds the {bench.FINAL_LINE_MAX_BYTES} B "
         "driver tail budget — trim the metric string or move fields to "
@@ -39,6 +41,16 @@ def test_final_line_is_complete_json_with_required_fields():
     assert set(out["queries"]) == set(bench.HEADLINE)
     assert out["value"] == round(sum(timings.values()), 2)
     assert out["noise_band_pct"] == 30
+
+
+def test_final_line_carries_load_stamp_when_given():
+    # r8 verdict ask #1: the artifact must carry the host-load context so
+    # a degraded-host bench is attributable without forensic A/Bs
+    timings = {n: 1.0 for n in bench.HEADLINE}
+    out = json.loads(
+        bench.final_line(timings, 0.1, load={"start": 0.1, "max": 7.2, "end": 1.0})
+    )
+    assert out["load1m"] == {"start": 0.1, "max": 7.2, "end": 1.0}
 
 
 def test_scaling_queries_are_headlines():
