@@ -5708,10 +5708,11 @@ _PRIORITY_ORDER = [
     # (mm_png_decode rotates to 51+ after green r05-r07 — the codec
     # family keeps video_frames + jpeg_progressive + gif + image_dedup
     # in-window, and image_dedup decodes REAL PNGs through the same
-    # inflate path.  Its slot: mm_bmp_decode, cycling back per the r7
-    # verdict ask #8 — driver-green only in r03, the one never-regated
-    # codec row.)
-    "mm_bmp_decode",
+    # inflate path.  mm_bmp_decode cycled back in r8 per the r7 verdict
+    # and retired after its second green (r03 + r08).  Its slot:
+    # tpch_q11_important_stock — the other derived-partsupp TPC-H shape,
+    # never driver-gated (r8 verdict ask #3).)
+    "tpch_q11_important_stock",
     # progressive (SOF2) JPEG — the last reachable-format stub closed in
     # round 5 (r4 verdict ask #7); same closed-form coefficient oracle as
     # the baseline gate since the progressive encoder reuses the baseline
@@ -5746,10 +5747,12 @@ _PRIORITY_ORDER = [
     # (stat_quantiles_hourly rotates to 51+ after green r01-r07, the
     # longest-green remaining row — the quantile contract stays in-window
     # via stat_quantiles_served, whose oracle re-derives the same exact
-    # percentiles from raw rows.  Its slot starts the r8 relational
-    # re-gate plan: window_moving_avg — bounded 7-row frame + lag delta,
-    # the window-function surface not driver-gated since r02.)
-    "window_moving_avg",
+    # percentiles from raw rows.  Its slot held window_moving_avg for the
+    # r8 relational re-gate; that row retired after its second green
+    # (r02 + r08).  Its slot: tpch_q2_min_cost_supp — the correlated
+    # min-subquery over the DERIVED partsupp construction, the most
+    # load-bearing never-driver-gated relational shape (r8 verdict ask #3).)
+    "tpch_q2_min_cost_supp",
     # (stat_sketch_daily rotates to 51+ after green r03-r04 — the
     # mergeable-sketch contract stays in-window via stat_cms_weekly_rollup
     # and stat_hll_daily; the DDSketch quantile column itself stays
@@ -5834,10 +5837,11 @@ _PRIORITY_ORDER = [
     # text analysis (text_langid / text_fingerprint rotated to 51+ after
     # three green rounds; text_metrics rotates to 51+ after five green
     # rounds r01-r05 — the codegen text-metric family stays in-window via
-    # text_gopher_flags.  Its slot: bpe_encode_counts, the trained
-    # tokenizer applied corpus-wide — the corpus-pass + broadcast-vocab
-    # join shape, complementing bpe_train_merges' iterative build.)
-    "bpe_encode_counts",
+    # text_gopher_flags.  bpe_encode_counts held this slot r06-r08 (3
+    # greens) and retires; its slot: bpe_encode_tokens — the per-token
+    # explode variant of the same trained-tokenizer application, never
+    # driver-gated (r8 verdict ask #3).)
+    "bpe_encode_tokens",
     # (text_gopher_flags rotates to 51+ after green r01-r06 — the
     # codegen text-metric family's slot goes to text_lm_score, the
     # KenLM-style perplexity scorer, never driver-gated before round 7.)
@@ -5861,10 +5865,12 @@ _PRIORITY_ORDER = [
     # (dedup_minhash_capped rotates to 51+ after green r05-r07 incl. its
     # r7 A/B-validated −41% — the banded-minhash family keeps
     # dedup_incremental + stream_corpus_dedup in-window, both of which
-    # probe the same persisted signature/banding index.  Its slot:
-    # rel_pivot_status — the pivot/cube relational surface, not
-    # driver-gated since r02.)
-    "rel_pivot_status",
+    # probe the same persisted signature/banding index.  rel_pivot_status
+    # held this slot in r8 and retired after its second green (r02 +
+    # r08).  Its slot: search_bm25_indexed — the persisted-inverted-index
+    # probe, the 100x-scaling headline never driver-gated (r8 verdict
+    # ask #3).)
+    "search_bm25_indexed",
     "dedup_incremental",
     # (dedup_simhash rotates to 51+ after green r01/r03/r04 — the simhash
     # family stays in-window via dedup_simhash_pairs, which consumes the
@@ -5888,11 +5894,12 @@ _PRIORITY_ORDER = [
     # sim_ivf_recall's baseline side, which calls SIM.cosine_topk)
     # (sim_knn_classify rotates to 51+ after green r05-r07 — the
     # brute-force cosine operator stays in-window as sim_ivf_recall's
-    # baseline side, which calls the same SIM.cosine_topk.  Its slot:
-    # tpch_q21_waiting_supplier — double correlated EXISTS/anti-join,
-    # the most load-bearing relational shape for the oracle harness,
-    # not driver-gated since r02.)
-    "tpch_q21_waiting_supplier",
+    # baseline side, which calls the same SIM.cosine_topk.
+    # tpch_q21_waiting_supplier held this slot in r8 and retired after
+    # its second green (r02 + r08).  Its slot: sim_lsh_topk — the
+    # LSH-bucketed top-k retrieval arm, never driver-gated (r8 verdict
+    # ask #3; the recall arm sim_lsh_recall stays oracle-pinned locally).)
+    "sim_lsh_topk",
     "sim_dup_pairs_lsh",
     "sim_ivf_recall",
     # (sim_pq_recall rotates to 51+ after green r05-r06 — the PQ family
