@@ -17,8 +17,14 @@ Two transports per scale:
   auto    — deployment behavior (broadcast verify under the 200k budget,
             shuffle verify beyond: sf10 crosses it)
   shuffle — the at-scale transport forced everywhere, so the 1x/10x/100x
-            column is apples-to-apples on the path a 100 TB index runs
-            (endpoint-sliced: verify shuffle moves O(candidates)).
+            column is apples-to-apples on the path a 100 TB index runs.
+            NOTE: only AUTO endpoint-slices the verify; forcing shuffle
+            keeps the plain full-table two-hash-join transport
+            (dedup.py verify='shuffle'), so this column GROWS with the
+            index — that is the backfill-scale regime, where the
+            pipelined sort-merge joins beat the slice's checkpoint
+            barriers (the eager slice was tried on this path and
+            reverted, see PLANS.md round 8).
 """
 import json
 import os
