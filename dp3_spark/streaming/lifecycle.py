@@ -819,6 +819,11 @@ class VersionedLogTable:
             raise FileNotFoundError(f"no data at {self.data_path}")
         stream = (
             self.spark.readStream.schema(df.schema)
+            # a file the source listed but GC quarantined before the
+            # micro-batch read can only be an uncommitted rollback —
+            # skip it rather than fail the stream (same contract as the
+            # batch readers)
+            .option("ignoreMissingFiles", "true")
             .parquet(self._resolve_data_path())
         )
         return self._strip(stream.filter(F.col("version") > from_version))
