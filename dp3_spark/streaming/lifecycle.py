@@ -51,10 +51,13 @@ construction (its writer died before recording it, or recorded it
 under a version above the watermark).  Manifests are per-generation so
 compact's pointer flip atomically switches the authoritative manifest
 set with the data: the new generation's `base_*.list` manifest is
-written before the flip, and the old generation's manifest dir is
-retired with the old data files.  Legacy tables (no manifests) fall
-back to the original footer-resolution path; the first write on one
-grandfathers the existing committed files into a `base_*.list`.
+written right after the flip (a crash in between leaves the new
+generation manifest-less, which degrades gracefully to the legacy
+footer path until the next write grandfathers it), and the old
+generation's manifest dir is retired with the old data files.  Legacy
+tables (no manifests) fall back to the original footer-resolution
+path; the first write on one grandfathers the existing committed
+files into a `base_*.list`.
 
 Reader-vs-GC race (round 9): physical deletion is decoupled from
 logical rollback.  `_gc_uncommitted` QUARANTINE-renames uncommitted
