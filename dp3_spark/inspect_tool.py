@@ -208,6 +208,23 @@ def inspect_table(root: str) -> dict[str, Any]:
         n for n in (os.listdir(meta) if os.path.isdir(meta) else [])
         if not n.endswith(".tmp")
     )
+    # grace-window GC state: entries logically removed but not yet
+    # physically swept (quarantined rollbacks, superseded generations)
+    gc_pending: dict[str, float] = {}
+    lp = os.path.join(meta, "gc_pending.json")
+    if os.path.exists(lp):
+        try:
+            import json as _json
+
+            with open(lp) as f:
+                gc_pending = _json.load(f)
+        except Exception:
+            pass
+    quarantined = sorted(
+        os.path.relpath(os.path.join(d, fn), os.path.join(meta, "quarantine"))
+        for d, _, fns in os.walk(os.path.join(meta, "quarantine"))
+        for fn in fns
+    )
     generations = sorted(
         n for n in os.listdir(root)
         if os.path.isdir(os.path.join(root, n)) and n.startswith("data")
@@ -233,6 +250,8 @@ def inspect_table(root: str) -> dict[str, Any]:
         },
         "tombstones": tombstones,
         "meta_objects": sidecars,
+        "gc_pending": gc_pending,
+        "quarantined_files": quarantined,
     }
     if base["files"] or base["watermarks"]:
         rep["base"] = {
@@ -296,5 +315,11 @@ def format_report(rep: dict[str, Any]) -> str:
             )
     else:
         lines.append("tombstones   none")
+    nq, npend = len(rep.get("quarantined_files", [])), len(rep.get("gc_pending", {}))
+    if nq or npend:
+        lines.append(
+            f"gc           {nq} quarantined file(s), {npend} sweep entr"
+            f"{'y' if npend == 1 else 'ies'} pending grace expiry"
+        )
     lines.append("meta         " + (", ".join(rep["meta_objects"]) or "none"))
     return "\n".join(lines)

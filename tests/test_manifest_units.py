@@ -78,6 +78,17 @@ def test_grace_zero_deletes_immediately(tmp_path):
     )
 
 
+def test_inspect_reports_gc_state(t):
+    from dp3_spark.inspect_tool import format_report, inspect_table
+
+    f = _touch(t.root, "data/part-x.parquet")
+    t._quarantine(f)
+    rep = inspect_table(t.root)
+    assert rep["quarantined_files"] == ["data/part-x.parquet"]
+    assert list(rep["gc_pending"]) == ["_meta/quarantine/data/part-x.parquet"]
+    assert "1 quarantined file(s), 1 sweep entry" in format_report(rep)
+
+
 def test_tmp_and_foreign_manifest_names_ignored(t):
     f1 = _touch(t.root, "data/part-1.parquet")
     t._write_manifest("v000000000001.list", [f1], {f1: 1})
