@@ -261,13 +261,24 @@ def main() -> None:
                 os.path.dirname(os.path.abspath(__file__)), "data", "scale_sf1"
             )
             scale_gen.generate(sf_dir, sf1_dir, copies=10)
+            # snapshot the HEADLINE steal stamps before the scaling
+            # children run: child() keys steals by query name, and a
+            # scaling rerun of the same query must not overwrite the
+            # stamp that attributes the headline number
+            headline_steals = dict(steals)
             sf1_timings: dict[str, float] = {}
             for name in SCALING:
                 sf1_timings[name] = child(name, sf1_dir, warmups=1)
                 print(f"  [sf1] {name}: {sf1_timings[name]:.2f}s", file=sys.stderr)
+            # after the loop, steals[name] holds the sf1 run's stamp;
+            # move those aside and restore the headline ones
+            sf1_steals = {n: steals[n] for n in SCALING if n in steals}
+            steals.clear()
+            steals.update(headline_steals)
             scaling = {
                 "sf0.1": {n: timings[n] for n in SCALING if n in timings},
                 "sf1": sf1_timings,
+                "sf1_steal_pct": sf1_steals,
                 "rows_ratio": 10,
                 "note": "sf1 = deterministic structure-preserving 10x weak "
                 "scaling of sf0.1 (dp3_spark/scale_gen.py); fresh session "
