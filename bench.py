@@ -156,6 +156,50 @@ def materialize(df) -> int:
     return 0
 
 
+def host_canary() -> dict[str, float]:
+    """Fixed pure-CPU host-speed probe (r9 verdict ask #2): the steal
+    stamps explain contention BURSTS, but a persistently slower host
+    (different CPU residency, thermal/power state, noisy neighbor below
+    the steal counter's resolution) showed up in r8/r9 only as
+    unexplained ~1.6-1.9x floors vs r7's recording day.  A deterministic
+    workload timed on every bench run turns that inference into a
+    measured ratio: compare `canary` across BENCH_r{N} artifacts and
+    divide query deltas by the canary delta before calling anything a
+    regression.
+
+    Two arms: single-thread numpy transcendental loop (elementwise sin/
+    cos release the GIL but do not use BLAS threads — measures one core's
+    speed), and the same work fanned across 32 threads (measures
+    whole-host throughput incl. steal/SMT effects — the shape Spark's 32
+    local cores feel).  Deterministic input (arange), min-of-3 /
+    min-of-2 like the query methodology.  Reference floor recorded in
+    PLANS.md the day this shipped; ~1.5 s total cost per call."""
+    import concurrent.futures
+
+    import numpy as np
+
+    x = np.arange(2_000_000, dtype=np.float64) * 1e-6
+
+    def burn(reps: int) -> float:
+        y = x
+        for _ in range(reps):
+            y = np.sin(y) + np.cos(x)
+        return float(y[0])  # data dependence: nothing optimizes away
+
+    single = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        burn(8)
+        single = min(single, time.perf_counter() - t0)
+    mt = float("inf")
+    with concurrent.futures.ThreadPoolExecutor(32) as ex:
+        for _ in range(2):
+            t0 = time.perf_counter()
+            list(ex.map(burn, [4] * 32))
+            mt = min(mt, time.perf_counter() - t0)
+    return {"single_sec": round(single, 3), "mt32_sec": round(mt, 3)}
+
+
 def run_one(name: str, sf_dir: str, warmups: int = 2) -> float:
     """Child-process body: fresh session, session-level warm (a trivial
     query boots codegen + Python workers), then `warmups` untimed runs of
@@ -234,6 +278,10 @@ def main() -> None:
     # stamp is high is host, whose stamp is quiet is code.
     loads: dict[str, float] = {}
     load_start = os.getloadavg()[0]
+    # host-speed canary BEFORE any query child: the absolute speed of
+    # this host today, in units comparable across rounds (see host_canary)
+    canary_start = host_canary()
+    print(f"  host canary (start): {canary_start}", file=sys.stderr)
     if load_start > 4.0:
         print(
             f"WARNING: 1-min load {load_start:.1f} at bench start — timings "
@@ -287,6 +335,9 @@ def main() -> None:
         except Exception as e:  # scaling must never sink the headline run
             print(f"scaling section skipped: {e}", file=sys.stderr)
 
+    canary_end = host_canary()
+    print(f"  host canary (end): {canary_end}", file=sys.stderr)
+
     # Full detail (3-decimal timings, methodology, scaling) goes to a file
     # and to a PRECEDING stdout line; the FINAL stdout line is kept compact
     # (see final_line) because the driver captures only a bounded stdout
@@ -314,6 +365,10 @@ def main() -> None:
         },
         # hypervisor steal% across each child's lifetime (see child())
         "steal_pct": steals,
+        # deterministic host-speed probe at bench start/end: divide
+        # round-over-round query deltas by the canary ratio before
+        # attributing them to code (see host_canary)
+        "canary": {"start": canary_start, "end": canary_end},
     }
     if scaling is not None:
         full["scaling"] = scaling
@@ -332,6 +387,10 @@ def main() -> None:
             "max": round(max([load_start, *loads.values()]), 2),
             "end": round(os.getloadavg()[0], 2),
             "steal_max": round(max(steals.values(), default=0.0), 2),
+            # worst (slowest) canary arm values across start/end: the
+            # host-speed denominator for round-over-round comparisons
+            "canary_1t": max(canary_start["single_sec"], canary_end["single_sec"]),
+            "canary_32t": max(canary_start["mt32_sec"], canary_end["mt32_sec"]),
         },
     )
     assert len(line) <= FINAL_LINE_MAX_BYTES, (

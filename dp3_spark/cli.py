@@ -455,6 +455,10 @@ def _invoked_verb(argv: list[str]) -> str | None:
     for tok in it:
         if tok in ("-h", "--help"):
             continue
+        if tok == "--":
+            # argparse's end-of-options separator: the next token IS the
+            # verb ("dp3 -- verb" is valid), not an unknown flag
+            return next(it, None)
         if tok.startswith("-") and len(tok) > 1:
             if "=" in tok:
                 continue  # --flag=value spelling, self-contained

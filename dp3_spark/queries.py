@@ -5684,8 +5684,15 @@ def mix_domains(spark, sf_dir):
 
 _PRIORITY_ORDER = [
     # query-language core: scan/filter/merge/limit/offset/asof (SURVEY §2.1-2.3)
-    "ql_scan_between",
+    # (ql_scan_between rotates to 51+ after NINE green rounds r01-r09 —
+    # the longest-green row in the window; the scan machinery stays
+    # in-window via ql_scan_desc_paged (scan+desc+paging) and
+    # ql_where_trigram_pruned, and the between-bounds arithmetic stays
+    # oracle-pinned locally + in the sf1 sweep.  Its slot:
+    # mm_jpeg_decode — the baseline-DCT closed-form coefficient oracle,
+    # never driver-gated (r9 verdict ask #4 names it first).)
     "ql_scan_desc_paged",
+    "mm_jpeg_decode",
     "ql_merge_playback",
     # (ql_skeleton rotates to 51+ after FOUR green rounds r01-r04 — the
     # scan/paging machinery it rides stays in-window via the three rows
@@ -5769,7 +5776,11 @@ _PRIORITY_ORDER = [
     # interval-join contract keeps events_interval_overlap's batch row.
     # Its slot: dsir_sample, closing the DSIR family's published
     # Gumbel-resampling selection mode (r7 verdict ask #5).)
-    "dsir_sample",
+    # (dsir_sample retires after its second green (r08 + r09) — DSIR
+    # stays in-window via dsir_select.  Its slot: sim_ivf_topk — the
+    # IVF top-k retrieval arm, never driver-gated; its recall sibling
+    # sim_ivf_recall stays in-window as the full-oracle gate.)
+    "sim_ivf_topk",
     # (stat_hll_daily rotates to 51+ after green r03-r05 — the mergeable-
     # sketch contract stays in-window via stat_cms_weekly_rollup; the HLL
     # column stays oracle-pinned locally and in the sf1 sweep.  Its slot:
@@ -5851,7 +5862,13 @@ _PRIORITY_ORDER = [
     # phrase probe and the BM25+cosine reciprocal-rank fusion.)
     "search_phrase",
     "search_hybrid_rrf",
-    "dedup_paragraphs",
+    # (dedup_paragraphs rotates to 51+ after SEVEN green rounds r03-r09 —
+    # the paragraph/exact dedup path stays in-window inside
+    # curate_corpus's composition and via dedup_substring_flags; the
+    # standalone row stays oracle-pinned locally + sf1.  Its slot:
+    # text_vocab_topk — the whitespace+regex token vocabulary head,
+    # never driver-gated (r9 verdict ask #4).)
+    "text_vocab_topk",
     # dedup family (dedup_ngram_jaccard — the quadratic oracle-baseline —
     # rotates to 51+ after three green rounds; dedup_exact rotates to 51+
     # after FOUR green rounds r01-r04 — the exact-dedup path stays
@@ -5882,7 +5899,14 @@ _PRIORITY_ORDER = [
     # never driver-gated before round 7.)
     "dedup_keep_best",
     "dedup_simhash_pairs",
-    "dedup_clusters",
+    # (dedup_clusters rotates to 51+ after SEVEN green rounds r03-r09 —
+    # the connected-components machinery stays in-window via
+    # dedup_keep_best, which derives the same capped-candidate clusters
+    # before its per-cluster argmax; the standalone row stays
+    # oracle-pinned locally + sf1.  Its slot: rel_argmax_customer — the
+    # greatest-n-per-group relational shape, never driver-gated
+    # (r9 verdict ask #4).)
+    "rel_argmax_customer",
     # streaming corpus-refresh dedup (r4 verdict ask #5): rotated IN so
     # all three streaming proofs — sessionize, stats maintenance, corpus
     # dedup — are driver-visible in the same round
@@ -5900,7 +5924,13 @@ _PRIORITY_ORDER = [
     # LSH-bucketed top-k retrieval arm, never driver-gated (r8 verdict
     # ask #3; the recall arm sim_lsh_recall stays oracle-pinned locally).)
     "sim_lsh_topk",
-    "sim_dup_pairs_lsh",
+    # (sim_dup_pairs_lsh rotates to 51+ after SEVEN green rounds r03-r09
+    # — the LSH-bucketed machinery keeps TWO in-window rows
+    # (sim_lsh_topk, and sem_dedup's clustered path) plus the incoming
+    # recall arm below; the pair-mining row stays oracle-pinned locally
+    # + sf1.  Its slot: sim_lsh_recall — the LSH recall-vs-brute gate,
+    # never driver-gated (r9 verdict ask #4 names both ANN recall arms).)
+    "sim_lsh_recall",
     "sim_ivf_recall",
     # (sim_pq_recall rotates to 51+ after green r05-r06 — the PQ family
     # cycles in sim_pq_topk, its full-oracle top-k row, never

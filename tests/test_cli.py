@@ -342,3 +342,9 @@ def test_cli_unknown_preverb_flag_never_loads_plugins(tmp_path, monkeypatch):
     assert cli._invoked_verb(["--server", "x", "query", "s;"]) == "query"
     assert cli._invoked_verb(["--database=d", "tables"]) == "tables"
     assert cli._invoked_verb(["--help"]) is None
+    # ADVICE r9: '--' is argparse's end-of-options separator, not an
+    # unknown flag — the next token IS the verb, so a plugin verb spelled
+    # `dp3 -- <verb>` still loads plugins
+    assert cli._invoked_verb(["--", "tables"]) == "tables"
+    assert cli._invoked_verb(["--server", "x", "--", "query", "s;"]) == "query"
+    assert cli._invoked_verb(["--"]) is None
