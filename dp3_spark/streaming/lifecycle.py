@@ -623,7 +623,15 @@ class VersionedLogTable:
         file (the standard small-files discipline — file count per
         append is bounded by topics x buckets, not by tasks x dirs),
         sorted by (producer, log_time) inside the file so row-group
-        min/max stats prune both producer probes and time ranges."""
+        min/max stats prune both producer probes and time ranges.
+
+        Listing discipline: the before/after diff that feeds the write
+        manifest is restricted to the partition dirs the BATCH touches
+        (new files can only land there — partitionBy guarantees it), so
+        the per-append listing cost is O(touched partitions + their
+        files), not O(every file the table ever wrote).  The one extra
+        pass computing the touched set is a map-side-combined distinct
+        over the batch, output bounded by topics x buckets."""
         with self._writer_lock():
             self._check_layout()
             self._gc_sweep()  # physically drop entries past their grace
@@ -632,7 +640,15 @@ class VersionedLogTable:
             # watermark past them
             self._gc_uncommitted()
             self._ensure_manifest_baseline()
-            before = set(self._list_data_files())
+            touched = {
+                (r[0], r[1])
+                for r in df.select(
+                    "topic", self._bucket_expr().alias("b")
+                )
+                .distinct()
+                .collect()
+            }
+            before = set(self._list_partition_files(touched))
             version = self._next_version()
             out = (
                 df.dropDuplicates(["producer", "topic", "log_time", "sequence"])
@@ -656,9 +672,12 @@ class VersionedLogTable:
             # record the landed file set BEFORE the flip: rollback and
             # inspect resolve file -> version from this manifest with no
             # footer reads (the diff against `before` is exact — the
-            # writer lock excludes concurrent writers)
+            # writer lock excludes concurrent writers, and partitionBy
+            # confines new files to the touched partition dirs)
             new_files = [
-                p for p in self._list_data_files() if p not in before
+                p
+                for p in self._list_partition_files(touched)
+                if p not in before
             ]
             self._write_manifest(
                 f"v{version:012d}.list", new_files, self._file_rows(new_files)
@@ -885,7 +904,14 @@ class VersionedLogTable:
         across micro-batches, and a crashed writer's unacknowledged rows
         can be delivered.  Each file is internally complete (task-commit
         atomicity).  Consumers needing committed-only snapshot semantics
-        use the polling `tail()`, which reads through the watermark."""
+        use the polling `tail()`, which reads through the watermark.
+
+        Trigger cost: the file source re-lists the data dir every
+        trigger — measured ~25 us per live file (PLANS.md round-10
+        probe; 34 ms at 1200 files, linear).  compact() bounds the live
+        file count at topics x buckets, so a deployment tailing a
+        heavy-append table runs compact on whatever cadence keeps the
+        count inside its trigger-latency budget."""
         df = self._data()
         if df is None:
             raise FileNotFoundError(f"no data at {self.data_path}")
@@ -903,6 +929,52 @@ class VersionedLogTable:
     @property
     def trigram_index_path(self) -> str:
         return os.path.join(self.root, "_trigram_idx")
+
+    def _list_partition_files(
+        self, touched: set[tuple[str, int]]
+    ) -> list[str]:
+        """Data files in exactly the named (topic, producer_bucket)
+        partition dirs — the O(touched-partitions) listing append() uses
+        for its manifest diff, instead of walking every file the table
+        ever wrote.  Partition-dir names are matched by DECODING Spark's
+        escaped form (urllib unquote inverts Spark's %-hex escaping,
+        which escapes '%' itself, so decode-and-compare is exact) —
+        never by re-encoding our values, which would have to replicate
+        Spark's escape-char set and would silently drop files from the
+        manifest on any mismatch."""
+        from urllib.parse import unquote
+
+        root = self._resolve_data_path()
+        topics = {t for t, _ in touched}
+        out: list[str] = []
+        try:
+            tdirs = os.listdir(root)
+        except OSError:
+            return []
+        for td in tdirs:
+            if not td.startswith("topic="):
+                continue
+            tval = unquote(td[len("topic="):])
+            if tval not in topics:
+                continue
+            tpath = os.path.join(root, td)
+            for bd in os.listdir(tpath):
+                if not bd.startswith("producer_bucket="):
+                    continue
+                try:
+                    bval = int(unquote(bd[len("producer_bucket="):]))
+                except ValueError:
+                    continue
+                if (tval, bval) not in touched:
+                    continue
+                bpath = os.path.join(tpath, bd)
+                out += [
+                    os.path.join(bpath, fn)
+                    for fn in os.listdir(bpath)
+                    if fn.endswith(".parquet")
+                    and not fn.startswith(("_", "."))
+                ]
+        return out
 
     def _list_data_files(self) -> list[str]:
         out = []

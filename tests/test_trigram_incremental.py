@@ -162,3 +162,50 @@ def test_trigram_cols_change_routes_to_backfill(spark, root):
     from dp3_spark.operators.trigram import indexed_files
 
     assert indexed_files(spark, t2.trigram_index_path, "producer")
+
+
+def test_append_listing_is_partition_pruned(spark, root, monkeypatch):
+    """append()'s manifest diff lists ONLY the partition dirs the batch
+    touches — after the first write, no append-path caller walks the
+    full data tree (the walk is quarantined to repair/adoption paths)."""
+    t = VersionedLogTable(spark, root, gc_grace_sec=0.0)
+    t.append(mkbatch(spark, [100, 110], topic="/a"))
+
+    def boom(self):
+        raise AssertionError("full-tree walk on the append path")
+
+    monkeypatch.setattr(type(t), "_list_data_files", boom)
+    v2 = t.append(mkbatch(spark, [200], topic="/b", text="beta"))
+    monkeypatch.undo()
+    mans = t._manifests()
+    v2_files = mans[f"v{v2:012d}.list"]
+    assert len(v2_files) == 1
+    assert all("topic=%2Fb" in p for p in v2_files)
+
+
+def test_append_manifest_covers_escaped_partition_values(spark, root):
+    """Partition values Spark %-escapes in dir names (slash, space,
+    percent, equals) are matched by DECODING the dir name — the manifest
+    must cover exactly the new files for every such topic."""
+    topics = ["/slash", "with space", "pct%25", "eq=v", "plain"]
+    t = VersionedLogTable(spark, root, gc_grace_sec=0.0)
+    rows = [("p1", tp, 100 + i, i, f"x{i}") for i, tp in enumerate(topics)]
+    df = spark.createDataFrame(
+        rows,
+        "producer string, topic string, log_time long, sequence long, props string",
+    )
+    v = t.append(df)
+    mans = t._manifests()
+    files = mans[f"v{v:012d}.list"]
+    assert len(files) == len(topics)  # one file per touched partition
+    assert sorted(r["topic"] for r in t.read().collect()) == sorted(topics)
+    # second append into a subset of the same escaped topics: the diff
+    # still isolates just the new files
+    v2 = t.append(
+        spark.createDataFrame(
+            [("p1", "/slash", 900, 99, "y")],
+            "producer string, topic string, log_time long, sequence long, props string",
+        )
+    )
+    files2 = t._manifests()[f"v{v2:012d}.list"]
+    assert len(files2) == 1 and all("topic=%2Fslash" in p for p in files2)
