@@ -1,0 +1,101 @@
+"""Manifest-driven tail (round 10).
+
+The round-10 tail_stream probe measured the file-source tail's
+per-trigger re-list at ~25 us per live file — linear in
+files-ever-written.  `tail_versions` is the scale path: new data is
+discovered from the publish watermark + per-version write manifests
+(one small object per version), so per-poll cost is O(versions
+delivered), independent of table file count.  Reference parity: the
+export-version polling cursor (cli/cmd/tail.go:29-97) re-expressed over
+the manifest objects instead of an export listing.
+"""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dp3_spark.streaming.lifecycle import VersionedLogTable
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="dp3_tailv_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def mkbatch(spark, times, topic="/a"):
+    rows = [("p1", topic, t, i, float(i)) for i, t in enumerate(times)]
+    return spark.createDataFrame(
+        rows, "producer string, topic string, log_time long, sequence long, v double"
+    )
+
+
+def test_tail_versions_yields_committed_data_slices(spark, root):
+    t = VersionedLogTable(spark, root, gc_grace_sec=0.0)
+    v1 = t.append(mkbatch(spark, [100, 110]))
+    v2 = t.append(mkbatch(spark, [200], topic="/b"))
+    vd = t.delete_range("p1", "/a", 0, 50)  # tombstone-only: no slice
+    v3 = t.append(mkbatch(spark, [300], topic="/c"))
+
+    got = list(t.tail_versions(0))
+    assert [v for v, _ in got] == [v1, v2, v3] and vd not in [v for v, _ in got]
+    # each slice carries exactly its version's rows, with the
+    # dir-encoded partition column (topic) materialized via basePath
+    by_v = {v: sorted(r["log_time"] for r in df.collect()) for v, df in got}
+    assert by_v == {v1: [100, 110], v2: [200], v3: [300]}
+    assert {r["topic"] for r in got[1][1].collect()} == {"/b"}
+
+    # cursor semantics: resume past v2 delivers only v3
+    assert [v for v, _ in t.tail_versions(v2)] == [v3]
+    # up_to caps the range
+    assert [v for v, _ in t.tail_versions(0, up_to=v2)] == [v1, v2]
+
+
+def test_tail_versions_never_delivers_uncommitted(spark, root):
+    """A crashed writer's manifest sits above the watermark — the tail
+    must not deliver it (same invariant as every read path)."""
+    t = VersionedLogTable(spark, root, gc_grace_sec=0.0)
+    v1 = t.append(mkbatch(spark, [100]))
+
+    # land + manifest WITHOUT the flip (writer died pre-publish)
+    before = set(t._list_data_files())
+    vx = t._next_version()
+    (
+        mkbatch(spark, [900], topic="/x")
+        .withColumn("version", F.lit(vx))
+        .withColumn("producer_bucket", t._bucket_expr())
+        .write.mode("append")
+        .partitionBy("topic", "producer_bucket")
+        .parquet(t._resolve_data_path())
+    )
+    new_files = [p for p in t._list_data_files() if p not in before]
+    t._write_manifest(f"v{vx:012d}.list", new_files, t._file_rows(new_files))
+
+    assert [v for v, _ in t.tail_versions(0)] == [v1]
+    # the next healthy write rolls the crashed version back; the tail
+    # then delivers the new version and still never saw vx's rows
+    v3 = t.append(mkbatch(spark, [300], topic="/c"))
+    seen = {v: sorted(r["log_time"] for r in df.collect())
+            for v, df in t.tail_versions(v1)}
+    assert seen == {v3: [300]}
+
+
+def test_tail_versions_discovery_never_lists_directories(spark, root, monkeypatch):
+    """The whole point: discovery reads the watermark + manifest objects,
+    never a directory listing of the data tree."""
+    t = VersionedLogTable(spark, root, gc_grace_sec=0.0)
+    v1 = t.append(mkbatch(spark, [100]))
+    v2 = t.append(mkbatch(spark, [200], topic="/b"))
+
+    def boom(*a, **k):
+        raise AssertionError("directory listing during tail discovery")
+
+    monkeypatch.setattr(type(t), "_list_data_files", boom)
+    monkeypatch.setattr(type(t), "_list_partition_files", boom)
+    monkeypatch.setattr(os, "walk", boom)
+    versions = [v for v, _ in t.tail_versions(0)]  # discovery only
+    assert versions == [v1, v2]
