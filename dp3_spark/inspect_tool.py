@@ -253,6 +253,26 @@ def inspect_table(root: str) -> dict[str, Any]:
         "gc_pending": gc_pending,
         "quarantined_files": quarantined,
     }
+    # trigram-index watermark: "indexed through version N for columns C
+    # in generation G".  current=False means the next append will run
+    # the full-diff repair (crash between a publish and its index
+    # update, a compact's generation swap, or a column-set change).
+    twm = os.path.join(meta, "trigram_wm.json")
+    if os.path.exists(twm):
+        try:
+            import json as _json
+
+            with open(twm) as f:
+                marker = _json.load(f)
+            rep["trigram_index"] = {
+                **marker,
+                "current": (
+                    marker.get("version") == committed
+                    and marker.get("generation") == gen
+                ),
+            }
+        except Exception:
+            pass
     if base["files"] or base["watermarks"]:
         rep["base"] = {
             "files": base["files"],

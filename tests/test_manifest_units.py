@@ -96,3 +96,24 @@ def test_tmp_and_foreign_manifest_names_ignored(t):
     _touch(t.root, "_meta/manifest/data/v000000000009.list.tmp", b"junk\t1\n")
     _touch(t.root, "_meta/manifest/data/README", b"not a manifest")
     assert set(t._manifests()) == {"v000000000001.list"}
+
+
+def test_inspect_reports_trigram_watermark(t):
+    from dp3_spark.inspect_tool import inspect_table
+
+    t._backend.put("version", b"2")
+    t._backend.put("committed", b"2")
+    object.__setattr__(t, "trigram_cols", ("props",))
+    t._write_trigram_marker(2)
+    rep = inspect_table(t.root)
+    assert rep["trigram_index"] == {
+        "version": 2,
+        "cols": ["props"],
+        "generation": "data",
+        "current": True,
+    }
+    # a stale marker (crash between publish and index update) reports
+    # current=False so the operator knows the next append pays repair
+    t._backend.put("committed", b"3")
+    rep = inspect_table(t.root)
+    assert rep["trigram_index"]["current"] is False
