@@ -286,6 +286,28 @@ class DP3Engine:
             raise ValueError("tail requires a writable VersionedLogTable")
         return self.table.tail(from_version)
 
+    def tail_version_counts(self, from_version: int):
+        """Manifest-derived [(version, rows)] plan for the tail route —
+        zero data IO; None = fall back to the scan-based derivation."""
+        if self.table is None:
+            raise ValueError("tail requires a writable VersionedLogTable")
+        return self.table.tail_version_counts(from_version)
+
+    def tail_slice(self, from_version: int, up_to: int) -> DataFrame | None:
+        """Rows of versions in (from_version, up_to], read from the
+        per-version manifests' explicit file lists — no listing, no
+        version-predicate scan."""
+        if self.table is None:
+            raise ValueError("tail requires a writable VersionedLogTable")
+        from functools import reduce
+
+        dfs = [
+            df for _, df in self.table.tail_versions(from_version, up_to=up_to)
+        ]
+        if not dfs:
+            return None
+        return reduce(lambda a, b: a.unionByName(b), dfs)
+
     def tail_stream(self, from_version: int = 0) -> DataFrame:
         """Push-based tail (Structured Streaming file source)."""
         if self.table is None:

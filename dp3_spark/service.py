@@ -294,17 +294,39 @@ class DP3Service:
                 # progress even when a single append exceeds the cap.
                 frm = int(params.get("from", 0))
                 cap = int(params.get("limit", 10000))
-                tl = eng.tail(frm)
-                per_v = tl.groupBy("version").count().orderBy("version").collect()
-                upto, n = frm, 0
-                for r in per_v:
-                    if n and n + r["count"] > cap:
-                        break
-                    upto, n = r["version"], n + r["count"]
+                # per-version counts from the write manifests when the
+                # table carries them — zero data IO per poll; the legacy
+                # groupBy(version) derivation scans everything past the
+                # cursor and pays a full listing per poll at scale
+                counts = None
+                try:
+                    counts = eng.tail_version_counts(frm)
+                except Exception:
+                    counts = None
+                if counts is not None:
+                    upto, n = frm, 0
+                    for v, c in counts:
+                        if n and n + c > cap:
+                            break
+                        upto, n = v, n + c
+                    rows = eng.tail_slice(frm, upto) if upto > frm else None
+                else:
+                    tl = eng.tail(frm)
+                    per_v = (
+                        tl.groupBy("version").count().orderBy("version").collect()
+                    )
+                    upto, n = frm, 0
+                    for r in per_v:
+                        if n and n + r["count"] > cap:
+                            break
+                        upto, n = r["version"], n + r["count"]
+                    rows = (
+                        tl.filter(tl["version"] <= upto) if upto > frm else None
+                    )
                 out = _ChunkedWriter(h, "application/json")
                 out.write(json.dumps({"version": upto}).encode() + b"\n")
-                if upto > frm:
-                    rows = tl.filter(tl["version"] <= upto).orderBy(
+                if rows is not None:
+                    rows = rows.orderBy(
                         "log_time", "producer", "topic", "sequence"
                     )
                     for s in rows.toJSON().toLocalIterator():

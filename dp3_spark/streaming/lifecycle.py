@@ -916,6 +916,51 @@ class VersionedLogTable:
         )
         return self._strip(df)
 
+    def tail_version_counts(
+        self, from_version: int = 0
+    ) -> list[tuple[int, int]] | None:
+        """[(version, data_rows)] for every committed data version after
+        `from_version`, derived from the write manifests' recorded row
+        counts — ZERO data IO, where the legacy derivation is a
+        groupBy(version).count() scan over everything past the cursor on
+        every poll.  None routes the caller to that legacy scan: table
+        predates manifests, a manifest carries an unknown (-1) count, or
+        the cursor reaches back into a base-grandfathered range whose
+        per-version split the manifests cannot resolve."""
+        mans = self._manifests()
+        if mans is None:
+            return None
+        committed = self.committed_version()
+        gen = os.path.basename(self._resolve_data_path())
+        out = []
+        for name, entries in mans.items():
+            v = self._manifest_version(name)
+            if v is None:
+                # base manifest: per-version rows unresolved below its
+                # watermark — only safe when the cursor is at/above it
+                try:
+                    base_wm = int(name[len("base_"):].split(".")[0])
+                except ValueError:
+                    return None
+                if from_version < base_wm and any(
+                    rel.split(os.sep, 1)[0] == gen for rel in entries
+                ):
+                    return None
+                continue
+            if v <= from_version or v > committed:
+                continue
+            rows, has_data = 0, False
+            for rel, r in entries.items():
+                if rel.split(os.sep, 1)[0] != gen:
+                    continue  # a delete's manifest names tombstone files
+                has_data = True
+                if r < 0:
+                    return None  # unknown count: legacy scan decides
+                rows += r
+            if has_data:
+                out.append((v, rows))
+        return sorted(out)
+
     def tail_versions(self, from_version: int = 0, *, up_to: int | None = None):
         """Manifest-driven tail: yield (version, DataFrame) for every
         COMMITTED version in (from_version, up_to or current watermark]

@@ -99,3 +99,73 @@ def test_tail_versions_discovery_never_lists_directories(spark, root, monkeypatc
     monkeypatch.setattr(os, "walk", boom)
     versions = [v for v, _ in t.tail_versions(0)]  # discovery only
     assert versions == [v1, v2]
+
+
+def test_tail_version_counts_from_manifests(spark, root):
+    t = VersionedLogTable(spark, root, gc_grace_sec=0.0)
+    v1 = t.append(mkbatch(spark, [100, 110]))
+    vd = t.delete_range("p1", "/a", 0, 50)
+    v2 = t.append(mkbatch(spark, [200, 210, 220], topic="/b"))
+    assert t.tail_version_counts(0) == [(v1, 2), (v2, 3)]
+    assert t.tail_version_counts(v1) == [(v2, 3)]
+    assert vd not in [v for v, _ in t.tail_version_counts(0)]
+
+    # a landed-but-unpublished version never appears in the plan
+    before = set(t._list_data_files())
+    vx = t._next_version()
+    (
+        mkbatch(spark, [900], topic="/x")
+        .withColumn("version", F.lit(vx))
+        .withColumn("producer_bucket", t._bucket_expr())
+        .write.mode("append")
+        .partitionBy("topic", "producer_bucket")
+        .parquet(t._resolve_data_path())
+    )
+    new = [p for p in t._list_data_files() if p not in before]
+    t._write_manifest(f"v{vx:012d}.list", new, t._file_rows(new))
+    assert t.tail_version_counts(0) == [(v1, 2), (v2, 3)]
+
+
+def test_tail_version_counts_base_range_falls_back(spark, root):
+    """A cursor reaching into the base-grandfathered range cannot be
+    resolved per-version from manifests -> None (legacy scan path)."""
+    t = VersionedLogTable(spark, root, gc_grace_sec=0.0)
+    v1 = t.append(mkbatch(spark, [100]))
+    # simulate adoption: collapse the per-version manifest into a base
+    t._backend.delete(f"{t._manifest_prefix}/v{v1:012d}.list")
+    files = t._list_data_files()
+    t._write_manifest(f"base_{v1:012d}.list", files, {p: 1 for p in files})
+    v2 = t.append(mkbatch(spark, [200], topic="/b"))
+    assert t.tail_version_counts(0) is None          # cursor below base wm
+    assert t.tail_version_counts(v1) == [(v2, 1)]    # at/above: resolvable
+
+
+def test_service_tail_uses_manifest_plan(spark, root, monkeypatch):
+    """On a manifest-bearing table the /tail route must not run the
+    legacy groupBy-scan derivation at all."""
+    import json as _json
+    import urllib.request
+
+    from dp3_spark.engine import DP3Engine
+    from dp3_spark.service import DP3Service
+
+    t = VersionedLogTable(spark, root, gc_grace_sec=0.0)
+    for k in range(2):
+        t.append(mkbatch(spark, [100 * k, 100 * k + 10], topic=f"/t{k}"))
+    eng = DP3Engine(spark, table=t)
+
+    def boom(*a, **k):
+        raise AssertionError("legacy scan-tail used on a manifest table")
+
+    monkeypatch.setattr(type(eng), "tail", boom)
+    s = DP3Service({"tt": eng})
+    host, port = s.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://{host}:{port}/databases/tt/tail?from=0&limit=100"
+        ) as r:
+            lines = [_json.loads(x) for x in r.read().splitlines() if x]
+        assert lines[0]["version"] == 2
+        assert sorted(x["log_time"] for x in lines[1:]) == [0, 10, 100, 110]
+    finally:
+        s.stop()
