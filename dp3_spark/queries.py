@@ -4891,6 +4891,46 @@ def lifecycle_delete_versions(spark, sf_dir):
     return agg(vt.read(), "current").unionByName(agg(vt.read(as_of_version=2), "as_of_v2"))
 
 
+@register(
+    "lifecycle_tail_versions",
+    f"""
+    with base as ({EV_BASE}),
+    b1 as (select 1 as version, * from base where sequence % 3 <> 2),
+    b2 as (select 3 as version, * from base where sequence % 3 = 2),
+    tl as (select * from b1 union all select * from b2)
+    select version, topic, {_LC_AGG}
+    from tl group by 1, 2
+    """,
+)
+def lifecycle_tail_versions(spark, sf_dir):
+    """Manifest-driven tail cursor, oracle-gated: tail_versions(0) must
+    deliver exactly the appended version slices (v1 and v3 of the shared
+    lifecycle fixture; the v2 tombstone write carries no data and is
+    skipped), each slice exactly its manifest's files — discovery reads
+    the watermark plus one small manifest object per version, ZERO
+    directory listing (the scale property PLANS.md round-10 measures
+    against the file-source tail's ~25 us/file re-list).  Raw appended
+    rows by design — the tail surface does not apply tombstones, exactly
+    like the reference's export-version cursor (cli/cmd/tail.go:29-97).
+    Falls back to the version-filtered scan on a fixture built before
+    manifests existed (same rows by construction)."""
+    from functools import reduce
+
+    vt = _lifecycle_fixture(spark, sf_dir)
+    slices = [df for _, df in vt.tail_versions(0)]
+    tl = (
+        reduce(lambda a, b: a.unionByName(b), slices)
+        if slices
+        else vt.tail(0)
+    )
+    return tl.groupBy("version", "topic").agg(
+        F.count("*").alias("n_msgs"),
+        F.min("log_time").alias("min_t"),
+        F.max("log_time").alias("max_t"),
+        F.sum("sequence").cast("bigint").alias("sum_seq"),
+    )
+
+
 def _trigram_fixture(spark, sf_dir: str) -> tuple[str, str]:
     """Build (once per sf_dir) a multi-file copy of the events log store
     clustered by producer, plus its trigram-signature sidecar index
