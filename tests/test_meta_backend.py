@@ -110,3 +110,91 @@ def test_default_backend_is_local_and_layout_unchanged(spark, root):
     assert os.path.exists(os.path.join(t.meta_path, "version"))
     assert os.path.exists(os.path.join(t.meta_path, "committed"))
     assert isinstance(t._backend, LocalMetaBackend)
+
+
+# ------------------------------------------- in-memory (object-store-shaped)
+class InMemoryBackend:
+    """Dict-backed implementation of the meta_backend contract — nothing
+    under `_meta` touches disk.  Driving the FULL table lifecycle through
+    it proves VersionedLogTable reaches its pointers/manifests/ledger/
+    marker ONLY via the interface: any leftover direct `_meta` file IO
+    would read a missing file and fail the assertions below."""
+
+    def __init__(self):
+        import threading
+
+        self.objects: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    def get(self, name):
+        return self.objects.get(name)
+
+    def put(self, name, data):
+        self.objects[name] = bytes(data)
+
+    def conditional_put(self, name, data, expected):
+        if self.objects.get(name) != expected:
+            return False
+        self.objects[name] = bytes(data)
+        return True
+
+    def list_names(self, prefix=""):
+        p = prefix.rstrip("/") + "/" if prefix else ""
+        return sorted(n for n in self.objects if n.startswith(p))
+
+    def writer_lease(self):
+        from contextlib import contextmanager
+
+        @contextmanager
+        def held():
+            with self._lock:
+                yield
+
+        return held()
+
+    def delete(self, name):
+        self.objects.pop(name, None)
+
+
+def test_full_lifecycle_through_in_memory_backend(spark, root):
+    """append -> delete_range -> time travel -> trigram probe -> compact
+    -> read, with every _meta small object living in a dict.  This is
+    the object-store deployment shape: swap ONE class, nothing else."""
+    b = InMemoryBackend()
+    t = VersionedLogTable(
+        spark, root, gc_grace_sec=0.0, trigram_cols=("props",),
+        pointer_backend=b,
+    )
+
+    def batch(times, topic="/a", text="alpha"):
+        rows = [("p1", topic, x, i, f"{text}{i}") for i, x in enumerate(times)]
+        return spark.createDataFrame(
+            rows,
+            "producer string, topic string, log_time long, sequence long, props string",
+        )
+
+    v1 = t.append(batch([100, 110]))
+    v2 = t.delete_range("p1", "/a", 0, 105)
+    v3 = t.append(batch([300, 310], topic="/b", text="beta"))
+    assert (v1, v2, v3) == (1, 2, 3)
+
+    # no _meta small objects on disk; all in the dict
+    assert not os.path.exists(os.path.join(t.meta_path, "version"))
+    assert not os.path.exists(os.path.join(t.meta_path, "committed"))
+    assert {"version", "committed", "trigram_wm.json"} <= set(b.objects)
+    assert any(n.startswith("manifest/") for n in b.objects)
+
+    # reads, time travel, tombstones, manifest tail, trigram probe
+    assert sorted(r["log_time"] for r in t.read().collect()) == [110, 300, 310]
+    assert sorted(
+        r["log_time"] for r in t.read(as_of_version=v1).collect()
+    ) == [100, 110]
+    assert [v for v, _ in t.tail_versions(0)] == [v1, v3]
+    assert t.tail_version_counts(0) == [(v1, 2), (v3, 2)]
+    got = [r["sequence"] for r in t.read_string_probe("props", "beta1").collect()]
+    assert got == [1]
+
+    # compact flips the generation pointer through the backend
+    t.compact()
+    assert b.objects.get("data_ptr") == b"data_gen1"
+    assert sorted(r["log_time"] for r in t.read().collect()) == [110, 300, 310]
