@@ -926,37 +926,53 @@ class VersionedLogTable:
         every poll.  None routes the caller to that legacy scan: table
         predates manifests, a manifest carries an unknown (-1) count, or
         the cursor reaches back into a base-grandfathered range whose
-        per-version split the manifests cannot resolve."""
-        mans = self._manifests()
-        if mans is None:
+        per-version split the manifests cannot resolve.
+
+        Poll-cost discipline: version eligibility is decided from the
+        manifest NAME alone (v{N}.list / base_{W}.list), so the only
+        objects READ are the delivered versions' — per-poll cost is one
+        name listing plus O(delivered versions) small reads, never
+        O(versions since compact) parses."""
+        names = [
+            os.path.basename(n)
+            for n in self._backend.list_names(self._manifest_prefix)
+            if n.endswith(".list")
+        ]
+        if not names:
             return None
         committed = self.committed_version()
         gen = os.path.basename(self._resolve_data_path())
         out = []
-        for name, entries in mans.items():
+        for name in names:
             v = self._manifest_version(name)
             if v is None:
-                # base manifest: per-version rows unresolved below its
-                # watermark — only safe when the cursor is at/above it
+                # base manifest: per-version rows below its watermark are
+                # unresolved — a cursor reaching under it falls back to
+                # the scan (name-only check; the base is never read here)
                 try:
                     base_wm = int(name[len("base_"):].split(".")[0])
                 except ValueError:
                     return None
-                if from_version < base_wm and any(
-                    rel.split(os.sep, 1)[0] == gen for rel in entries
-                ):
+                if from_version < base_wm:
                     return None
                 continue
             if v <= from_version or v > committed:
                 continue
+            raw = self._backend.get(f"{self._manifest_prefix}/{name}")
+            if raw is None:
+                continue  # retired between listing and read
             rows, has_data = 0, False
-            for rel, r in entries.items():
+            for line in raw.decode().splitlines():
+                if not line:
+                    continue
+                rel, _, r = line.partition("\t")
                 if rel.split(os.sep, 1)[0] != gen:
                     continue  # a delete's manifest names tombstone files
                 has_data = True
-                if r < 0:
+                n = int(r or -1)
+                if n < 0:
                     return None  # unknown count: legacy scan decides
-                rows += r
+                rows += n
             if has_data:
                 out.append((v, rows))
         return sorted(out)

@@ -169,3 +169,24 @@ def test_service_tail_uses_manifest_plan(spark, root, monkeypatch):
         assert sorted(x["log_time"] for x in lines[1:]) == [0, 10, 100, 110]
     finally:
         s.stop()
+
+
+def test_tail_version_counts_reads_only_needed_manifests(spark, root, monkeypatch):
+    """Per-poll cost pin: eligibility is decided from manifest NAMES, so
+    the only manifest objects READ are the delivered versions' — not
+    every manifest since the last compact."""
+    t = VersionedLogTable(spark, root, gc_grace_sec=0.0)
+    for k in range(5):
+        t.append(mkbatch(spark, [100 * k], topic=f"/t{k}"))
+
+    reads = []
+    orig = type(t._backend).get
+
+    def counting_get(self, name):
+        if name.endswith(".list"):
+            reads.append(os.path.basename(name))
+        return orig(self, name)
+
+    monkeypatch.setattr(type(t._backend), "get", counting_get)
+    assert t.tail_version_counts(4) == [(5, 1)]
+    assert reads == ["v000000000005.list"]
