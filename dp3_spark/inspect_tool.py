@@ -341,5 +341,16 @@ def format_report(rep: dict[str, Any]) -> str:
             f"gc           {nq} quarantined file(s), {npend} sweep entr"
             f"{'y' if npend == 1 else 'ies'} pending grace expiry"
         )
+    if "trigram_index" in rep:
+        ti = rep["trigram_index"]
+        state = (
+            "current"
+            if ti.get("current")
+            else "STALE: next append runs full-diff repair"
+        )
+        lines.append(
+            f"trigram      indexed through v{ti.get('version')} "
+            f"cols={','.join(ti.get('cols', []))} [{state}]"
+        )
     lines.append("meta         " + (", ".join(rep["meta_objects"]) or "none"))
     return "\n".join(lines)

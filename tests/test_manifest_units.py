@@ -117,3 +117,17 @@ def test_inspect_reports_trigram_watermark(t):
     t._backend.put("committed", b"3")
     rep = inspect_table(t.root)
     assert rep["trigram_index"]["current"] is False
+
+
+def test_format_report_renders_trigram_line(t):
+    from dp3_spark.inspect_tool import format_report, inspect_table
+
+    t._backend.put("version", b"2")
+    t._backend.put("committed", b"2")
+    object.__setattr__(t, "trigram_cols", ("props",))
+    t._write_trigram_marker(2)
+    out = format_report(inspect_table(t.root))
+    assert "trigram      indexed through v2 cols=props [current]" in out
+    t._backend.put("committed", b"3")
+    out = format_report(inspect_table(t.root))
+    assert "STALE: next append runs full-diff repair" in out
