@@ -295,18 +295,11 @@ class DP3Engine:
 
     def tail_slice(self, from_version: int, up_to: int) -> DataFrame | None:
         """Rows of versions in (from_version, up_to], read from the
-        per-version manifests' explicit file lists — no listing, no
-        version-predicate scan."""
+        per-version manifests' explicit file lists as ONE multi-file
+        scan — no listing, no version-predicate scan, no N-deep union."""
         if self.table is None:
             raise ValueError("tail requires a writable VersionedLogTable")
-        from functools import reduce
-
-        dfs = [
-            df for _, df in self.table.tail_versions(from_version, up_to=up_to)
-        ]
-        if not dfs:
-            return None
-        return reduce(lambda a, b: a.unionByName(b), dfs)
+        return self.table.read_manifest_range(from_version, up_to)
 
     def tail_stream(self, from_version: int = 0) -> DataFrame:
         """Push-based tail (Structured Streaming file source)."""

@@ -1002,13 +1002,70 @@ class VersionedLogTable:
         Versions may skip numbers (a crashed writer leaves its counter
         value unused) — skipped and tombstone-only versions are silently
         passed over, exactly like the reference's export-version cursor
-        (cli/cmd/tail.go:29-97)."""
+        (cli/cmd/tail.go:29-97).  Candidate versions come from ONE name
+        listing, not a get() per counter value — a fresh consumer on a
+        long history pays O(listed manifests), not O(counter range)."""
         committed = self.committed_version()
         hi = committed if up_to is None else min(up_to, committed)
-        for v in range(from_version + 1, hi + 1):
+        versions = sorted(
+            v
+            for v in (
+                self._manifest_version(os.path.basename(n))
+                for n in self._backend.list_names(self._manifest_prefix)
+                if n.endswith(".list")
+            )
+            if v is not None and from_version < v <= hi
+        )
+        for v in versions:
             df = self.read_manifest_slice(v)
             if df is not None:
                 yield v, df
+
+    def _manifest_data_paths(self, version: int) -> list[str]:
+        """Absolute data-file paths named by `version`'s manifest (empty
+        when the manifest is absent or names only tombstone files)."""
+        raw = self._backend.get(
+            f"{self._manifest_prefix}/v{version:012d}.list"
+        )
+        if raw is None:
+            return []
+        gen = os.path.basename(self._resolve_data_path())
+        return [
+            os.path.join(self.root, rel)
+            for rel in (
+                line.partition("\t")[0]
+                for line in raw.decode().splitlines()
+                if line
+            )
+            if rel.split(os.sep, 1)[0] == gen
+        ]
+
+    def read_manifest_range(
+        self, from_version: int, up_to: int
+    ) -> DataFrame | None:
+        """Rows of ALL versions in (from_version, up_to] as ONE explicit
+        multi-file scan (manifest-named paths + basePath) — the /tail
+        route's row read.  One scan over exactly the delivered files
+        beats a per-version union: Catalyst gets a single flat relation
+        instead of an N-deep Union plan."""
+        committed = self.committed_version()
+        hi = min(up_to, committed)
+        paths: list[str] = []
+        for n in self._backend.list_names(self._manifest_prefix):
+            name = os.path.basename(n)
+            if not name.endswith(".list"):
+                continue
+            v = self._manifest_version(name)
+            if v is not None and from_version < v <= hi:
+                paths += self._manifest_data_paths(v)
+        if not paths:
+            return None
+        df = (
+            self._batch_reader()
+            .option("basePath", self._resolve_data_path())
+            .parquet(*paths)
+        )
+        return self._strip(df)
 
     def tail_stream(self, from_version: int = 0) -> DataFrame:
         """Push-based tail: a Structured Streaming file source over the

@@ -190,3 +190,20 @@ def test_tail_version_counts_reads_only_needed_manifests(spark, root, monkeypatc
     monkeypatch.setattr(type(t._backend), "get", counting_get)
     assert t.tail_version_counts(4) == [(5, 1)]
     assert reads == ["v000000000005.list"]
+
+
+def test_read_manifest_range_single_scan(spark, root):
+    t = VersionedLogTable(spark, root, gc_grace_sec=0.0)
+    v1 = t.append(mkbatch(spark, [100, 110]))
+    t.delete_range("p1", "/a", 0, 50)
+    v3 = t.append(mkbatch(spark, [300], topic="/b"))
+    v4 = t.append(mkbatch(spark, [400], topic="/c"))
+
+    df = t.read_manifest_range(0, v4)
+    assert sorted(r["log_time"] for r in df.collect()) == [100, 110, 300, 400]
+    # ONE flat scan, not a version-deep Union plan
+    assert "Union" not in df._jdf.queryExecution().executedPlan().toString()
+    # range bounds respected; empty range -> None
+    df2 = t.read_manifest_range(v1, v3)
+    assert sorted(r["log_time"] for r in df2.collect()) == [300]
+    assert t.read_manifest_range(v4, v4 + 5) is None
