@@ -144,8 +144,17 @@ def inspect_table(root: str) -> dict[str, Any]:
     partitions: dict[str, dict[str, int]] = {}
     torn: list[str] = []
     unversioned: list[str] = []
+    # committed files the walk never finds = SILENT DATA LOSS under the
+    # default read policy (ignoreMissingFiles skips them without error);
+    # surfacing the set is the audit the r9 advice asked for
+    unseen = {
+        rel
+        for rel, (v, _) in manifested.items()
+        if (v is None or committed is None or v <= committed)
+    }
     for path in _walk_parquet(data_dir):
         rel = os.path.relpath(path, root)
+        unseen.discard(rel)
         size = os.path.getsize(path)
         if manifests and rel in manifested:
             v, rows = manifested[rel]
@@ -180,6 +189,7 @@ def inspect_table(root: str) -> dict[str, Any]:
     tombstones: list[dict[str, Any]] = []
     tomb_versions: set[int] = set()
     for path in _walk_parquet(os.path.join(root, "tombstones")):
+        unseen.discard(os.path.relpath(path, root))
         try:
             for row in pq.read_table(path).to_pylist():
                 v = row.get("version")
@@ -252,6 +262,9 @@ def inspect_table(root: str) -> dict[str, Any]:
         "meta_objects": sidecars,
         "gc_pending": gc_pending,
         "quarantined_files": quarantined,
+        # committed per the manifests but absent on disk: silent data
+        # loss under the default read policy — the audit signal
+        "missing_committed_files": sorted(unseen),
     }
     # trigram-index watermark: "indexed through version N for columns C
     # in generation G".  current=False means the next append will run
@@ -340,6 +353,11 @@ def format_report(rep: dict[str, Any]) -> str:
         lines.append(
             f"gc           {nq} quarantined file(s), {npend} sweep entr"
             f"{'y' if npend == 1 else 'ies'} pending grace expiry"
+        )
+    for rel in rep.get("missing_committed_files", []):
+        lines.append(
+            f"  MISSING  {rel}  [committed per manifest, absent on disk "
+            "— silent data loss under the default read policy]"
         )
     if "trigram_index" in rep:
         ti = rep["trigram_index"]

@@ -877,6 +877,37 @@ class VersionedLogTable:
         )
         return df.join(F.broadcast(t), cond, "left_anti")
 
+    def verify_files(self) -> dict:
+        """Integrity audit: is every COMMITTED file (per the write
+        manifests) still present on disk?  The detection half of the
+        silent-truncation tradeoff: with the default read policy a
+        vanished committed file is silently skipped (module header), so
+        a deployment runs this audit on a cadence — or after any
+        storage incident — to turn silent loss into a report.
+
+        Returns {"missing": [...committed-but-absent relpaths...],
+        "uncommitted": [...live-but-unmanifested relpaths — a crashed
+        writer's leftovers, removed by the next write...],
+        "checked": N}.  Raises on a legacy (manifest-less) table: there
+        is no committed-set source of truth to audit against.  Cost is
+        one listing + the manifest set — an explicit audit call, never
+        on the query path."""
+        committed = self._committed_paths(self.committed_version())
+        if committed is None:
+            raise RuntimeError(
+                "verify_files needs write manifests; legacy table "
+                "(write once to adopt a baseline manifest)"
+            )
+        live = {
+            os.path.relpath(p, self.root)
+            for p in self._list_data_files() + self._list_tombstone_files()
+        }
+        return {
+            "missing": sorted(committed - live),
+            "uncommitted": sorted(live - committed),
+            "checked": len(committed),
+        }
+
     def tail(self, from_version: int) -> DataFrame:
         """Rows ingested after `from_version` — the export/tail polling
         loop (cli/cmd/tail.go:29-97).  `tail_stream` is the push-based

@@ -135,3 +135,43 @@ def test_quarantine_immediate_mode_still_deletes(spark, root):
         os.path.join(dp, f) for dp, _, fs in os.walk(qdir) for f in fs
     ]
     assert leftover == []  # immediate mode leaves no quarantine residue
+
+
+def test_verify_files_audit_detects_loss(spark, root):
+    """verify_files + inspect surface the silent-loss scenario the
+    default read policy cannot distinguish from the modeled GC race."""
+    from dp3_spark.inspect_tool import format_report, inspect_table
+
+    t = VersionedLogTable(spark, root, gc_grace_sec=0.0)
+    t.append(mkbatch(spark, [100, 110]))
+    t.append(mkbatch(spark, [200], topic="/b"))
+    rep = t.verify_files()
+    assert rep["missing"] == [] and rep["uncommitted"] == []
+    assert rep["checked"] >= 2
+
+    victim = _one_committed_file(t)
+    os.remove(victim)
+    rel = os.path.relpath(victim, t.root)
+    assert t.verify_files()["missing"] == [rel]
+    irep = inspect_table(t.root)
+    assert irep["missing_committed_files"] == [rel]
+    assert "MISSING" in format_report(irep)
+
+
+def test_verify_files_flags_crashed_writer_leftovers(spark, root):
+    t = VersionedLogTable(spark, root, gc_grace_sec=0.0)
+    t.append(mkbatch(spark, [100]))
+    # land files without manifest or flip (writer died mid-write)
+    from pyspark.sql import functions as F
+
+    (
+        mkbatch(spark, [900], topic="/x")
+        .withColumn("version", F.lit(t.current_version() + 1))
+        .withColumn("producer_bucket", t._bucket_expr())
+        .write.mode("append")
+        .partitionBy("topic", "producer_bucket")
+        .parquet(t._resolve_data_path())
+    )
+    rep = t.verify_files()
+    assert rep["missing"] == []
+    assert len(rep["uncommitted"]) == 1  # the crashed leftover, GC'd next write
