@@ -209,3 +209,28 @@ def test_append_manifest_covers_escaped_partition_values(spark, root):
     )
     files2 = t._manifests()[f"v{v2:012d}.list"]
     assert len(files2) == 1 and all("topic=%2Fslash" in p for p in files2)
+
+
+def test_append_manifest_hostile_partition_values(spark, root):
+    """Tab/newline/unicode/hash in a topic value must survive the
+    append -> manifest -> read round trip: the manifest format is
+    line-and-tab delimited, so this only holds because Spark %-escapes
+    control chars in partition dir names — pinned here so a future
+    layout change cannot silently corrupt manifests."""
+    topics = ["tab\there", "nl\nhere", "unié中", "hash#q?x", "pct%sign"]
+    t = VersionedLogTable(spark, root, gc_grace_sec=0.0)
+    rows = [("p1", tp, 100 + i, i, f"x{i}") for i, tp in enumerate(topics)]
+    df = spark.createDataFrame(
+        rows,
+        "producer string, topic string, log_time long, sequence long, props string",
+    )
+    v = t.append(df)
+    files = t._manifests()[f"v{v:012d}.list"]
+    assert len(files) == len(topics)      # every partition captured
+    for rel in files:
+        assert "\t" not in rel and "\n" not in rel  # TSV format intact
+    assert sorted(r["topic"] for r in t.read().collect()) == sorted(topics)
+    # the version slice reads back through the manifest file list too
+    slices = list(t.tail_versions(0))
+    assert len(slices) == 1
+    assert sorted(r["topic"] for r in slices[0][1].collect()) == sorted(topics)
