@@ -303,14 +303,22 @@ class DP3Service:
                     counts = eng.tail_version_counts(frm)
                 except Exception:
                     counts = None
+                rows, upto = None, frm
                 if counts is not None:
                     upto, n = frm, 0
                     for v, c in counts:
                         if n and n + c > cap:
                             break
                         upto, n = v, n + c
-                    rows = eng.tail_slice(frm, upto) if upto > frm else None
-                else:
+                    if upto > frm:
+                        rows = eng.tail_slice(frm, upto)
+                        if rows is None:
+                            # the manifests vanished between the plan and
+                            # the read (a compact raced this poll): the
+                            # cursor MUST NOT advance past rows that were
+                            # never served — re-derive both from the scan
+                            counts = None
+                if counts is None:
                     tl = eng.tail(frm)
                     per_v = (
                         tl.groupBy("version").count().orderBy("version").collect()

@@ -103,6 +103,10 @@ TOMBSTONE_SCHEMA = (
 )
 
 
+# sentinel: _publish re-reads the current committed value (see _publish)
+_READ_CURRENT = object()
+
+
 class StaleWriterError(RuntimeError):
     """The committed-pointer CAS failed: another writer advanced the
     watermark while this write thought it held the lease (possible only
@@ -249,7 +253,7 @@ class VersionedLogTable:
             return int(raw.decode().strip() or "0")
         return self.current_version()
 
-    def _publish(self, v: int) -> None:
+    def _publish(self, v: int, expected_version=_READ_CURRENT) -> None:
         """Flip the committed watermark to v with a COMPARE-AND-SWAP on
         the pointer object (locally: tmp + fsync + os.replace under the
         held lease; object store: one conditional put).  Called only
@@ -261,13 +265,29 @@ class VersionedLogTable:
         clobber a successor's flip.  A stale CAS aborts the write with
         StaleWriterError; the zombie's landed files are above the real
         watermark, so the next writer's `_gc_uncommitted` rolls them
-        back — nothing partially-published ever becomes visible."""
-        expected = self._backend.get("committed")
+        back — nothing partially-published ever becomes visible.
+
+        expected_version is the committed version the WRITE captured at
+        its start (append/delete pass `version - 1`, pinned when they
+        allocated under the lease) — NOT re-read here: a zombie that
+        re-read at publish time would see its successor's newer value,
+        CAS "successfully", and REGRESS the watermark, exposing the
+        successor's committed files to the next rollback pass.  Pass
+        None to require the pointer to not exist yet (the legacy-table
+        bootstrap); the _READ_CURRENT default (read-then-swap, safe
+        only under a held hard lease) serves direct test/tooling calls."""
+        if expected_version is _READ_CURRENT:
+            expected = self._backend.get("committed")
+        elif expected_version is None:
+            expected = None
+        else:
+            expected = str(expected_version).encode()
         if not self._backend.conditional_put("committed", str(v).encode(), expected):
             raise StaleWriterError(
-                f"committed-pointer CAS failed flipping to {v}: another "
-                "writer advanced the watermark (expired lease?) — this "
-                "write is aborted; its files roll back on the next write"
+                f"committed-pointer CAS failed flipping to {v} (expected "
+                f"{expected!r}): another writer advanced the watermark "
+                "(expired lease?) — this write is aborted; its files "
+                "roll back on the next write"
             )
 
     def _writer_lock(self):
@@ -397,6 +417,10 @@ class VersionedLogTable:
 
     @property
     def _gc_ledger_path(self) -> str:
+        """Local-backend path of the ledger object — for tests and the
+        offline inspector ONLY.  Product code must go through
+        _read_gc_ledger/_put_gc_ledger (the pointer backend): touching
+        this path directly bypasses any non-local pointer_backend."""
         return os.path.join(self.meta_path, "gc_pending.json")
 
     def _read_gc_ledger(self) -> dict[str, float]:
@@ -409,6 +433,37 @@ class VersionedLogTable:
         import json
 
         self._backend.put("gc_pending.json", json.dumps(ledger).encode())
+
+    def _retire_from_manifests(self, rels: set[str]) -> None:
+        """Drop physically-deleted paths (root-relative; a dir covers
+        everything under it) from the current generation's manifests.
+        Without this, intentional GC — swept pre-compact tombstones, a
+        retired generation — would read as committed-but-absent forever,
+        and the verify_files/inspect loss audit would cry silent data
+        loss on a healthy table.  Runs under the writer lock (every
+        caller is a write path); an emptied manifest is kept as an empty
+        object, not deleted, so the table never looks manifest-less."""
+        if not rels:
+            return
+        prefixes = tuple(r.rstrip(os.sep) + os.sep for r in rels)
+        for full in self._backend.list_names(self._manifest_prefix):
+            if not full.endswith(".list"):
+                continue
+            raw = self._backend.get(full)
+            if raw is None:
+                continue
+            kept, dropped = [], False
+            for line in raw.decode().splitlines():
+                if not line:
+                    continue
+                rel = line.partition("\t")[0]
+                if rel in rels or rel.startswith(prefixes):
+                    dropped = True
+                    continue
+                kept.append(line)
+            if dropped:
+                payload = ("\n".join(kept) + "\n") if kept else ""
+                self._backend.put(full, payload.encode())
 
     def _gc_defer(self, paths: list[str]) -> None:
         """Schedule physical deletion of paths (files or whole dirs) at
@@ -427,6 +482,9 @@ class VersionedLogTable:
                         os.remove(p)
                     except OSError:
                         pass
+            self._retire_from_manifests(
+                {os.path.relpath(p, self.root) for p in paths}
+            )
             return
         ledger = self._read_gc_ledger()
         deadline = time.time() + self.gc_grace_sec
@@ -446,6 +504,7 @@ class VersionedLogTable:
             return 0
         now = time.time()
         removed = 0
+        swept: set[str] = set()
         for rel, deadline in list(ledger.items()):
             if deadline > now:
                 continue
@@ -458,9 +517,13 @@ class VersionedLogTable:
                 except OSError:
                     pass
             del ledger[rel]
+            swept.add(rel)
             removed += 1
         if removed:
             self._put_gc_ledger(ledger)
+            # the swept paths are GONE by design: retire them from the
+            # manifests so the loss audit doesn't flag intentional GC
+            self._retire_from_manifests(swept)
         return removed
 
     def _quarantine(self, path: str) -> None:
@@ -594,7 +657,8 @@ class VersionedLogTable:
         # below bumps — without this, the in-flight version would read
         # as committed
         if self._backend.get("committed") is None:
-            self._publish(cur)
+            # bootstrap: the CAS requires the pointer to NOT exist yet
+            self._publish(cur, expected_version=None)
         v = cur + 1
         self._write_version(v)
         return v
@@ -641,7 +705,7 @@ class VersionedLogTable:
             self._gc_uncommitted()
             self._ensure_manifest_baseline()
             touched = {
-                (r[0], r[1])
+                (self._part_dir_value(r[0]), self._part_dir_value(r[1]))
                 for r in df.select(
                     "topic", self._bucket_expr().alias("b")
                 )
@@ -650,6 +714,10 @@ class VersionedLogTable:
             }
             before = set(self._list_partition_files(touched))
             version = self._next_version()
+            # pin the watermark THIS write builds on: the publish CAS
+            # swaps against it, so an expired-lease zombie racing a
+            # successor fails its flip instead of regressing the pointer
+            prev_committed = self.committed_version()
             out = (
                 df.dropDuplicates(["producer", "topic", "log_time", "sequence"])
                 .withColumn("version", F.lit(version))
@@ -684,7 +752,7 @@ class VersionedLogTable:
             )
             # files are fully landed: flip the watermark — only now does
             # this version become visible to any reader (atomic publish)
-            self._publish(version)
+            self._publish(version, expected_version=prev_committed)
             # O(batch): index exactly the manifest slice recorded above;
             # the full-diff repair runs only if the index watermark says
             # a crash left a gap (see update_trigram_index)
@@ -728,6 +796,7 @@ class VersionedLogTable:
             self._ensure_manifest_baseline()
             before = set(self._list_tombstone_files())
             version = self._next_version()
+            prev_committed = self.committed_version()  # see append()
             self.spark.createDataFrame(
                 [(producer, topic, start_ns, end_ns, version)], TOMBSTONE_SCHEMA
             ).write.mode("append").parquet(self.tombstones_path)
@@ -737,7 +806,7 @@ class VersionedLogTable:
             self._write_manifest(
                 f"v{version:012d}.list", new_files, self._file_rows(new_files)
             )
-            self._publish(version)
+            self._publish(version, expected_version=prev_committed)
             # a tombstone adds no data files: advance the index watermark
             # past this version when it is current (else the next append
             # would misread the gap as a crash and run repair), but never
@@ -925,19 +994,7 @@ class VersionedLogTable:
         crash, a legacy pre-manifest version, or a tombstone-only write
         whose manifest names no data files).  basePath keeps the
         dir-encoded partition columns on the explicit-file scan."""
-        name = f"v{version:012d}.list"
-        raw = self._backend.get(f"{self._manifest_prefix}/{name}")
-        if raw is None:
-            return None
-        gen = os.path.basename(self._resolve_data_path())
-        paths = []
-        for line in raw.decode().splitlines():
-            if not line:
-                continue
-            rel = line.partition("\t")[0]
-            # data files only: a delete's manifest names tombstone files
-            if rel.split(os.sep, 1)[0] == gen:
-                paths.append(os.path.join(self.root, rel))
+        paths = self._manifest_data_paths(version)
         if not paths:
             return None
         df = (
@@ -946,6 +1003,21 @@ class VersionedLogTable:
             .parquet(*paths)
         )
         return self._strip(df)
+
+    def _manifest_base_floor(self) -> int:
+        """Highest base-manifest watermark in the current generation (0
+        when none): versions at or below it were grandfathered/compacted
+        into a base manifest and have NO per-version slice.  Name-only —
+        no object is read."""
+        floor = 0
+        for n in self._backend.list_names(self._manifest_prefix):
+            name = os.path.basename(n)
+            if name.startswith("base_") and name.endswith(".list"):
+                try:
+                    floor = max(floor, int(name[len("base_"):].split(".")[0]))
+                except ValueError:
+                    pass
+        return floor
 
     def tail_version_counts(
         self, from_version: int = 0
@@ -1035,9 +1107,24 @@ class VersionedLogTable:
         passed over, exactly like the reference's export-version cursor
         (cli/cmd/tail.go:29-97).  Candidate versions come from ONE name
         listing, not a get() per counter value — a fresh consumer on a
-        long history pays O(listed manifests), not O(counter range)."""
+        long history pays O(listed manifests), not O(counter range).
+
+        Raises ValueError when `from_version` reaches under a base
+        manifest's watermark: those versions were grandfathered or
+        compacted into the base and have no per-version slice, so
+        yielding only the later ones would SILENTLY hand the consumer a
+        partial history.  Use read()/tail() for the collapsed range and
+        resume the cursor at the base watermark."""
         committed = self.committed_version()
         hi = committed if up_to is None else min(up_to, committed)
+        floor = self._manifest_base_floor()
+        if from_version < floor:
+            raise ValueError(
+                f"tail_versions cursor {from_version} reaches under the "
+                f"base manifest watermark {floor}: that history was "
+                "grandfathered/compacted and has no per-version slices — "
+                f"read()/tail() it, then resume from {floor}"
+            )
         versions = sorted(
             v
             for v in (
@@ -1078,9 +1165,18 @@ class VersionedLogTable:
         multi-file scan (manifest-named paths + basePath) — the /tail
         route's row read.  One scan over exactly the delivered files
         beats a per-version union: Catalyst gets a single flat relation
-        instead of an N-deep Union plan."""
+        instead of an N-deep Union plan.
+
+        Returns None when the range reaches under a base manifest's
+        watermark — per-version slices don't exist there, and a compact
+        racing the caller's plan (tail_version_counts) lands exactly
+        here: the new generation's base covers the promised versions, so
+        the caller must fall back to the scan path rather than serve a
+        silently partial (or empty) body against an advanced cursor."""
         committed = self.committed_version()
         hi = min(up_to, committed)
+        if from_version < self._manifest_base_floor():
+            return None
         paths: list[str] = []
         for n in self._backend.list_names(self._manifest_prefix):
             name = os.path.basename(n)
@@ -1145,18 +1241,31 @@ class VersionedLogTable:
     def trigram_index_path(self) -> str:
         return os.path.join(self.root, "_trigram_idx")
 
+    @staticmethod
+    def _part_dir_value(v) -> str:
+        """The string a partition VALUE appears as in its dir name
+        (before %-escaping): Spark writes null and empty-string values
+        to the __HIVE_DEFAULT_PARTITION__ dir — a batch with a null
+        topic must still match its landed dir, or the manifest silently
+        omits committed files (which the next rollback would then
+        quarantine as uncommitted: permanent loss)."""
+        if v is None or v == "":
+            return "__HIVE_DEFAULT_PARTITION__"
+        return str(v)
+
     def _list_partition_files(
-        self, touched: set[tuple[str, int]]
+        self, touched: set[tuple[str, str]]
     ) -> list[str]:
         """Data files in exactly the named (topic, producer_bucket)
-        partition dirs — the O(touched-partitions) listing append() uses
-        for its manifest diff, instead of walking every file the table
-        ever wrote.  Partition-dir names are matched by DECODING Spark's
-        escaped form (urllib unquote inverts Spark's %-hex escaping,
-        which escapes '%' itself, so decode-and-compare is exact) —
-        never by re-encoding our values, which would have to replicate
-        Spark's escape-char set and would silently drop files from the
-        manifest on any mismatch."""
+        partition dirs (both as _part_dir_value strings) — the
+        O(touched-partitions) listing append() uses for its manifest
+        diff, instead of walking every file the table ever wrote.
+        Partition-dir names are matched by DECODING Spark's escaped form
+        (urllib unquote inverts Spark's %-hex escaping, which escapes
+        '%' itself, so decode-and-compare is exact) — never by
+        re-encoding our values, which would have to replicate Spark's
+        escape-char set and would silently drop files from the manifest
+        on any mismatch."""
         from urllib.parse import unquote
 
         root = self._resolve_data_path()
@@ -1176,10 +1285,7 @@ class VersionedLogTable:
             for bd in os.listdir(tpath):
                 if not bd.startswith("producer_bucket="):
                     continue
-                try:
-                    bval = int(unquote(bd[len("producer_bucket="):]))
-                except ValueError:
-                    continue
+                bval = unquote(bd[len("producer_bucket="):])
                 if (tval, bval) not in touched:
                     continue
                 bpath = os.path.join(tpath, bd)

@@ -236,7 +236,7 @@ def test_reader_never_sees_partial_append(spark, table, monkeypatch):
 
     held = []
     monkeypatch.setattr(
-        type(table), "_publish", lambda self, v: held.append(v)
+        type(table), "_publish", lambda self, v, **kw: held.append(v)
     )
     v2 = table.append(mkbatch(spark, "/a", [40, 50, 60, 70]))
     monkeypatch.undo()
@@ -264,7 +264,7 @@ def test_reader_never_sees_partial_append(spark, table, monkeypatch):
 def test_unpublished_tombstone_invisible(spark, table, monkeypatch):
     table.append(mkbatch(spark, "/a", [10, 20, 30]))
     held = []
-    monkeypatch.setattr(type(table), "_publish", lambda self, v: held.append(v))
+    monkeypatch.setattr(type(table), "_publish", lambda self, v, **kw: held.append(v))
     v = table.delete_range("dev1", "/a", 0, 25)
     monkeypatch.undo()
     # tombstone parquet exists but is not committed: nothing masked yet

@@ -198,3 +198,19 @@ def test_full_lifecycle_through_in_memory_backend(spark, root):
     t.compact()
     assert b.objects.get("data_ptr") == b"data_gen1"
     assert sorted(r["log_time"] for r in t.read().collect()) == [110, 300, 310]
+
+
+def test_publish_cas_pins_write_start_watermark(spark, root):
+    """The zombie-writer scenario the CAS exists for: a writer whose
+    lease expired mid-write must FAIL its flip against a successor's
+    newer watermark — never regress it.  (A CAS whose expected value is
+    re-read at publish time would 'succeed' here and roll 7 back to 6.)"""
+    t = VersionedLogTable(spark, root, gc_grace_sec=0.0)
+    t.append(mkbatch(spark, [100]))  # committed = 1
+    t._backend.put("committed", b"7")  # a successor advanced the pointer
+    with pytest.raises(StaleWriterError):
+        t._publish(6, expected_version=5)  # zombie pinned 5 at write start
+    assert t._backend.get("committed") == b"7"  # never regressed
+    # the tooling/read-current default still swaps under a held lease
+    t._publish(8)
+    assert t.committed_version() == 8

@@ -175,3 +175,20 @@ def test_verify_files_flags_crashed_writer_leftovers(spark, root):
     rep = t.verify_files()
     assert rep["missing"] == []
     assert len(rep["uncommitted"]) == 1  # the crashed leftover, GC'd next write
+
+
+def test_audit_clean_after_compact_and_sweep(spark, root):
+    """Swept pre-compact tombstones are INTENTIONAL deletions: the GC
+    retires them from the manifests, so the loss audit stays clean on a
+    healthy table (no permanent false MISSING alarms)."""
+    from dp3_spark.inspect_tool import inspect_table
+
+    t = VersionedLogTable(spark, root, gc_grace_sec=0.0)
+    t.append(mkbatch(spark, [100, 110]))
+    t.delete_range("p1", "/a", 0, 105)
+    t.append(mkbatch(spark, [200], topic="/b"))
+    t.compact()  # grace 0: old gen + pre-compact tombstones deleted NOW
+    rep = t.verify_files()
+    assert rep["missing"] == []
+    assert inspect_table(t.root)["missing_committed_files"] == []
+    assert sorted(r["log_time"] for r in t.read().collect()) == [110, 200]

@@ -207,3 +207,52 @@ def test_read_manifest_range_single_scan(spark, root):
     df2 = t.read_manifest_range(v1, v3)
     assert sorted(r["log_time"] for r in df2.collect()) == [300]
     assert t.read_manifest_range(v4, v4 + 5) is None
+
+
+def test_tail_versions_refuses_cursor_under_base_watermark(spark, root):
+    """A cursor under a base manifest's watermark must fail LOUDLY: the
+    collapsed history has no per-version slices, and yielding only the
+    later ones would hand the consumer a silently partial history."""
+    t = VersionedLogTable(spark, root, gc_grace_sec=0.0)
+    v1 = t.append(mkbatch(spark, [100]))
+    t._backend.delete(f"{t._manifest_prefix}/v{v1:012d}.list")
+    files = t._list_data_files()
+    t._write_manifest(f"base_{v1:012d}.list", files, {p: 1 for p in files})
+    v2 = t.append(mkbatch(spark, [200], topic="/b"))
+    with pytest.raises(ValueError, match="base manifest watermark"):
+        list(t.tail_versions(0))
+    assert [v for v, _ in t.tail_versions(v1)] == [v2]  # at the floor: fine
+    assert t.read_manifest_range(0, v2) is None  # None -> caller falls back
+    got = t.read_manifest_range(v1, v2)
+    assert [r["log_time"] for r in got.collect()] == [200]
+
+
+def test_service_tail_survives_compact_race(spark, root, monkeypatch):
+    """Counts plan resolved, then the manifests vanish (compact raced the
+    poll): the route must fall back to the scan — the served cursor may
+    only advance past rows that were actually served."""
+    import json as _json
+    import urllib.request
+
+    from dp3_spark.engine import DP3Engine
+    from dp3_spark.service import DP3Service
+
+    t = VersionedLogTable(spark, root, gc_grace_sec=0.0)
+    t.append(mkbatch(spark, [100, 110]))
+    t.append(mkbatch(spark, [200], topic="/b"))
+    eng = DP3Engine(spark, table=t)
+    # simulate the race: plan succeeds, slice read finds no manifests
+    monkeypatch.setattr(
+        type(t), "read_manifest_range", lambda self, a, b: None
+    )
+    s = DP3Service({"tt": eng})
+    host, port = s.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://{host}:{port}/databases/tt/tail?from=0&limit=100"
+        ) as r:
+            lines = [_json.loads(x) for x in r.read().splitlines() if x]
+        assert lines[0]["version"] == 2
+        assert sorted(x["log_time"] for x in lines[1:]) == [100, 110, 200]
+    finally:
+        s.stop()

@@ -234,3 +234,27 @@ def test_append_manifest_hostile_partition_values(spark, root):
     slices = list(t.tail_versions(0))
     assert len(slices) == 1
     assert sorted(r["topic"] for r in slices[0][1].collect()) == sorted(topics)
+
+
+def test_append_manifest_covers_null_and_empty_topic(spark, root):
+    """Null/empty partition values land in __HIVE_DEFAULT_PARTITION__;
+    the touched-partition diff must still capture those files or the
+    manifest omits committed data (which rollback would then destroy)."""
+    t = VersionedLogTable(spark, root, gc_grace_sec=0.0)
+    rows = [("p1", None, 100, 0, "a"), ("p1", "", 110, 1, "b"),
+            ("p1", "/x", 120, 2, "c")]
+    df = spark.createDataFrame(
+        rows,
+        "producer string, topic string, log_time long, sequence long, props string",
+    )
+    v = t.append(df)
+    files = t._manifests()[f"v{v:012d}.list"]
+    # null and "" share the default-partition dir; /x gets its own
+    assert any("__HIVE_DEFAULT_PARTITION__" in p for p in files)
+    assert sum(1 for p in files if "__HIVE_DEFAULT_PARTITION__" in p) >= 1
+    assert len(t.read().collect()) == 3
+    # a later crash-rollback pass must NOT quarantine these committed
+    # files: force the repair path and verify nothing is dropped
+    t._write_version(t.current_version() + 1)  # counter ahead: repair runs
+    assert t._gc_uncommitted() == 0
+    assert len(t.read().collect()) == 3
