@@ -79,11 +79,18 @@ file set AND never fails on a listed-then-rolled-back file.
 `ignoreMissingFiles` cannot distinguish the modeled race from real data
 loss (a storage fault, an accidental delete, a scan that outlives the
 grace window): outside the contract it would silently truncate instead
-of failing loudly.  Two mitigations: the default `gc_grace_sec` is
-hours-scale (21600 s) so only pathological scans outlive it, and
-`strict_reads=True` turns the option off on every read path — scans
-fail loudly on ANY missing file, the right mode for audits and for
-deployments whose readers cannot bound their listing-to-open gap.
+of failing loudly.  On a MANIFEST-BEARING table the query path no
+longer pays that tradeoff at all (round 10): `read()` plans the scan
+from the write manifests (`_snapshot_paths`) — an explicit committed
+file list, so an uncommitted file is never opened (nothing to
+tolerate) and a vanished COMMITTED file fails loudly by construction,
+with no directory listing at plan time (the 100 TB win: O(versions
+since compact) small-object reads instead of an object-store LIST over
+every file).  The listing path — with its two mitigations: the
+hours-scale default `gc_grace_sec` (21600 s) so only pathological
+scans outlive it, and `strict_reads=True` turning the option off on
+every read path — remains for legacy tables, plan-vs-compact races,
+and the file-stream tail.
 
 A `compact()` pass physically drops tombstoned rows and rewrites — the
 reference's merge-time mask application.
@@ -172,11 +179,15 @@ class VersionedLogTable:
     # bounded: only quarantined-uncommitted files and superseded
     # generations sit in it, never live data.
     gc_grace_sec: float = 21600.0
-    # strict_reads=True drops ignoreMissingFiles from every read path:
-    # any file that vanishes between listing and open — even the modeled
-    # quarantine race — fails the scan loudly instead of being skipped.
-    # Use for audit reads and wherever silent truncation is worse than a
-    # retried query (module header, "silent data loss" paragraph).
+    # strict_reads=True drops ignoreMissingFiles from every LISTING read
+    # path: any file that vanishes between listing and open — even the
+    # modeled quarantine race — fails the scan loudly instead of being
+    # skipped.  The manifest-planned query path (_snapshot_paths) is
+    # strict by construction regardless of this flag; the flag governs
+    # the paths that still list (legacy tables, plan-race fallback,
+    # tail_stream, read_manifest_range).  Use for audit reads and
+    # wherever silent truncation is worse than a retried query (module
+    # header, "silent data loss" paragraph).
     strict_reads: bool = False
     # Version-pointer / writer-lease backend (meta_backend.py contract):
     # None = local POSIX `_meta` dir.  A deployment on an object store
@@ -376,6 +387,79 @@ class VersionedLogTable:
             if v is None or v <= committed:
                 out.update(entries)
         return out
+
+    def _snapshot_paths(
+        self, watermark: int, *, kind: str, prune_to: int | None = None
+    ) -> tuple[str, list[str]] | None:
+        """Explicit committed file list for the snapshot at `watermark`,
+        planned from the write manifests — the query-path read planner.
+
+        At 100 TB this replaces the recursive directory listing that
+        `spark.read.parquet(dir)` pays per query (an object-store LIST
+        over every file ever written) with O(versions since compact)
+        small-object reads, the Delta/Iceberg planning shape.  It also
+        makes the read STRICT BY CONSTRUCTION: the plan names exactly
+        the committed files, so an uncommitted (crashed-writer) file is
+        never opened — no `ignoreMissingFiles` needed to tolerate its
+        quarantine — and a vanished COMMITTED file fails the scan loudly
+        instead of being silently skipped (the r9-advice truncation
+        hazard, closed structurally for manifest-bearing tables).
+
+        kind: 'data' (rels under the current generation dir) or
+        'tombstones'.  prune_to: time-travel file pruning — per-version
+        manifests above it are skipped entirely (whole committed files
+        never scanned); base manifests stay in (their per-file versions
+        are unresolved) and the caller's row-level `version <=`
+        filter finishes the job.
+
+        Returns (generation_path, sorted_paths) — the generation is
+        pinned WITH the plan so the caller's basePath can never disagree
+        with the planned paths across a racing compact — or None, in
+        which case the caller falls back to the listing scan, whose
+        grace-window semantics cover every race: the table is legacy
+        (no manifests) or a compact raced the plan.  Race detection: the
+        generation pointer is re-read after the manifest walk; a flip
+        mid-plan (old-gen manifests partially swept, new base not yet
+        seen) retries once against the new generation, then gives up to
+        the fallback."""
+        for _ in range(2):
+            gen_path = self._resolve_data_path()
+            gen = os.path.basename(gen_path)
+            prefix = "manifest/" + gen
+            names = [
+                n
+                for n in self._backend.list_names(prefix)
+                if n.endswith(".list")
+            ]
+            if not names:
+                return None  # legacy table, or the flip->base-manifest gap
+            paths: list[str] = []
+            complete = True
+            for full in names:
+                v = self._manifest_version(os.path.basename(full))
+                if v is not None and v > watermark:
+                    continue  # above the snapshot: not committed for us
+                if v is not None and prune_to is not None and v > prune_to:
+                    continue  # time travel: the whole version is pruned
+                raw = self._backend.get(full)
+                if raw is None:
+                    complete = False  # swept between list and get
+                    break
+                for line in raw.decode().splitlines():
+                    if not line:
+                        continue
+                    rel = line.partition("\t")[0]
+                    seg = rel.split(os.sep, 1)[0]
+                    if (kind == "data" and seg == gen) or (
+                        kind == "tombstones" and seg == "tombstones"
+                    ):
+                        paths.append(os.path.join(self.root, rel))
+            if complete and os.path.basename(self._resolve_data_path()) == gen:
+                # [] is a COMPLETE empty plan ("no committed files of this
+                # kind"), distinct from None ("no plan; use the scan"):
+                # _tombstones turns [] into "no tombstones" with zero IO
+                return gen_path, sorted(paths)
+        return None  # compacts raced the plan twice; scan path takes over
 
     def _ensure_manifest_baseline(self) -> None:
         """First manifest-bearing write on a legacy table: grandfather
@@ -848,25 +932,49 @@ class VersionedLogTable:
         return r
 
     def _data(
-        self, committed_only: bool = True, watermark: int | None = None
+        self,
+        committed_only: bool = True,
+        watermark: int | None = None,
+        prune_to: int | None = None,
     ) -> DataFrame | None:
         """committed_only (the default for every query path) hides any
         version above the published watermark: a reader racing an
-        in-flight append never sees its partial file set.  The predicate
-        is a constant on a data column — parquet row-group min/max skips
-        unpublished files without decoding them.  committed_only=False
-        exists solely for the version-counter bootstrap scan.
+        in-flight append never sees its partial file set.
+
+        Manifest-bearing tables plan the scan from the write manifests
+        (_snapshot_paths): an explicit committed file list instead of a
+        directory listing — O(versions since compact) small-object reads
+        at plan time rather than an object-store LIST over every file,
+        and strict by construction (a vanished committed file fails
+        loudly; an uncommitted file is never opened, so no
+        ignoreMissingFiles).  The watermark row filter stays on as a
+        belt-and-braces guard (parquet min/max makes it free).
+
+        Legacy tables — and any read whose plan a compact raced — fall
+        back to the listing scan, where the version predicate hides
+        unpublished files via row-group min/max and ignoreMissingFiles
+        covers the quarantine race (see _batch_reader).
+        committed_only=False exists solely for the version-counter
+        bootstrap scan and always lists.
 
         watermark: pass a pre-resolved committed version so a multi-part
         read (data + tombstones) sees ONE snapshot — resolving twice
         would let a concurrent publish land between the two reads and
         apply a newer tombstone against older data.
 
-        ignoreMissingFiles: a file that vanishes between this read's
-        listing and its open can only be one the GC quarantined — rows
-        above this read's watermark, so skipping it equals what the
-        version filter would have done — or a superseded generation
-        past the grace window (out of contract; see module header)."""
+        prune_to: time-travel file pruning (see _snapshot_paths)."""
+        if committed_only:
+            w = self.committed_version() if watermark is None else watermark
+            plan = self._snapshot_paths(w, kind="data", prune_to=prune_to)
+            if plan is not None and plan[1]:
+                gen_path, paths = plan
+                df = self.spark.read.option("basePath", gen_path).parquet(
+                    *paths
+                )
+                return df.filter(F.col("version") <= F.lit(w))
+            # plan == (gen, []) — manifest-complete but no committed data
+            # files: fall through so the listing path preserves the
+            # legacy empty-table semantics (None / empty frame) exactly
         try:
             df = self._batch_reader().parquet(self._resolve_data_path())
         except Exception:
@@ -877,8 +985,26 @@ class VersionedLogTable:
         return df
 
     def _tombstones(
-        self, committed_only: bool = True, watermark: int | None = None
+        self,
+        committed_only: bool = True,
+        watermark: int | None = None,
+        prune_to: int | None = None,
     ) -> DataFrame | None:
+        if committed_only:
+            w = self.committed_version() if watermark is None else watermark
+            plan = self._snapshot_paths(
+                w, kind="tombstones", prune_to=prune_to
+            )
+            if plan is not None:
+                if not plan[1]:
+                    # manifest-complete, zero committed tombstones: the
+                    # common no-deletes table answers with ZERO IO (the
+                    # listing path would stat the dir per read)
+                    return None
+                df = self.spark.read.option(
+                    "basePath", self.tombstones_path
+                ).parquet(*plan[1])
+                return df.filter(F.col("version") <= F.lit(w))
         try:
             # same missing-file contract as _data()
             df = self._batch_reader().parquet(self.tombstones_path)
@@ -908,7 +1034,11 @@ class VersionedLogTable:
         # a concurrent publish between the two must not apply a newer
         # tombstone against an older data snapshot
         w = self.committed_version()
-        df = self._data(watermark=w)
+        # as_of prunes whole per-version manifests out of the file plan;
+        # the row-level version filter in _apply_tombstones finishes the
+        # job for files under a base manifest (per-file versions there
+        # are unresolved)
+        df = self._data(watermark=w, prune_to=as_of_version)
         if df is None:
             raise FileNotFoundError(f"no data at {self.data_path}")
         return self._strip(self._apply_tombstones(df, as_of_version, watermark=w))
@@ -919,7 +1049,7 @@ class VersionedLogTable:
         as_of_version: int | None = None,
         watermark: int | None = None,
     ) -> DataFrame:
-        ts = self._tombstones(watermark=watermark)
+        ts = self._tombstones(watermark=watermark, prune_to=as_of_version)
         if as_of_version is not None:
             df = df.filter(F.col("version") <= as_of_version)
             if ts is not None:

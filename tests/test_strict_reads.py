@@ -42,17 +42,38 @@ def _one_committed_file(t):
     return files[0]
 
 
-def test_default_read_skips_vanished_committed_file(spark, root):
-    """The documented hazard: with the default policy a committed file
-    that vanishes between listing and open is SKIPPED (truncated result,
-    no error) — this test exists so the behavior is a pinned, documented
-    tradeoff rather than a surprise."""
+def test_default_read_fails_loudly_on_vanished_committed_file(spark, root):
+    """Round 10: the manifest-planned read closes the r9-advice hazard
+    STRUCTURALLY on manifest-bearing tables — the plan names exactly the
+    committed files, so a vanished one fails the scan loudly under the
+    DEFAULT policy (no strict_reads needed; there is no listing whose
+    gaps ignoreMissingFiles must paper over)."""
     t = VersionedLogTable(spark, root, gc_grace_sec=0.0)
     t.append(mkbatch(spark, [100, 110]))
     t.append(mkbatch(spark, [200, 210], topic="/b"))
+    df = t.read()  # manifest-planned: explicit committed file list
+    os.remove(_one_committed_file(t))
+    with pytest.raises(Exception, match="(?i)file|exist"):
+        df.count()
+
+
+def test_listing_fallback_skips_vanished_committed_file(spark, root, monkeypatch):
+    """The documented hazard lives on ONLY in the listing fallback
+    (legacy tables / a compact racing the plan): with the default policy
+    a committed file that vanishes between listing and open is SKIPPED
+    (truncated result, no error) — pinned here so the residual tradeoff
+    stays a documented one rather than a surprise."""
+    t = VersionedLogTable(spark, root, gc_grace_sec=0.0)
+    t.append(mkbatch(spark, [100, 110]))
+    t.append(mkbatch(spark, [200, 210], topic="/b"))
+    monkeypatch.setattr(
+        VersionedLogTable,
+        "_snapshot_paths",
+        lambda self, w, *, kind, prune_to=None: None,
+    )
     df = t.read()  # listing happens here
     os.remove(_one_committed_file(t))
-    assert df.count() < 4  # silently truncated — the default contract
+    assert df.count() < 4  # silently truncated — the fallback contract
 
 
 def test_strict_reads_fails_loudly_on_vanished_file(spark, root):
