@@ -405,23 +405,27 @@ class VersionedLogTable:
         instead of being silently skipped (the r9-advice truncation
         hazard, closed structurally for manifest-bearing tables).
 
-        kind: 'data' (rels under the current generation dir) or
-        'tombstones'.  prune_to: time-travel file pruning — per-version
+        kind: 'data' (rels under the current generation dir),
+        'tombstones', or 'both' — 'both' is how read() plans data AND
+        tombstones from ONE manifest walk (half the plan IO of two
+        calls, and both sides provably from the same manifest
+        snapshot).  prune_to: time-travel file pruning — per-version
         manifests above it are skipped entirely (whole committed files
         never scanned); base manifests stay in (their per-file versions
         are unresolved) and the caller's row-level `version <=`
         filter finishes the job.
 
-        Returns (generation_path, sorted_paths) — the generation is
-        pinned WITH the plan so the caller's basePath can never disagree
-        with the planned paths across a racing compact — or None, in
-        which case the caller falls back to the listing scan, whose
-        grace-window semantics cover every race: the table is legacy
-        (no manifests) or a compact raced the plan.  Race detection: the
-        generation pointer is re-read after the manifest walk; a flip
-        mid-plan (old-gen manifests partially swept, new base not yet
-        seen) retries once against the new generation, then gives up to
-        the fallback."""
+        Returns (generation_path, sorted_paths) — for kind='both',
+        (generation_path, sorted_data_paths, sorted_tombstone_paths) —
+        the generation is pinned WITH the plan so the caller's basePath
+        can never disagree with the planned paths across a racing
+        compact — or None, in which case the caller falls back to the
+        listing scan, whose grace-window semantics cover every race:
+        the table is legacy (no manifests) or a compact raced the plan.
+        Race detection: the generation pointer is re-read after the
+        manifest walk; a flip mid-plan (old-gen manifests partially
+        swept, new base not yet seen) retries once against the new
+        generation, then gives up to the fallback."""
         for _ in range(2):
             gen_path = self._resolve_data_path()
             gen = os.path.basename(gen_path)
@@ -433,7 +437,8 @@ class VersionedLogTable:
             ]
             if not names:
                 return None  # legacy table, or the flip->base-manifest gap
-            paths: list[str] = []
+            data: list[str] = []
+            tombs: list[str] = []
             complete = True
             for full in names:
                 v = self._manifest_version(os.path.basename(full))
@@ -450,15 +455,20 @@ class VersionedLogTable:
                         continue
                     rel = line.partition("\t")[0]
                     seg = rel.split(os.sep, 1)[0]
-                    if (kind == "data" and seg == gen) or (
-                        kind == "tombstones" and seg == "tombstones"
+                    if seg == gen and kind in ("data", "both"):
+                        data.append(os.path.join(self.root, rel))
+                    elif seg == "tombstones" and kind in (
+                        "tombstones",
+                        "both",
                     ):
-                        paths.append(os.path.join(self.root, rel))
+                        tombs.append(os.path.join(self.root, rel))
             if complete and os.path.basename(self._resolve_data_path()) == gen:
                 # [] is a COMPLETE empty plan ("no committed files of this
                 # kind"), distinct from None ("no plan; use the scan"):
                 # _tombstones turns [] into "no tombstones" with zero IO
-                return gen_path, sorted(paths)
+                if kind == "both":
+                    return gen_path, sorted(data), sorted(tombs)
+                return gen_path, sorted(data if kind == "data" else tombs)
         return None  # compacts raced the plan twice; scan path takes over
 
     def _ensure_manifest_baseline(self) -> None:
@@ -931,11 +941,16 @@ class VersionedLogTable:
             r = r.option("ignoreMissingFiles", "true")
         return r
 
+    # sentinel distinguishing "caller supplied no plan: compute one"
+    # from "caller's plan was None: fall back to the listing scan"
+    _PLAN_UNSET = object()
+
     def _data(
         self,
         committed_only: bool = True,
         watermark: int | None = None,
         prune_to: int | None = None,
+        plan=_PLAN_UNSET,
     ) -> DataFrame | None:
         """committed_only (the default for every query path) hides any
         version above the published watermark: a reader racing an
@@ -962,10 +977,14 @@ class VersionedLogTable:
         would let a concurrent publish land between the two reads and
         apply a newer tombstone against older data.
 
-        prune_to: time-travel file pruning (see _snapshot_paths)."""
+        prune_to: time-travel file pruning (see _snapshot_paths).
+        plan: a pre-computed (gen_path, paths) from a shared kind='both'
+        walk (read() plans data + tombstones in one pass); None forces
+        the listing fallback; unset computes a plan here."""
         if committed_only:
             w = self.committed_version() if watermark is None else watermark
-            plan = self._snapshot_paths(w, kind="data", prune_to=prune_to)
+            if plan is VersionedLogTable._PLAN_UNSET:
+                plan = self._snapshot_paths(w, kind="data", prune_to=prune_to)
             if plan is not None and plan[1]:
                 gen_path, paths = plan
                 df = self.spark.read.option("basePath", gen_path).parquet(
@@ -989,12 +1008,14 @@ class VersionedLogTable:
         committed_only: bool = True,
         watermark: int | None = None,
         prune_to: int | None = None,
+        plan=_PLAN_UNSET,
     ) -> DataFrame | None:
         if committed_only:
             w = self.committed_version() if watermark is None else watermark
-            plan = self._snapshot_paths(
-                w, kind="tombstones", prune_to=prune_to
-            )
+            if plan is VersionedLogTable._PLAN_UNSET:
+                plan = self._snapshot_paths(
+                    w, kind="tombstones", prune_to=prune_to
+                )
             if plan is not None:
                 if not plan[1]:
                     # manifest-complete, zero committed tombstones: the
@@ -1037,19 +1058,37 @@ class VersionedLogTable:
         # as_of prunes whole per-version manifests out of the file plan;
         # the row-level version filter in _apply_tombstones finishes the
         # job for files under a base manifest (per-file versions there
-        # are unresolved)
-        df = self._data(watermark=w, prune_to=as_of_version)
+        # are unresolved).  ONE kind='both' manifest walk plans data and
+        # tombstones together: half the plan IO, and both sides come
+        # from the same manifest snapshot by construction.
+        dplan, tplan = self._plan_both(w, prune_to=as_of_version)
+        df = self._data(watermark=w, prune_to=as_of_version, plan=dplan)
         if df is None:
             raise FileNotFoundError(f"no data at {self.data_path}")
-        return self._strip(self._apply_tombstones(df, as_of_version, watermark=w))
+        return self._strip(
+            self._apply_tombstones(df, as_of_version, watermark=w, plan=tplan)
+        )
+
+    def _plan_both(self, watermark: int, *, prune_to: int | None = None):
+        """One manifest walk -> ((gen, data_paths), (gen, tomb_paths)),
+        or (None, None) when the walk yields no plan (legacy table or a
+        twice-raced compact) — the callers' listing fallback."""
+        both = self._snapshot_paths(watermark, kind="both", prune_to=prune_to)
+        if both is None:
+            return None, None
+        gen_path, data_paths, tomb_paths = both
+        return (gen_path, data_paths), (gen_path, tomb_paths)
 
     def _apply_tombstones(
         self,
         df: DataFrame,
         as_of_version: int | None = None,
         watermark: int | None = None,
+        plan=_PLAN_UNSET,
     ) -> DataFrame:
-        ts = self._tombstones(watermark=watermark, prune_to=as_of_version)
+        ts = self._tombstones(
+            watermark=watermark, prune_to=as_of_version, plan=plan
+        )
         if as_of_version is not None:
             df = df.filter(F.col("version") <= as_of_version)
             if ts is not None:
@@ -1583,7 +1622,10 @@ class VersionedLogTable:
         from dp3_spark.operators.trigram import probe_index
 
         w = self.committed_version()  # one snapshot for every sub-read
-        full = self._data(watermark=w)
+        # one kind='both' walk plans data + tombstones for every branch
+        # below (each branch applies tombstones exactly once)
+        dplan, tplan = self._plan_both(w, prune_to=as_of_version)
+        full = self._data(watermark=w, prune_to=as_of_version, plan=dplan)
         if full is None:
             raise FileNotFoundError(f"no data at {self.data_path}")
         pred = (
@@ -1599,7 +1641,9 @@ class VersionedLogTable:
             )
         if not self.trigram_cols or column not in self.trigram_cols:
             return self._strip(
-                self._apply_tombstones(full, as_of_version, watermark=w).filter(pred)
+                self._apply_tombstones(
+                    full, as_of_version, watermark=w, plan=tplan
+                ).filter(pred)
             )
         try:
             survivors, covered = probe_index(
@@ -1608,7 +1652,9 @@ class VersionedLogTable:
         except Exception:
             # sidecar missing or unreadable: correctness first, no pruning
             return self._strip(
-                self._apply_tombstones(full, as_of_version, watermark=w).filter(pred)
+                self._apply_tombstones(
+                    full, as_of_version, watermark=w, plan=tplan
+                ).filter(pred)
             )
         live = {f"file://{p}" for p in self._list_data_files()}
         # unindexed data files can never be skipped; index rows for files
@@ -1627,7 +1673,9 @@ class VersionedLogTable:
             .filter(F.col("version") <= F.lit(w))
         )
         return self._strip(
-            self._apply_tombstones(df, as_of_version, watermark=w).filter(pred)
+            self._apply_tombstones(
+                df, as_of_version, watermark=w, plan=tplan
+            ).filter(pred)
         )
 
     def log_store(self, *, payload_cols: tuple[str, ...] = ()):

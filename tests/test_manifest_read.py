@@ -182,6 +182,52 @@ def test_legacy_table_falls_back_to_listing(spark, root):
     assert _rows(t.read()) == [("/a", 10), ("/a", 20)]
 
 
+def test_both_plan_matches_single_kind_plans(spark, root):
+    """kind='both' (read()'s one-walk planner) returns exactly the two
+    single-kind plans."""
+    t = _build(spark, root)
+    w = t.committed_version()
+    both = t._snapshot_paths(w, kind="both")
+    assert both is not None
+    gen, data, tombs = both
+    assert (gen, data) == t._snapshot_paths(w, kind="data")
+    assert (gen, tombs) == t._snapshot_paths(w, kind="tombstones")
+    dplan, tplan = t._plan_both(w)
+    assert dplan == (gen, data) and tplan == (gen, tombs)
+
+
+def test_read_plans_with_one_manifest_walk(spark, root):
+    """read() plans data AND tombstones from ONE manifest walk: each
+    manifest object is fetched exactly once and the listing runs once —
+    at 100 TB the plan cost is O(versions), not 2x O(versions)."""
+    t = _build(spark, root)
+    gets, lists = [], []
+    real = t._backend
+
+    class CountingBackend:
+        def __getattr__(self, name):  # pass everything else through
+            return getattr(real, name)
+
+        def get(self, name):
+            gets.append(name)
+            return real.get(name)
+
+        def list_names(self, prefix=""):
+            lists.append(prefix)
+            return real.list_names(prefix)
+
+    t.pointer_backend = CountingBackend()  # constructor-field override
+    try:
+        t.read()
+    finally:
+        t.pointer_backend = None
+    manifest_gets = [n for n in gets if ".list" in n]
+    assert manifest_gets, "read() did not plan from manifests"
+    assert len(manifest_gets) == len(set(manifest_gets))  # each once
+    manifest_lists = [p for p in lists if p.startswith("manifest/")]
+    assert len(manifest_lists) == 1  # one walk, not one per kind
+
+
 def test_planned_read_survives_compact_of_snapshot(spark, root):
     """A frame planned before a compact stays readable through the grace
     window (the old generation's files are deferred, not deleted)."""
