@@ -87,26 +87,31 @@ def _read_meta_int(meta: str, name: str) -> int | None:
     return int(txt) if txt else None
 
 
-def _read_manifests(meta: str, gen: str) -> dict[str, dict[str, int]] | None:
-    """{manifest_name -> {root-relative path -> rows}} for the current
-    generation; None = legacy table (footer resolution applies).  Same
-    format VersionedLogTable._manifests reads — kept dependency-free
-    here so the inspector never imports Spark-touching modules."""
+def _read_manifests(
+    meta: str, gen: str
+) -> dict[str, dict[str, tuple[int, int]]] | None:
+    """{manifest_name -> {root-relative path -> (rows, bytes)}} for the
+    current generation; None = legacy table (footer resolution applies).
+    Same format VersionedLogTable._manifests reads — kept
+    dependency-free here so the inspector never imports Spark-touching
+    modules.  bytes is -1 for pre-size-column (two-field) manifests."""
     mdir = os.path.join(meta, "manifest", gen)
     if not os.path.isdir(mdir):
         return None
-    out: dict[str, dict[str, int]] = {}
+    out: dict[str, dict[str, tuple[int, int]]] = {}
     for name in sorted(os.listdir(mdir)):
         if name.endswith(".tmp") or not name.endswith(".list"):
             continue
-        entries: dict[str, int] = {}
+        entries: dict[str, tuple[int, int]] = {}
         with open(os.path.join(mdir, name)) as f:
             for line in f:
                 line = line.rstrip("\n")
                 if not line:
                     continue
-                rel, _, r = line.partition("\t")
-                entries[rel] = int(r or -1)
+                fields = line.split("\t")
+                rows = int(fields[1]) if len(fields) > 1 and fields[1] else -1
+                size = int(fields[2]) if len(fields) > 2 and fields[2] else -1
+                entries[fields[0]] = (rows, size)
         out[name] = entries
     return out or None
 
@@ -127,8 +132,8 @@ def inspect_table(root: str) -> dict[str, Any]:
     data_dir = os.path.join(root, gen)
 
     manifests = _read_manifests(meta, gen)
-    # file -> (version | None for base, rows) from the manifest record
-    manifested: dict[str, tuple[int | None, int]] = {}
+    # file -> (version | None for base, rows, committed bytes or -1)
+    manifested: dict[str, tuple[int | None, int, int]] = {}
     base = {"files": 0, "rows": 0, "bytes": 0, "watermarks": []}
     if manifests:
         for name, entries in manifests.items():
@@ -137,8 +142,8 @@ def inspect_table(root: str) -> dict[str, Any]:
                 v = int(name[1:].split(".")[0])
             else:  # base_{W}.list: committed at <= W, versions unresolved
                 base["watermarks"].append(int(name.split("_")[1].split(".")[0]))
-            for rel, rows in entries.items():
-                manifested[rel] = (v, rows)
+            for rel, (rows, size) in entries.items():
+                manifested[rel] = (v, rows, size)
 
     versions: dict[int, dict[str, int]] = {}
     partitions: dict[str, dict[str, int]] = {}
@@ -149,15 +154,23 @@ def inspect_table(root: str) -> dict[str, Any]:
     # surfacing the set is the audit the r9 advice asked for
     unseen = {
         rel
-        for rel, (v, _) in manifested.items()
+        for rel, (v, _, _) in manifested.items()
         if (v is None or committed is None or v <= committed)
     }
+    size_mismatch: list[str] = []
     for path in _walk_parquet(data_dir):
         rel = os.path.relpath(path, root)
         unseen.discard(rel)
         size = os.path.getsize(path)
         if manifests and rel in manifested:
-            v, rows = manifested[rel]
+            v, rows, want = manifested[rel]
+            if 0 <= want != size and (
+                v is None or committed is None or v <= committed
+            ):
+                # committed at one size, on disk at another: truncation
+                # or overwrite — data corruption the default read policy
+                # would sail through (wrong rows, maybe a torn footer)
+                size_mismatch.append(rel)
             rows = max(rows, 0)
             status = "ok" if v is not None else "base"
         else:
@@ -265,6 +278,9 @@ def inspect_table(root: str) -> dict[str, Any]:
         # committed per the manifests but absent on disk: silent data
         # loss under the default read policy — the audit signal
         "missing_committed_files": sorted(unseen),
+        # present but not at the size recorded at commit time:
+        # truncated/overwritten committed bytes (storage fault)
+        "size_mismatch_files": sorted(size_mismatch),
     }
     # trigram-index watermark: "indexed through version N for columns C
     # in generation G".  current=False means the next append will run
@@ -358,6 +374,11 @@ def format_report(rep: dict[str, Any]) -> str:
         lines.append(
             f"  MISSING  {rel}  [committed per manifest, absent on disk "
             "— silent data loss under the default read policy]"
+        )
+    for rel in rep.get("size_mismatch_files", []):
+        lines.append(
+            f"  CORRUPT  {rel}  [on-disk size differs from the size "
+            "recorded at commit — truncated or overwritten]"
         )
     if "trigram_index" in rep:
         ti = rep["trigram_index"]

@@ -330,12 +330,25 @@ class VersionedLogTable:
     def _write_manifest(
         self, name: str, files: list[str], rows: dict[str, int] | None = None
     ) -> None:
-        """One "relpath\\trows" line per file; tmp + fsync + replace (the
-        same small-object durability discipline as the watermark).  rows
-        may be unknown (-1) for base manifests — GC never needs it, only
-        the inspector's report does."""
+        """One "relpath\\trows\\tbytes" line per file; tmp + fsync +
+        replace (the same small-object durability discipline as the
+        watermark).  rows may be unknown (-1) for base manifests — GC
+        never needs it, only the inspector's report does.  bytes is the
+        file size at commit time (one stat per freshly-landed file, paid
+        once at write), so verify_files can detect TRUNCATED committed
+        files, not just missing ones; -1 when unknown.  Parsers take
+        leading fields only, so pre-size two-field manifests stay
+        readable (sizes read as unknown)."""
+
+        def _size(p: str) -> int:
+            try:
+                return os.path.getsize(p)
+            except OSError:
+                return -1
+
         payload = "".join(
-            f"{os.path.relpath(p, self.root)}\t{(rows or {}).get(p, -1)}\n"
+            f"{os.path.relpath(p, self.root)}\t{(rows or {}).get(p, -1)}"
+            f"\t{_size(p)}\n"
             for p in sorted(files)
         )
         self._backend.put(f"{self._manifest_prefix}/{name}", payload.encode())
@@ -363,7 +376,8 @@ class VersionedLogTable:
                 if not line:
                     continue
                 rel, _, r = line.partition("\t")
-                entries[rel] = int(r or -1)
+                # r is "rows" or "rows\tbytes" — rows is the first field
+                entries[rel] = int(r.partition("\t")[0] or -1)
             out[name] = entries
         return out or None
 
@@ -387,6 +401,31 @@ class VersionedLogTable:
             if v is None or v <= committed:
                 out.update(entries)
         return out
+
+    def _committed_sizes(self, committed: int) -> dict[str, int]:
+        """root-relative path -> bytes recorded at commit time, for
+        committed manifests; -1 for entries written before the size
+        column (two-field manifests) so old tables never false-positive
+        the truncation audit."""
+        sizes: dict[str, int] = {}
+        for full in self._backend.list_names(self._manifest_prefix):
+            name = os.path.basename(full)
+            if name.endswith(".tmp") or not name.endswith(".list"):
+                continue
+            v = self._manifest_version(name)
+            if v is not None and v > committed:
+                continue
+            raw = self._backend.get(full)
+            if raw is None:
+                continue
+            for line in raw.decode().splitlines():
+                if not line:
+                    continue
+                fields = line.split("\t")
+                sizes[fields[0]] = (
+                    int(fields[2]) if len(fields) > 2 and fields[2] else -1
+                )
+        return sizes
 
     def _snapshot_paths(
         self, watermark: int, *, kind: str, prune_to: int | None = None
@@ -1126,11 +1165,17 @@ class VersionedLogTable:
         Returns {"missing": [...committed-but-absent relpaths...],
         "uncommitted": [...live-but-unmanifested relpaths — a crashed
         writer's leftovers, removed by the next write...],
+        "size_mismatch": [...present-but-wrong-size relpaths — a
+        truncated or overwritten committed file (storage fault, partial
+        restore); sizes are recorded in the manifest at commit time, so
+        the check is one stat per file with zero parquet reads;
+        entries from pre-size-column manifests are never flagged...],
         "checked": N}.  Raises on a legacy (manifest-less) table: there
         is no committed-set source of truth to audit against.  Cost is
         one listing + the manifest set — an explicit audit call, never
         on the query path."""
-        committed = self._committed_paths(self.committed_version())
+        w = self.committed_version()
+        committed = self._committed_paths(w)
         if committed is None:
             raise RuntimeError(
                 "verify_files needs write manifests; legacy table "
@@ -1140,9 +1185,22 @@ class VersionedLogTable:
             os.path.relpath(p, self.root)
             for p in self._list_data_files() + self._list_tombstone_files()
         }
+        sizes = self._committed_sizes(w)
+        mismatch = []
+        for rel in sorted(committed & live):
+            want = sizes.get(rel, -1)
+            if want < 0:
+                continue  # pre-size manifest entry: unknown, not wrong
+            try:
+                have = os.path.getsize(os.path.join(self.root, rel))
+            except OSError:
+                continue  # vanished since the listing: reported missing
+            if have != want:
+                mismatch.append(rel)
         return {
             "missing": sorted(committed - live),
             "uncommitted": sorted(live - committed),
+            "size_mismatch": mismatch,
             "checked": len(committed),
         }
 
@@ -1241,7 +1299,7 @@ class VersionedLogTable:
                 if rel.split(os.sep, 1)[0] != gen:
                     continue  # a delete's manifest names tombstone files
                 has_data = True
-                n = int(r or -1)
+                n = int(r.partition("\t")[0] or -1)
                 if n < 0:
                     return None  # unknown count: legacy scan decides
                 rows += n

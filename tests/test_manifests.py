@@ -306,3 +306,52 @@ def test_inspect_distinguishes_foreign_from_torn(spark, root):
         "part-foreign.parquet"
     ]
     assert [os.path.basename(p) for p in rep["torn_files"]] == ["part-torn.parquet"]
+
+
+def test_verify_files_detects_truncated_committed_file(spark, root):
+    """Manifests record each committed file's byte size at write time;
+    verify_files flags a present-but-resized file (truncation/overwrite
+    — corruption the default read policy would sail through), alongside
+    the existing missing-file audit.  The inspector reports it too."""
+    from dp3_spark.inspect_tool import inspect_table
+
+    t = VersionedLogTable(spark, root, gc_grace_sec=0.0)
+    t.append(mkbatch(spark, "/a", [10, 20]))
+    t.append(mkbatch(spark, "/b", [30]))
+    rep = t.verify_files()
+    assert rep["missing"] == [] and rep["size_mismatch"] == []
+
+    victim = t._list_data_files()[0]
+    keep = os.path.getsize(victim) // 2
+    with open(victim, "r+b") as f:
+        f.truncate(keep)
+
+    rep = t.verify_files()
+    rel = os.path.relpath(victim, t.root)
+    assert rep["size_mismatch"] == [rel]
+    assert rep["missing"] == []  # present, just wrong
+
+    irep = inspect_table(root)
+    assert rel in irep["size_mismatch_files"]
+
+
+def test_pre_size_manifests_never_flagged(spark, root):
+    """Two-field (pre-size-column) manifest lines parse as size-unknown:
+    rows still resolve, and the truncation audit stays silent instead of
+    false-positiving every old table."""
+    t = VersionedLogTable(spark, root, gc_grace_sec=0.0)
+    v = t.append(mkbatch(spark, "/a", [10, 20]))
+    name = f"v{v:012d}.list"
+    full = f"{t._manifest_prefix}/{name}"
+    raw = t._backend.get(full).decode()
+    stripped = "".join(
+        "\t".join(line.split("\t")[:2]) + "\n"
+        for line in raw.splitlines()
+        if line
+    )
+    t._backend.put(full, stripped.encode())
+
+    assert all(r >= 0 for r in t._manifests()[name].values())  # rows intact
+    rep = t.verify_files()
+    assert rep["size_mismatch"] == [] and rep["missing"] == []
+    assert sorted(r["log_time"] for r in t.read().collect()) == [10, 20]
