@@ -504,10 +504,13 @@ class VersionedLogTable:
             if complete and os.path.basename(self._resolve_data_path()) == gen:
                 # [] is a COMPLETE empty plan ("no committed files of this
                 # kind"), distinct from None ("no plan; use the scan"):
-                # _tombstones turns [] into "no tombstones" with zero IO
+                # _tombstones turns [] into "no tombstones" with zero IO.
+                # set(): a rel recorded twice (e.g. a re-adopted baseline)
+                # must not be scanned twice — the listing path reads each
+                # file once, and the explicit plan must match it
                 if kind == "both":
-                    return gen_path, sorted(data), sorted(tombs)
-                return gen_path, sorted(data if kind == "data" else tombs)
+                    return gen_path, sorted(set(data)), sorted(set(tombs))
+                return gen_path, sorted(set(data if kind == "data" else tombs))
         return None  # compacts raced the plan twice; scan path takes over
 
     def _ensure_manifest_baseline(self) -> None:
