@@ -1490,18 +1490,41 @@ def stream_ingest_dedup(spark, sf_dir):
     )
     in_dir = os.path.join(root, "incoming")
     run = tempfile.mkdtemp(prefix="dp3_ingest_dedup_run_")
+    # the drained output is returned as a live parquet-backed frame (the
+    # previous collect() + createDataFrame round-tripped the ENTIRE drained
+    # table through the driver — rows-scale driver work on the query path,
+    # guide §5); the run dir must therefore outlive this call — reap it at
+    # session exit instead of in a finally
+    import atexit
+
+    atexit.register(shutil.rmtree, run, ignore_errors=True)
+    reader = spark.read.parquet(in_dir)
+    schema = reader.schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in_dir)
+    )
+    # watermark spans the fixture: no row is ever late, so the drain
+    # equals exact distinct under ANY micro-batch split (the
+    # stream_interval_attrib determinism construction)
+    dd = deduped_stream(sdf, watermark_delay="3650 days").drop("event_time")
+    out = os.path.join(run, "out")
+    # state partitions sized to stream volume (the stream_interval_attrib
+    # sizing): the dedup state store pays per-partition checkpoint +
+    # maintenance per micro-batch, so fixture-scale streams over 32
+    # partitions are mostly state-store overhead; ~25k rows per state
+    # partition, capped at session parallelism for real volumes.  The
+    # winner row per dedup key is byte-identical to every duplicate it
+    # shadows (the overlap re-ships whole rows), so partitioning cannot
+    # change the drained row set.
+    n_rows = reader.count()
+    parts = min(
+        spark.sparkContext.defaultParallelism, max(4, n_rows // 25_000)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
-        schema = spark.read.parquet(in_dir).schema
-        sdf = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 2)
-            .parquet(in_dir)
-        )
-        # watermark spans the fixture: no row is ever late, so the drain
-        # equals exact distinct under ANY micro-batch split (the
-        # stream_interval_attrib determinism construction)
-        dd = deduped_stream(sdf, watermark_delay="3650 days").drop("event_time")
-        out = os.path.join(run, "out")
         q = (
             dd.writeStream.format("parquet")
             .option("path", out)
@@ -1509,15 +1532,12 @@ def stream_ingest_dedup(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
-        res = spark.read.parquet(out).select(
-            "producer", "topic", "log_time", "sequence", "value"
-        )
-        rows = res.collect()
-        schema_out = res.schema
     finally:
-        shutil.rmtree(run, ignore_errors=True)
-    return spark.createDataFrame(rows, schema_out)
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "producer", "topic", "log_time", "sequence", "value"
+    )
 
 
 # =========================================================================
@@ -2538,12 +2558,20 @@ _BPE_MERGES_DUCK = (
 @register("bpe_train_merges", _BPE_MERGES_DUCK)
 def bpe_train_merges(spark, sf_dir):
     """The learned merge table: one corpus pass (map-combinable word
-    count), then n_merges vocab-sized iterations — zero further corpus
-    passes, 1-row argmax collects only."""
+    count), then the merge loop on the vocabulary-bounded word table.
+
+    r10 optimization: bpe_train_driver instead of the per-merge Spark
+    iteration — the corpus pass stays distributed, but the n_merges
+    argmax rounds (each a full vocab-table aggregation job + driver
+    round-trip, scheduler-bound at ANY cluster size) collapse into the
+    in-process incremental trainer.  Output equality with bpe_train is
+    pinned by tests/test_bpe.py::test_bpe_train_driver_equals_spark_iteration;
+    at web scale the collect is explicitly bounded via min_freq /
+    max_vocab_rows (see the operator docstring)."""
     from dp3_spark.operators import bpe as B
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    merges, _ = B.bpe_train(docs, n_merges=_BPE_N_MERGES)
+    merges, _ = B.bpe_train_driver(docs, n_merges=_BPE_N_MERGES)
     return merges
 
 
@@ -2565,7 +2593,7 @@ def bpe_vocab_topk(spark, sf_dir):
     from dp3_spark.operators import bpe as B
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    _, states = B.bpe_train(docs, n_merges=_BPE_N_MERGES)
+    _, states = B.bpe_train_driver(docs, n_merges=_BPE_N_MERGES)
     return B.vocab_counts(states, top_k=25)
 
 
@@ -2596,7 +2624,7 @@ def bpe_encode_counts(spark, sf_dir):
     from dp3_spark.operators import bpe as B
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    _, states = B.bpe_train(docs, n_merges=_BPE_N_MERGES)
+    _, states = B.bpe_train_driver(docs, n_merges=_BPE_N_MERGES)
     return B.encode_token_counts(docs, states)
 
 
@@ -2632,7 +2660,7 @@ def bpe_encode_tokens(spark, sf_dir):
     from dp3_spark.operators import bpe as B
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    _, states = B.bpe_train(docs, n_merges=_BPE_N_MERGES)
+    _, states = B.bpe_train_driver(docs, n_merges=_BPE_N_MERGES)
     return B.encode_tokens(docs, states)
 
 

@@ -115,8 +115,27 @@ class StreamingCorpusDedup:
             F.col(self.id_col).alias("__cid__")
         )
 
+    # append file sizing: one output file per ~this many rows, per table
+    # (signature rows ~2.5 KB -> ~64 MB files; doc rows similar order;
+    # band rows are 24 B so they collapse to one file until ~3M rows/batch).
+    # Fixes the small-files growth of the previous layout — every
+    # micro-batch appended defaultParallelism (32 local) near-empty files
+    # to each table, so a long-lived stream's index directory grew
+    # O(batches x cores) files (guide §6: listing + per-file open overhead
+    # twice per probe).  Scale-adaptive: partition count derives from the
+    # batch's own row count, never from the local core count.
+    SIG_ROWS_PER_FILE = 25_000
+    BAND_ROWS_PER_FILE = 3_000_000
+
+    def _out_parts(self, n_rows: int, rows_per_file: int) -> int:
+        return max(1, min(
+            self.spark.sparkContext.defaultParallelism,
+            n_rows // rows_per_file + 1,
+        ))
+
     def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
         par = self.spark.sparkContext.defaultParallelism
+        n_in = batch_df.count()
         sigs_new = DD.minhash_signatures(
             batch_df.repartition(par),
             self.id_col,
@@ -179,6 +198,7 @@ class StreamingCorpusDedup:
             pairs = DD._verify_broadcast(cand, sigs_new, self.threshold)
             dropped = pairs.select(F.col("id_b").alias("id")).distinct()
         dropped = dropped.localCheckpoint(eager=True)
+        n_drop = dropped.count()  # free: counts the checkpointed blocks
         kept_docs = batch_df.join(
             dropped, batch_df[self.id_col] == dropped.id, "left_anti"
         )
@@ -195,6 +215,11 @@ class StreamingCorpusDedup:
             kept_docs = kept_docs.join(
                 cids, F.col(self.id_col) == F.col("__cid__"), "left_anti"
             )
+        # materialize the kept signatures ONCE: they feed two appends (the
+        # banding explode + their own write) — without this the
+        # anti-join chain above re-executes per consumer
+        kept_sigs = kept_sigs.localCheckpoint(eager=True)
+        n_kept = kept_sigs.count()  # free: checkpointed
         # bands append FIRST so bands ⊇ sigs ⊇ corpus holds across crashes
         # (each table's anti-join makes its own append idempotent; a kept
         # doc only ever matches HIGHER batch ids, so reprocessing an epoch
@@ -206,11 +231,15 @@ class StreamingCorpusDedup:
             kept_bands = kept_bands.join(
                 index_bands.select("id"), "id", "left_anti"
             )
-        kept_bands.write.mode("append").parquet(self.bands_path)
-        kept_sigs.write.mode("append").parquet(self.index_path)
-        kept_docs.write.mode("append").parquet(self.corpus_path)
-        n_in = batch_df.count()
-        n_drop = dropped.count()
+        kept_bands.coalesce(
+            self._out_parts(n_kept * self.bands, self.BAND_ROWS_PER_FILE)
+        ).write.mode("append").parquet(self.bands_path)
+        kept_sigs.coalesce(
+            self._out_parts(n_kept, self.SIG_ROWS_PER_FILE)
+        ).write.mode("append").parquet(self.index_path)
+        kept_docs.coalesce(
+            self._out_parts(max(n_in - n_drop, 1), self.SIG_ROWS_PER_FILE)
+        ).write.mode("append").parquet(self.corpus_path)
         self.stats.append(
             {"epoch": int(epoch_id), "rows_in": n_in, "dropped": n_drop}
         )
