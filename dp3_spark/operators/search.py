@@ -52,6 +52,20 @@ def tokens_duck(col: str) -> str:
     return _TOKENS_DUCK.format(col=col)
 
 
+# single-pass dispatch for bm25_topk (same auto-dispatch idiom as
+# dedup.minhash_lsh_pairs' verify="auto"): below this many documents the
+# lazy 3-subtree plan wins — its three corpus tokenizations (postings,
+# df-reuse, scalars) schedule CONCURRENTLY inside one action and the
+# corpus is too small for pass count to matter, while the single-pass
+# plan pays a fixed eager-checkpoint + observation round trip (~0.3 s).
+# Measured crossover (interleaved A/B, noop sink): 5k docs/32 cores:
+# 0.61 s (3-pass) vs 1.09 s (1-pass); at 50k docs one tokenize pass is
+# ~1.5 s so the two redundant passes already cost ~10x the fixed
+# overhead.  At corpus scale pass count is the whole cost — cores are
+# saturated, so "concurrent" passes still triple CPU + I/O.
+BM25_ONE_PASS_MIN_DOCS = 20_000
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -69,12 +83,23 @@ def bm25_topk(
     rank 1..k by (score desc, doc_id asc).  Terms absent from the corpus
     contribute nothing (df derives from actual postings).
 
-    Plan shape: map-side tokenize -> `term IN (query)` filter -> one
-    (doc_id, term) partial-aggregated shuffle of query-term postings only
-    -> broadcast of the per-term idf (|query| rows) and the 1-row corpus
-    scalars -> doc-keyed sum -> global top-k via orderBy().limit(k) (k
-    rows to the driver stage, never a single-partition window over the
-    corpus)."""
+    Plan shape (>= BM25_ONE_PASS_MIN_DOCS docs): ONE corpus tokenize
+    pass — map-side tokenize -> `term IN (query)` filter -> one
+    (doc_id, term) partial-aggregated shuffle of query-term postings
+    only, materialized eagerly (the postings frame is query-term-sized,
+    and it feeds BOTH the df aggregation and the scoring join —
+    unmaterialized, each consumer re-tokenized the whole corpus); the
+    1-row corpus scalars (N, sum_dl) ride the same pass as an
+    Observation on the pre-explode rows (exact int count/sum, so avgdl
+    is bit-identical to the separate-aggregation formulation, which
+    itself was a third full tokenize pass) -> broadcast idf ->
+    doc-keyed sum -> global top-k via orderBy().limit(k) (k rows to the
+    driver stage, never a single-partition window over the corpus).
+
+    Below the threshold, the classic lazy formulation (scalars and df
+    re-derive the tokenize) — see BM25_ONE_PASS_MIN_DOCS.  Both shapes
+    produce identical values; the dispatch count() is parquet-footer
+    served on a bare table scan."""
     if not query_terms:
         raise ValueError("bm25_topk needs at least one query term")
     toks = F.expr(tokens_spark(text_col))
@@ -82,19 +107,48 @@ def bm25_topk(
     base = docs.select(
         F.col(id_col).alias("doc_id"), toks.alias("__toks")
     ).select("doc_id", F.size("__toks").alias("dl"), "__toks")
-    # corpus scalars: N and avgdl = exact int64 sum / exact count, one row
-    scal = base.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).select(
-        "n_docs",
-        (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")).alias("avgdl"),
-    )
     qlit = F.array(*[F.lit(t) for t in query_terms])
     tf = (
         base.select("doc_id", "dl", F.explode("__toks").alias("term"))
         .filter(F.array_contains(qlit, F.col("term")))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scal = None
+    if docs.count() >= BM25_ONE_PASS_MIN_DOCS:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        based = base.observe(
+            obs, F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+        )
+        tf = (
+            based.select("doc_id", "dl", F.explode("__toks").alias("term"))
+            .filter(F.array_contains(qlit, F.col("term")))
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            # eager: the one corpus pass happens HERE; every observed base
+            # row flows through the observe node before explode/filter
+            .localCheckpoint(eager=True)
+        )
+        try:
+            vals = obs.get
+            scal = docs.sparkSession.createDataFrame(
+                [(int(vals["n_docs"]), int(vals["sum_dl"] or 0))],
+                "n_docs bigint, sum_dl bigint",
+            )
+        except Exception:
+            # a corpus that folded to a LocalRelation runs no job, so the
+            # observation never fires — fall through to the lazy scalars
+            scal = None
+    if scal is None:
+        # corpus scalars: N and avgdl = exact int64 sum / exact count
+        scal = base.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+        )
+    scal = scal.select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")).alias("avgdl"),
     )
     return _score_tf(tf, scal, k1=k1, b=b, k=k)
 

@@ -105,3 +105,38 @@ def test_hybrid_rrf_fusion_math(spark):
         assert r["n_lists"] == sum(d in lst for lst in (bm, dn))
     # doc 1 is in both lists (bm25 rank 1, dense rank 1) -> fused rank 1
     assert out[1]["rank"] == 1 and out[1]["n_lists"] == 2
+
+
+def test_bm25_one_pass_dispatch_parity(docs, monkeypatch):
+    """The single-pass (Observation + checkpointed postings) shape and the
+    classic lazy 3-subtree shape must produce identical rows — the
+    dispatch (BM25_ONE_PASS_MIN_DOCS) is a plan choice, never a value
+    choice.  Forcing the threshold to 0 routes the hand corpus through
+    the single-pass branch; on a LocalRelation corpus the observation
+    never fires and the branch falls back to lazy scalars, so this also
+    covers the fallback."""
+    classic = sorted(map(tuple, SRCH.bm25_topk(docs, ["cat", "dog"], k=10).collect()))
+    monkeypatch.setattr(SRCH, "BM25_ONE_PASS_MIN_DOCS", 0)
+    forced = sorted(map(tuple, SRCH.bm25_topk(docs, ["cat", "dog"], k=10).collect()))
+    assert classic == forced
+
+
+def test_bm25_one_pass_parquet_parity(spark, tmp_path, monkeypatch):
+    """Same parity on a PARQUET-backed corpus, where the Observation
+    genuinely fires and supplies the scalars from the single tokenize
+    pass."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "text": [f"cat dog word{i} {'dog ' * (i % 5)}" for i in range(200)],
+        }
+    )
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(pdf).write.parquet(path)
+    docs = spark.read.parquet(path)
+    classic = sorted(map(tuple, SRCH.bm25_topk(docs, ["cat", "dog"], k=15).collect()))
+    monkeypatch.setattr(SRCH, "BM25_ONE_PASS_MIN_DOCS", 0)
+    forced = sorted(map(tuple, SRCH.bm25_topk(docs, ["cat", "dog"], k=15).collect()))
+    assert classic == forced
