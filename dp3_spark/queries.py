@@ -1384,43 +1384,44 @@ def stream_stats_rollup(spark, sf_dir):
         with open(marker, "w") as f:
             f.write("ok")
     root = tempfile.mkdtemp(prefix="dp3_stream_stats_")
-    try:
-        partials = f"{root}/summary_store"
-        maintain = summary_maintainer(
-            spark.read.parquet(in_dir), granularity_ns=HOUR_NS, numeric_fields=["value"]
-        )
+    # the rolled-up result is returned as a live frame over the run's
+    # summary store (the previous collect() + createDataFrame round-tripped
+    # every daily row through the driver — guide §5; the
+    # stream_ingest_dedup construction), so the store must outlive this
+    # call — reap it at session exit instead of in a finally
+    import atexit
 
-        def sink(batch, epoch):
-            maintain(batch, epoch).write.mode("append").parquet(partials)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    partials = f"{root}/summary_store"
+    maintain = summary_maintainer(
+        spark.read.parquet(in_dir), granularity_ns=HOUR_NS, numeric_fields=["value"]
+    )
 
-        sdf = (
-            spark.readStream.schema(spark.read.parquet(in_dir).schema)
-            .option("maxFilesPerTrigger", 2)
-            .parquet(in_dir)
-        )
-        q = (
-            sdf.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", f"{root}/ckpt_{_uuid.uuid4().hex[:8]}")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        daily = ST.rollup_summary(
-            spark.read.parquet(partials),
-            from_granularity_ns=HOUR_NS,
-            to_granularity_ns=DAY_NS,
-            numeric_fields=["value"],
-        ).select(
-            "producer", "topic", "bucket_start", "message_count",
-            "min_observed_time", "max_observed_time", "value_count",
-            "value_sum", "value_min", "value_max", "value_mean",
-        )
-        # materialize before the tmp summary store disappears
-        schema = daily.schema
-        rows = daily.collect()
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    def sink(batch, epoch):
+        maintain(batch, epoch).write.mode("append").parquet(partials)
+
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(in_dir).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in_dir)
+    )
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{root}/ckpt_{_uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ST.rollup_summary(
+        spark.read.parquet(partials),
+        from_granularity_ns=HOUR_NS,
+        to_granularity_ns=DAY_NS,
+        numeric_fields=["value"],
+    ).select(
+        "producer", "topic", "bucket_start", "message_count",
+        "min_observed_time", "max_observed_time", "value_count",
+        "value_sum", "value_min", "value_max", "value_mean",
+    )
 
 
 @register(
@@ -3205,27 +3206,28 @@ def stream_corpus_dedup(spark, sf_dir):
         with open(marker, "w") as f:
             f.write("ok")
     root = tempfile.mkdtemp(prefix="dp3_stream_dedup_")
-    try:
-        dd = StreamingCorpusDedup(
-            spark, root, n=3, num_hashes=128, bands=16, threshold=0.7
-        )
-        # fresh per-run copies: the drain appends to all three tables
-        shutil.copytree(os.path.join(seed, "sigs"), dd.index_path)
-        shutil.copytree(os.path.join(seed, "bands"), dd.bands_path)
-        shutil.copytree(os.path.join(seed, "corpus"), dd.corpus_path)
-        drop_dir = os.path.join(seed, "incoming")  # read-only for the stream
-        q = dd.start(drop_dir, spark.read.parquet(drop_dir).schema)
-        q.awaitTermination()
-        kept = (
-            spark.read.parquet(dd.corpus_path)
-            .filter(F.col("doc_id") % 5 == 0)
-            .select("doc_id")
-        )
-        # materialize before the tmp dir disappears
-        rows = kept.collect()
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "doc_id long")
+    # the surviving-batch frame is returned live over the run's corpus
+    # table (collect + createDataFrame round-tripped it through the
+    # driver — guide §5; the stream_ingest_dedup construction), so the
+    # run dir must outlive this call — reap it at session exit
+    import atexit
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    dd = StreamingCorpusDedup(
+        spark, root, n=3, num_hashes=128, bands=16, threshold=0.7
+    )
+    # fresh per-run copies: the drain appends to all three tables
+    shutil.copytree(os.path.join(seed, "sigs"), dd.index_path)
+    shutil.copytree(os.path.join(seed, "bands"), dd.bands_path)
+    shutil.copytree(os.path.join(seed, "corpus"), dd.corpus_path)
+    drop_dir = os.path.join(seed, "incoming")  # read-only for the stream
+    q = dd.start(drop_dir, spark.read.parquet(drop_dir).schema)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(dd.corpus_path)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
 
 
 def _simhash_sig_ctes(bits: int) -> str:
