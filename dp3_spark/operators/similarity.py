@@ -972,39 +972,45 @@ def pq_fit_codebooks(
 def _pq_encode_sql(
     df: DataFrame, books: list[list[list[float]]], id_col: str, vec_col: str
 ) -> DataFrame:
-    """(id, subspace, code) via pure codegen: per subspace, argmin of the
-    sequential d2 fold over inlined codeword literals, tie toward the
-    lower code (array_sort of (d2, code) structs — the
-    _assign_clusters_sql construction, map-only, no shuffle)."""
+    """(id, subspace, code) via the broadcast-codebook join the oracle
+    itself uses: corpus x (m*k)-row codebook, d2 per pair via the shared
+    sequential fold, then argmin per (id, subspace) as min(struct(d2,
+    code)) — lexicographic struct min, tie toward the lower code, exactly
+    the oracle's row_number()-over-(d2, code) pick.  A previous shape
+    inlined all m*k folds as one giant codegen expression; Catalyst
+    planning + Janino/C2 compile of that expression dominated the whole
+    query (~4 s steady state, 30-80 s swings before C2 caught up).  This
+    plan is small and stable: broadcast join (no corpus shuffle), partial
+    hash aggregation combines map-side to m rows per vector, so shuffle
+    volume is m rows/vector regardless of k."""
     m = len(books)
     d = len(books[0][0])
-    per_sub = []
-    for s in range(m):
-        sl = f"slice({vec_col}, {s * d + 1}, {d})"
-        structs = []
-        for j, cw in enumerate(books[s]):
-            arr = "array({})".format(
-                ", ".join(f"cast({float(v)!r} as double)" for v in cw)
-            )
-            d2 = (
-                f"aggregate(zip_with({sl}, {arr}, "
-                f"(x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), "
-                f"cast(0.0 as double), (a, b) -> a + b)"
-            )
-            structs.append(f"struct({d2} as d2, {j} as code)")
-        per_sub.append(f"array_sort(array({', '.join(structs)}))[0].code")
-    codes = f"array({', '.join(per_sub)})"
+    spark = df.sparkSession
+    book_rows = [
+        (s, j, [float(v) for v in books[s][j]])
+        for s in range(m)
+        for j in range(len(books[s]))
+    ]
+    book_df = spark.createDataFrame(book_rows, "subspace int, code int, cw array<double>")
+    d2_s, _ = VEC.d2(f"slice({vec_col}, subspace * {d} + 1, {d})", "cw")
     # fixture parquets arrive as ONE input split; the m*k fold argmin is
-    # compute-dense enough to be worth spreading (measured 0.85 -> 0.59 s
-    # on 5k x 128 folds at 32 cores — the row shuffle costs back part of
-    # the win; at scale the scan already has splits and this is benign)
+    # compute-dense enough to be worth spreading (the row shuffle costs
+    # back part of the win; at scale the scan already has splits and this
+    # is benign)
     par = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("id"), F.col(vec_col))
         .repartition(par)
-        .select(F.col("id"), F.posexplode(F.expr(codes)).alias("subspace", "code"))
-        .select("id", F.col("subspace").cast("int"), F.col("code").cast("int"))
+        .crossJoin(F.broadcast(book_df))
+        .select(
+            "id",
+            "subspace",
+            F.struct(F.expr(d2_s).alias("d2"), F.col("code")).alias("dc"),
+        )
+        .groupBy("id", "subspace")
+        .agg(F.min("dc").alias("dc"))
+        .select("id", "subspace", F.col("dc.code").cast("int").alias("code"))
     )
 
 
