@@ -51,6 +51,25 @@ _NGRAMS_SPARK = (
 )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread UNDER-PARALLEL inputs before the corpus-wide n-gram explode
+    (the bpe.word_counts idiom): a small fixture parquet arrives as ONE
+    split, serializing the explode + per-ngram md5 on one core.  A corpus
+    already in many input splits is left alone — repartitioning would
+    shuffle the full text bytes before the explode, doubling ingest I/O
+    at the 100 TB design point.  The target partition count derives from
+    the INPUT SIZE (~64 KiB of scan bytes per partition, capped at the
+    session's parallelism), never from the core count alone: measured at
+    sf0.1, 8 data-sized partitions run the explode 2.5x faster than 32
+    (per-task overhead swamps 60k-ngram tasks)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, par // 2):
+        return df
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n = min(par, max(2, -(-size // (64 << 10))))
+    return df.repartition(n)
+
+
 def _ngram_explode(
     df: DataFrame, text_col: str, id_col: str | None, extra: tuple[str, ...] = ()
 ) -> DataFrame:
@@ -84,7 +103,7 @@ def hashed_ngram_profile(
     map-combinable pass; at most `buckets` output rows."""
     b_s, _ = _bucket_exprs("ngram", "dsir", buckets)
     return (
-        _ngram_explode(df, text_col, None)
+        _ngram_explode(_spread(df), text_col, None)
         .select(F.expr(b_s).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
@@ -161,6 +180,7 @@ def dsir_log_weights(
     The bucket table broadcasts either way."""
     if (target is None) == (target_pred is None):
         raise ValueError("pass exactly one of target / target_pred")
+    docs = _spread(docs)
     if target_pred is not None:
         b_s1, _ = _bucket_exprs("ngram", "dsir", buckets)
         prof = (
