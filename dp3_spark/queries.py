@@ -1204,12 +1204,28 @@ def stream_sessionize_gap(spark, sf_dir):
     )
     sessions = sessionize_stream(ev, gap_ns=30 * 60 * NS, idle_timeout_ms=None)
     name = f"stream_sessions_{_uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    # state partitions sized to stream volume (the stream_interval_attrib
+    # sizing): each applyInPandasWithState partition pays a state-store
+    # checkpoint plus a Python worker round per micro-batch, so a
+    # fixture-scale stream over 32 partitions is mostly that overhead;
+    # ~25k rows per state partition, capped at session parallelism for
+    # real volumes.  Per-key session emission is independent of how keys
+    # hash across partitions, so the drained row set cannot change.
+    n_rows = batch.count()
+    parts = min(
+        spark.sparkContext.defaultParallelism, max(4, n_rows // 25_000)
     )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     return spark.table(name).select(
         "user_id", "session_start", "session_end",
