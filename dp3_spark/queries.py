@@ -1318,7 +1318,15 @@ def stream_interval_attrib(spark, sf_dir):
         spark.sparkContext.defaultParallelism, max(4, n_rows // 25_000)
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # an INNER stream-stream join emits every matched row in the data
+    # batch itself; the trailing no-data micro-batch only evicts state,
+    # which a drain that terminates right after never reads again —
+    # measured ~0.5-1.0 s of pure state-store/commit overhead per drain
+    # (half the steady-state batches).  Scoped to this query: timeout- or
+    # watermark-EMITTING drains (sessionize) need the no-data batch.
+    prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             joined.writeStream.format("memory")
@@ -1328,6 +1336,9 @@ def stream_interval_attrib(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nd
+        )
     q.awaitTermination()
     t_ns = F.unix_micros(F.col("act_ts")) * F.lit(1000)
     return spark.table(name).groupBy(F.col("inc_id").alias("event_id")).agg(
@@ -1540,7 +1551,14 @@ def stream_ingest_dedup(spark, sf_dir):
         spark.sparkContext.defaultParallelism, max(4, n_rows // 25_000)
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # dropDuplicatesWithinWatermark emits each surviving row in the data
+    # batch that first sees it; the trailing no-data micro-batch only
+    # expires state a terminating drain never reads — suppress it (the
+    # stream_interval_attrib measurement: ~0.5-1 s of state-store/commit
+    # overhead per drain).  Scoped: restored right after start().
+    prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             dd.writeStream.format("parquet")
@@ -1551,6 +1569,9 @@ def stream_ingest_dedup(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nd
+        )
     q.awaitTermination()
     return spark.read.parquet(out).select(
         "producer", "topic", "log_time", "sequence", "value"
