@@ -41,11 +41,16 @@ def _trigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # evaluation.  slice() on the materialized array is O(3).
     # sequence(1, 0) is DESCENDING in Spark, not empty — docs under
     # 3 chars take the explicit empty branch.
-    # fat-per-row work: spread docs across the cluster first (a small
-    # parquet arrives as one input split; the explode multiplies each
-    # row ~300x — same repartition discipline as minhash_signatures)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    chars = df.repartition(par).select(
+    # fat-per-row work: spread UNDER-PARALLEL inputs across the cluster
+    # first (a small parquet arrives as one input split; the explode
+    # multiplies each row ~300x).  dsir._spread is conditional: a corpus
+    # already in many splits is left alone — the previous unconditional
+    # repartition(defaultParallelism) shuffled the full corpus TEXT
+    # before each of the two trigram passes, doubling ingest I/O at the
+    # 100 TB design point for zero benefit.
+    from dp3_spark.operators.dsir import _spread
+
+    chars = _spread(df).select(
         F.col(id_col).alias("id"),
         F.expr(f"split({text_col}, '')").alias("__ch"),
     )
