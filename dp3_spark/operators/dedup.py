@@ -51,6 +51,23 @@ VERIFY_BROADCAST_MAX_ROWS = 200_000
 ENDPOINT_SLICE_MAX_BROADCAST_IDS = 2_000_000
 
 
+def _spread_text(df: DataFrame) -> DataFrame:
+    """Conditional input spread before fat per-row text work (shingling /
+    window fingerprints): a small fixture parquet arrives as ONE split,
+    serializing the whole pass on one core, but an input already in many
+    splits must NOT be reshuffled — the previous unconditional
+    repartition(defaultParallelism) moved the full corpus text before
+    every signature pass, pure overhead at the 100 TB design point
+    (guide §2.3/§2.5).  dsir._spread with a 16 KiB/partition target:
+    shingling does 128 hash folds per shingle, so its per-byte work is
+    ~4x DSIR's md5 bigrams — the smaller target keeps the spread near
+    session parallelism at fixture scale (A/B'd: identical floors to the
+    old repartition(par) locally)."""
+    from dp3_spark.operators.dsir import _spread
+
+    return _spread(df, bytes_per_partition=16 << 10)
+
+
 def minhash_coeffs(num: int) -> list[tuple[int, int]]:
     # deterministic LCG-derived coefficients (seed fixed, no RNG state)
     coeffs = []
@@ -106,9 +123,8 @@ def ngram_jaccard_pairs(
     count shared hashes per pair, then |A ∪ B| = |A| + |B| - shared.
     `max_shingle_freq` drops shingles appearing in more than that many docs
     (stopword-shingle fan-out cap for the 100 TB path)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
     sh = (
-        shingle_hash_df(df.repartition(par), id_col, text_col, n)
+        shingle_hash_df(_spread_text(df), id_col, text_col, n)
         .withColumn("card", F.size("shingles"))
     )
     exploded = sh.select("id", "card", F.explode("shingles").alias("h"))
@@ -459,16 +475,17 @@ def minhash_lsh_pairs(
     if candidates not in ("all", "capped"):
         raise ValueError(f"unknown candidates mode {candidates!r}")
     rows = num_hashes // bands
-    # a small parquet reads as few partitions; the signature work is
-    # CPU-bound per row, so spread it across all cores first
     par = df.sparkSession.sparkContext.defaultParallelism
+    # a small parquet reads as few partitions; the signature work is
+    # CPU-bound per row, so spread under-parallel inputs first (see
+    # _spread_text — many-split inputs are left alone)
     # cache + eager materialization: the signature pass is CPU-heavy but
     # byte-small, so AQE would coalesce any recomputation of it down to one
     # task, and lazy cache timing makes runtimes vary run-to-run.  At true
     # cluster scale this becomes a persisted signatures table, which is how
     # repeated dedup runs anyway.
     sigs = minhash_signatures(
-        df.repartition(par), id_col, text_col, n=n, num_hashes=num_hashes
+        _spread_text(df), id_col, text_col, n=n, num_hashes=num_hashes
     ).cache()
     n_docs = sigs.count()
     if verify == "auto":
@@ -680,7 +697,7 @@ def minhash_lsh_pairs_incremental(
         precomputed_sigs.select("id", "shingles", "card", "mh")
         if precomputed_sigs is not None
         else minhash_signatures(
-            new_df.repartition(par), id_col, text_col, n=n, num_hashes=num_hashes
+            _spread_text(new_df), id_col, text_col, n=n, num_hashes=num_hashes
         ).localCheckpoint(eager=True)
     )
 
@@ -894,8 +911,7 @@ def duplicated_window_flags(
     ubiquitous boilerplate; the per-doc rollup is map-combinable.
     Nothing corpus-sized is collected or broadcast."""
     toks_s, _ = TXT.tokens(text_col)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    t = docs.repartition(par).select(
+    t = _spread_text(docs).select(
         F.col(id_col).alias("id"), F.expr(toks_s).alias("toks")
     ).withColumn("nw", F.greatest(F.size("toks") - F.lit(w) + 1, F.lit(0)))
     wins = t.filter(F.col("nw") > 0).select(

@@ -51,22 +51,25 @@ _NGRAMS_SPARK = (
 )
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, *, bytes_per_partition: int = 64 << 10) -> DataFrame:
     """Spread UNDER-PARALLEL inputs before the corpus-wide n-gram explode
     (the bpe.word_counts idiom): a small fixture parquet arrives as ONE
     split, serializing the explode + per-ngram md5 on one core.  A corpus
     already in many input splits is left alone — repartitioning would
     shuffle the full text bytes before the explode, doubling ingest I/O
     at the 100 TB design point.  The target partition count derives from
-    the INPUT SIZE (~64 KiB of scan bytes per partition, capped at the
+    the INPUT SIZE (bytes_per_partition of scan bytes each, capped at the
     session's parallelism), never from the core count alone: measured at
-    sf0.1, 8 data-sized partitions run the explode 2.5x faster than 32
-    (per-task overhead swamps 60k-ngram tasks)."""
+    sf0.1, 8 data-sized partitions run the DSIR explode 2.5x faster than
+    32 (per-task overhead swamps 60k-ngram tasks).  Callers with heavier
+    per-byte work (minhash shingling: 128 hash folds per shingle) pass a
+    smaller bytes_per_partition so their spread stays near the session
+    parallelism at fixture scale."""
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= max(2, par // 2):
         return df
     size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    n = min(par, max(2, -(-size // (64 << 10))))
+    n = min(par, max(2, -(-size // bytes_per_partition)))
     return df.repartition(n)
 
 

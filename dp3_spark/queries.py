@@ -1216,7 +1216,15 @@ def stream_sessionize_gap(spark, sf_dir):
         spark.sparkContext.defaultParallelism, max(4, n_rows // 25_000)
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # the drain runs the sessionizer with NoTimeout (idle_timeout_ms=None),
+    # so sessions are emitted ONLY when a later data row closes a gap —
+    # the trailing no-data micro-batch services timeouts that cannot fire
+    # and emits nothing (the stream_interval_attrib measurement: ~0.5-1 s
+    # of per-partition state-store commits + replanning).  Scoped to this
+    # start(); a timeout-emitting caller keeps the default.
+    prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             sessions.writeStream.format("memory")
@@ -1226,6 +1234,9 @@ def stream_sessionize_gap(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nd
+        )
     q.awaitTermination()
     return spark.table(name).select(
         "user_id", "session_start", "session_end",
@@ -3162,12 +3173,11 @@ def dedup_incremental(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     index_docs = docs.filter(F.col("doc_id") % 5 != 0)
     new_docs = docs.filter(F.col("doc_id") % 5 == 0)
-    par = spark.sparkContext.defaultParallelism
     # materialize the index once — the stand-in for reading the PERSISTED
     # signature table (the deployment shape this query models); without it
     # the index plan re-shingles per consumer (banding, count, verify)
     index_sigs = DD.minhash_signatures(
-        index_docs.repartition(par), "doc_id", "text", n=3, num_hashes=128
+        DD._spread_text(index_docs), "doc_id", "text", n=3, num_hashes=128
     ).localCheckpoint(eager=True)
     return DD.minhash_lsh_pairs_incremental(
         new_docs, index_sigs, "doc_id", "text",
@@ -3230,9 +3240,8 @@ def stream_corpus_dedup(spark, sf_dir):
         docs = spark.read.parquet(src)
         index_docs = docs.filter(F.col("doc_id") % 5 != 0)
         batch_docs = docs.filter(F.col("doc_id") % 5 == 0)
-        par = spark.sparkContext.defaultParallelism
         DD.minhash_signatures(
-            index_docs.repartition(par), "doc_id", "text", n=3, num_hashes=128
+            DD._spread_text(index_docs), "doc_id", "text", n=3, num_hashes=128
         ).write.mode("overwrite").parquet(os.path.join(seed, "sigs"))
         sigs = spark.read.parquet(os.path.join(seed, "sigs"))
         DD._banded_frame(sigs, 16, 128 // 16).select(
@@ -5715,9 +5724,8 @@ def decontam_fuzzy(spark, sf_dir):
     evl = docs.filter(F.col("doc_id") % 37 == 0)
 
     def build(root):
-        par = spark.sparkContext.defaultParallelism
         DD.minhash_signatures(
-            train.repartition(par), "doc_id", "text", n=3, num_hashes=128
+            DD._spread_text(train), "doc_id", "text", n=3, num_hashes=128
         ).write.mode("overwrite").parquet(os.path.join(root, "sigs"))
         sigs = spark.read.parquet(os.path.join(root, "sigs"))
         DD._banded_frame(sigs, 16, 128 // 16).select(

@@ -137,7 +137,7 @@ class StreamingCorpusDedup:
         par = self.spark.sparkContext.defaultParallelism
         n_in = batch_df.count()
         sigs_new = DD.minhash_signatures(
-            batch_df.repartition(par),
+            DD._spread_text(batch_df),
             self.id_col,
             self.text_col,
             n=self.n,
