@@ -972,45 +972,46 @@ def pq_fit_codebooks(
 def _pq_encode_sql(
     df: DataFrame, books: list[list[list[float]]], id_col: str, vec_col: str
 ) -> DataFrame:
-    """(id, subspace, code) via the broadcast-codebook join the oracle
-    itself uses: corpus x (m*k)-row codebook, d2 per pair via the shared
-    sequential fold, then argmin per (id, subspace) as min(struct(d2,
-    code)) — lexicographic struct min, tie toward the lower code, exactly
-    the oracle's row_number()-over-(d2, code) pick.  A previous shape
-    inlined all m*k folds as one giant codegen expression; Catalyst
-    planning + Janino/C2 compile of that expression dominated the whole
-    query (~4 s steady state, 30-80 s swings before C2 caught up).  This
-    plan is small and stable: broadcast join (no corpus shuffle), partial
-    hash aggregation combines map-side to m rows per vector, so shuffle
-    volume is m rows/vector regardless of k."""
+    """(id, subspace, code) as a MAP-ONLY argmin over a one-row broadcast
+    codebook: the whole codebook rides as a single array<array<array<
+    double>>> cell (subspace-major, code-minor), each corpus row computes
+    all m codes with nested higher-order functions — per subspace,
+    array_min over named_struct(d2, code) of the per-codeword folds, the
+    same lexicographic (d2 asc, code asc) pick as the oracle's
+    row_number()-over-(d2, code), with d2 the shared sequential fold.  No
+    groupBy, no sort, no shuffle: the plan is Scan -> 1-row
+    BroadcastNestedLoopJoin -> Project -> Generate.
+
+    History: the r9 shape inlined all m*k folds as one giant codegen
+    expression (78 KB plan; Catalyst + Janino/C2 compile dominated); the
+    r10 shape joined an (m*k)-row broadcast codebook and aggregated
+    min(struct(d2, code)) per (id, subspace) — but min over a struct is
+    not hash-aggregable, so it planned as Sort + SortAggregate twice
+    around an Exchange of the n_vec*(m*k) crossJoin output (driver 2.68
+    -> 6.09 s).  This shape keeps the plan KB-small AND the pipeline
+    map-only."""
     m = len(books)
     d = len(books[0][0])
     spark = df.sparkSession
-    book_rows = [
-        (s, j, [float(v) for v in books[s][j]])
-        for s in range(m)
-        for j in range(len(books[s]))
-    ]
-    book_df = spark.createDataFrame(book_rows, "subspace int, code int, cw array<double>")
-    d2_s, _ = VEC.d2(f"slice({vec_col}, subspace * {d} + 1, {d})", "cw")
-    # fixture parquets arrive as ONE input split; the m*k fold argmin is
-    # compute-dense enough to be worth spreading (the row shuffle costs
-    # back part of the win; at scale the scan already has splits and this
-    # is benign)
-    par = df.sparkSession.sparkContext.defaultParallelism
+    book = [[[float(v) for v in cw] for cw in b] for b in books]
+    book_df = spark.createDataFrame([(book,)], "book array<array<array<double>>>")
+    d2_s, _ = VEC.d2(f"slice({vec_col}, s * {d} + 1, {d})", "cw")
+    codes_s = (
+        f"transform(sequence(0, {m - 1}), s -> named_struct("
+        f"'subspace', s, "
+        f"'code', array_min(transform(element_at(book, s + 1), (cw, j) -> "
+        f"named_struct('d2', {d2_s}, 'code', j))).code))"
+    )
     return (
         df.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("id"), F.col(vec_col))
-        .repartition(par)
         .crossJoin(F.broadcast(book_df))
+        .select("id", F.explode(F.expr(codes_s)).alias("sc"))
         .select(
             "id",
-            "subspace",
-            F.struct(F.expr(d2_s).alias("d2"), F.col("code")).alias("dc"),
+            F.col("sc.subspace").cast("int").alias("subspace"),
+            F.col("sc.code").cast("int").alias("code"),
         )
-        .groupBy("id", "subspace")
-        .agg(F.min("dc").alias("dc"))
-        .select("id", "subspace", F.col("dc.code").cast("int").alias("code"))
     )
 
 

@@ -37,7 +37,9 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:] or HEADLINE
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dp3_plan_dump")
