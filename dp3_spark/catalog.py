@@ -54,6 +54,11 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     call for a different fixture dir re-registers everything."""
     memo = getattr(spark, "_dp3_fixture_views", None)
     if memo is not None and memo[0] == sf_dir:
+        # cheap re-assert of the two confs load_tables would have set —
+        # a caller that flipped them between calls would otherwise read
+        # ns-typed fixtures wrong on a memo hit (ADVICE r10)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return memo[1]
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():
@@ -175,9 +180,24 @@ def events_log_store(spark: SparkSession, sf_dir: str, *, us_truncate: bool = Fa
     µs-truncated nanos so both engines see the identical int64 — inherent
     for µs-typed files, applied as `ts - ts % 1000` for ns-typed ones.
     Engine semantics stay nanosecond-typed either way.
+
+    Memoized per (session, sf_dir, us_truncate) — the register_views
+    treatment (guide §5 driver metadata): the parquet footer/schema round
+    trip plus dtype probe cost ~0.2-0.3 s inside the timed region of
+    every stat_*/events_*/ql_* headline.  The memo caches the LogStore
+    DEFINITION only (a DataFrame handle + column names, never rows); no
+    caller mutates the returned store, and every action still scans the
+    parquet input.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    memo = getattr(spark, "_dp3_event_stores", None)
+    if memo is None:
+        memo = spark._dp3_event_stores = {}
+    key = (sf_dir, us_truncate)
+    hit = memo.get(key)
+    if hit is not None:
+        return hit
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(ev.dtypes)["ts"]
     if ts_type.startswith("timestamp"):
@@ -187,7 +207,7 @@ def events_log_store(spark: SparkSession, sf_dir: str, *, us_truncate: bool = Fa
         ev = ev.withColumn(
             "ts_ns", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
         )
-        return LogStore(
+        store = LogStore(
             df=ev,
             producer_col="user_id",
             topic_col="event_type",
@@ -196,13 +216,15 @@ def events_log_store(spark: SparkSession, sf_dir: str, *, us_truncate: bool = Fa
             payload_cols=("value", "props"),
             pushdown_time_col="ts",
         )
+        memo[key] = store
+        return store
     time_col = "ts"
     pushdown = None
     if us_truncate:
         ev = ev.withColumn("ts_us", F.col("ts") - F.col("ts") % 1000)
         time_col = "ts_us"
         pushdown = "ts"  # derived ts_us doesn't push to parquet; raw ts does
-    return LogStore(
+    store = LogStore(
         df=ev,
         producer_col="user_id",
         topic_col="event_type",
@@ -211,3 +233,5 @@ def events_log_store(spark: SparkSession, sf_dir: str, *, us_truncate: bool = Fa
         payload_cols=("value", "props"),
         pushdown_time_col=pushdown,
     )
+    memo[key] = store
+    return store

@@ -110,13 +110,13 @@ def test_hybrid_rrf_fusion_math(spark):
 def test_bm25_one_pass_dispatch_parity(docs, monkeypatch):
     """The single-pass (Observation + checkpointed postings) shape and the
     classic lazy 3-subtree shape must produce identical rows — the
-    dispatch (BM25_ONE_PASS_MIN_DOCS) is a plan choice, never a value
+    dispatch (BM25_ONE_PASS_MIN_BYTES) is a plan choice, never a value
     choice.  Forcing the threshold to 0 routes the hand corpus through
     the single-pass branch; on a LocalRelation corpus the observation
     never fires and the branch falls back to lazy scalars, so this also
     covers the fallback."""
     classic = sorted(map(tuple, SRCH.bm25_topk(docs, ["cat", "dog"], k=10).collect()))
-    monkeypatch.setattr(SRCH, "BM25_ONE_PASS_MIN_DOCS", 0)
+    monkeypatch.setattr(SRCH, "BM25_ONE_PASS_MIN_BYTES", 0)
     forced = sorted(map(tuple, SRCH.bm25_topk(docs, ["cat", "dog"], k=10).collect()))
     assert classic == forced
 
@@ -137,6 +137,6 @@ def test_bm25_one_pass_parquet_parity(spark, tmp_path, monkeypatch):
     spark.createDataFrame(pdf).write.parquet(path)
     docs = spark.read.parquet(path)
     classic = sorted(map(tuple, SRCH.bm25_topk(docs, ["cat", "dog"], k=15).collect()))
-    monkeypatch.setattr(SRCH, "BM25_ONE_PASS_MIN_DOCS", 0)
+    monkeypatch.setattr(SRCH, "BM25_ONE_PASS_MIN_BYTES", 0)
     forced = sorted(map(tuple, SRCH.bm25_topk(docs, ["cat", "dog"], k=15).collect()))
     assert classic == forced
